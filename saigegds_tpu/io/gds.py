@@ -1,0 +1,501 @@
+"""Pure-Python reader for CoreArray GDS files (gdsfmt / SeqArray).
+
+The reference framework's entire data plane is GDS ("Genomic Data Structure",
+the CoreArray container behind the gdsfmt + SeqArray R packages): genotype
+inputs (`R/saige_main.r:263`, `R/assoc_single.r:69-85`) and association output
+files all live in this format.  This module implements a from-scratch binary
+reader for the subset of CoreArray needed by SeqArray genotype files, so the
+TPU framework can ingest the same files with zero R dependency.
+
+Format notes (reverse-engineered from the container layout):
+
+* File = 12-byte magic ``COREARRAYx0A`` + 2-byte version + 4-byte entry word,
+  then a sequence of *pieces*.  Each piece starts with a 6-byte little-endian
+  size whose bit 47 marks a *head* piece.  Head pieces carry
+  ``[next_pos:6][block_id:4][content_size:6]`` and start a logical block;
+  continuation pieces carry ``[next_pos:6]`` and extend it.  Blocks form the
+  random-access allocation layer; block 1 is the root folder.
+* Node records: ``[size:6][nprops:2]`` then, for typed arrays, a 2-byte
+  version and the class name stored as ``[len][7-bit packed chars]``
+  (e.g. ``dBit2`` / ``dInt32`` / ``dStr8``).  Properties follow as
+  ``[type_id:1][packed name][payload]``; the name encodings are stable
+  across gdsfmt writers, so they are matched as opaque byte patterns.
+* Compressed arrays go through a "pipe": property giving the codec name
+  ("LZMA_ra"/"ZIP_ra"/...), the raw/compressed byte sizes, and the block id
+  of the data stream.  LZMA_ra streams are one or more concatenated xz
+  frames after a small header; we locate the first xz magic and inflate.
+* Folder entries: ``[size:6][3 props]`` = child block id (u32), flags (bit 1
+  = subfolder, bit 4 = hidden), and the UTF-8 name.
+* Attributes: a record of ``[name_len:1][name][TdsAny]`` items where TdsAny
+  is a 1-byte type code + payload (0x0e/0x11 = length-prefixed strings, ...).
+"""
+
+from __future__ import annotations
+
+import lzma
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+GDS_MAGIC = b"COREARRAYx0A"
+XZ_MAGIC = b"\xfd7zXZ\x00"
+
+# ---------------------------------------------------------------------------
+# low-level block collection
+
+
+def _u48(b: bytes, off: int) -> int:
+    return int.from_bytes(b[off : off + 6], "little")
+
+
+@dataclass
+class _Block:
+    bid: int
+    content: bytes
+
+
+def _read_blocks(data: bytes) -> Dict[int, bytes]:
+    if data[:12] != GDS_MAGIC:
+        raise ValueError("not a CoreArray GDS file")
+    pos = 0x12  # magic(12) + version(2) + entry word(4)
+    pieces: Dict[int, bytearray] = {}
+    heads: Dict[int, dict] = {}
+    # first pass: collect pieces by position
+    piece_at: Dict[int, tuple] = {}
+    while pos + 6 <= len(data):
+        sz = _u48(data, pos)
+        head = bool(sz >> 47)
+        sz &= (1 << 47) - 1
+        if sz == 0:
+            break
+        piece_at[pos] = (sz, head)
+        pos += sz
+    blocks: Dict[int, bytes] = {}
+    for p, (sz, head) in piece_at.items():
+        if not head:
+            continue
+        nxt = _u48(data, p + 6)
+        bid = int.from_bytes(data[p + 12 : p + 16], "little")
+        total = _u48(data, p + 16)
+        buf = bytearray(data[p + 22 : p + sz])
+        # follow continuation chain
+        while nxt:
+            if nxt not in piece_at:
+                raise ValueError(f"broken piece chain at {nxt:#x}")
+            csz, chead = piece_at[nxt]
+            if chead:
+                raise ValueError("continuation piece marked as head")
+            buf += data[nxt + 12 : nxt + csz]
+            nxt = _u48(data, nxt + 6)
+        if len(buf) < total:
+            raise ValueError(f"block {bid}: short content {len(buf)} < {total}")
+        blocks[bid] = bytes(buf[:total])
+    return blocks
+
+
+# ---------------------------------------------------------------------------
+# 7-bit packed strings (class names)
+
+
+def _unpack7(b: bytes, nchars: int) -> str:
+    v = int.from_bytes(b, "little")
+    return "".join(chr((v >> (7 * i)) & 0x7F) for i in range(nchars))
+
+
+# ---------------------------------------------------------------------------
+# node records
+
+# property name byte patterns (gdsfmt writer constants).  Keys are the raw
+# bytes of [type_id][packed property name]; values say how to read payload.
+_P_U8 = "u8"
+_P_U16 = "u16"
+_P_U32 = "u32"
+_P_REC = "rec"  # [size:6 incl itself][bytes]
+_P_STR = "str"  # [0x10][len:1][chars]
+_P_SZPAIR = "szpair"  # [0x10][u64 raw][u64 compressed]
+_P_DIMS = "dims"  # [len:1][u32 * (len/4)]
+_P_SKIP2 = "skip2"
+
+_PROPS = {
+    bytes.fromhex("08c643754ef601"): ("n_children", _P_U32),
+    bytes.fromhex("01c7437517e57d"): ("dir_entries", _P_REC),
+    bytes.fromhex("0807f37d9d937d"): ("n_attr", _P_U32),
+    bytes.fromhex("0108f37ddd45791f"): ("attr_rec", _P_REC),
+    bytes.fromhex("15c4466d"): ("pipe_name", _P_STR),
+    bytes.fromhex("02c9466d50e0512504"): ("pipe_sizes", _P_SZPAIR),
+    bytes.fromhex("05ca466d5070412174"): ("pipe_param1", _P_SKIP2),
+    bytes.fromhex("05cb466d50d0581e5542"): ("pipe_param2", _P_U8),
+    bytes.fromhex("07c4e3641f"): ("ndim", _P_U16),
+    bytes.fromhex("02c34361"): ("dims", _P_DIMS),
+    bytes.fromhex("09c4c37c0c"): ("data_block", _P_U32),
+    # folder entry props
+    bytes.fromhex("0902f500"): ("entry_id", _P_U32),
+    bytes.fromhex("0944743112"): ("entry_flags", _P_U32),
+    bytes.fromhex("1544c66010"): ("entry_name", "estr"),  # [len:1][chars]
+    # dStr8-specific: max string length property (seen on some writers)
+    bytes.fromhex("02c37c61"): ("str_maxlen", _P_DIMS),
+    # dPackedReal* offset & scale (f64 payloads)
+    bytes.fromhex("138616451ef401"): ("real_offset", "f64"),
+    bytes.fromhex("1385e7301704"): ("real_scale", "f64"),
+}
+_PROP_PREFIXES = sorted(_PROPS.items(), key=lambda kv: -len(kv[0]))
+
+
+def _parse_props(buf: bytes, pos: int, end: int) -> dict:
+    """Parse a property region by longest-prefix matching the catalog."""
+    out: dict = {}
+    while pos < end:
+        for pat, (name, kind) in _PROP_PREFIXES:
+            if buf[pos : pos + len(pat)] == pat:
+                pos += len(pat)
+                if kind == _P_U8:
+                    out[name] = buf[pos]
+                    pos += 1
+                elif kind == _P_U16:
+                    out[name] = int.from_bytes(buf[pos : pos + 2], "little")
+                    pos += 2
+                elif kind == _P_U32:
+                    out[name] = int.from_bytes(buf[pos : pos + 4], "little")
+                    pos += 4
+                elif kind == "f64":
+                    out[name] = struct.unpack("<d", buf[pos : pos + 8])[0]
+                    pos += 8
+                elif kind == _P_REC:
+                    sz = _u48(buf, pos)
+                    out[name] = buf[pos + 6 : pos + sz]
+                    pos += sz
+                elif kind == _P_STR:
+                    assert buf[pos] == 0x10, f"string marker {buf[pos]:#x}"
+                    n = buf[pos + 1]
+                    out[name] = buf[pos + 2 : pos + 2 + n].decode("utf-8")
+                    pos += 2 + n
+                elif kind == "estr":
+                    n = buf[pos]
+                    out[name] = buf[pos + 1 : pos + 1 + n].decode("utf-8")
+                    pos += 1 + n
+                elif kind == _P_SZPAIR:
+                    assert buf[pos] == 0x10
+                    out["raw_size"] = int.from_bytes(buf[pos + 1 : pos + 9], "little")
+                    out["cmp_size"] = int.from_bytes(buf[pos + 9 : pos + 17], "little")
+                    pos += 17
+                elif kind == _P_DIMS:
+                    n = buf[pos]
+                    vals = [
+                        int.from_bytes(buf[pos + 1 + 4 * i : pos + 5 + 4 * i], "little")
+                        for i in range(n // 4)
+                    ]
+                    out[name] = vals
+                    pos += 1 + n
+                elif kind == _P_SKIP2:
+                    out[name] = buf[pos : pos + 2]
+                    pos += 2
+                break
+        else:
+            raise ValueError(
+                f"unknown GDS node property at +{pos}: "
+                f"{buf[pos:pos+16].hex(' ')} (please extend _PROPS)"
+            )
+    return out
+
+
+def _parse_attrs(rec: bytes) -> dict:
+    """Attribute record: sequence of [name_len:1][name][TdsAny value]."""
+    out = {}
+    pos = 0
+    while pos < len(rec):
+        n = rec[pos]
+        name = rec[pos + 1 : pos + 1 + n].decode("utf-8")
+        pos += 1 + n
+        t = rec[pos]
+        pos += 1
+        if t == 0:  # NULL
+            val = None
+        elif t in (0x0E, 0x11):  # length-prefixed UTF-8 string
+            m = rec[pos]
+            val = rec[pos + 1 : pos + 1 + m].decode("utf-8")
+            pos += 1 + m
+        elif t in (1, 2):  # int8/uint8
+            val = rec[pos]
+            pos += 1
+        elif t in (3, 4):
+            val = int.from_bytes(rec[pos : pos + 2], "little")
+            pos += 2
+        elif t in (5, 6):
+            val = int.from_bytes(rec[pos : pos + 4], "little")
+            pos += 4
+        elif t in (7, 8):
+            val = int.from_bytes(rec[pos : pos + 8], "little")
+            pos += 8
+        elif t == 0x12:  # float64
+            val = struct.unpack("<d", rec[pos : pos + 8])[0]
+            pos += 8
+        elif t == 0x13:  # bool?
+            val = bool(rec[pos])
+            pos += 1
+        elif t == 0x21:  # array of TdsAny: [count:4][items]
+            cnt = int.from_bytes(rec[pos : pos + 4], "little")
+            pos += 4
+            val, pos = _parse_any_list(rec, pos, cnt)
+        else:
+            raise ValueError(f"unknown TdsAny type {t:#x} for attribute {name!r}")
+        out[name] = val
+    return out
+
+
+def _parse_any_list(rec: bytes, pos: int, cnt: int):
+    vals = []
+    for _ in range(cnt):
+        t = rec[pos]
+        pos += 1
+        if t in (0x0E, 0x11):
+            m = rec[pos]
+            vals.append(rec[pos + 1 : pos + 1 + m].decode("utf-8"))
+            pos += 1 + m
+        elif t in (1, 2):
+            vals.append(rec[pos]); pos += 1
+        elif t in (5, 6):
+            vals.append(int.from_bytes(rec[pos : pos + 4], "little")); pos += 4
+        elif t == 0x12:
+            vals.append(struct.unpack("<d", rec[pos : pos + 8])[0]); pos += 8
+        elif t == 0:
+            vals.append(None)
+        else:
+            raise ValueError(f"unknown TdsAny array item type {t:#x}")
+    return vals, pos
+
+
+@dataclass
+class GDSNode:
+    name: str
+    bid: int
+    is_folder: bool
+    hidden: bool = False
+    cls: str = ""
+    dims: List[int] = field(default_factory=list)
+    attrs: dict = field(default_factory=dict)
+    children: "Dict[str, GDSNode]" = field(default_factory=dict)
+    _file: "Optional[GDSFile]" = None
+    _props: dict = field(default_factory=dict)
+
+    def __getitem__(self, path: str) -> "GDSNode":
+        node = self
+        for part in path.split("/"):
+            node = node.children[part]
+        return node
+
+    def get(self, path: str) -> "Optional[GDSNode]":
+        try:
+            return self[path]
+        except KeyError:
+            return None
+
+    def ls(self):
+        return list(self.children)
+
+    def read(self) -> np.ndarray:
+        return self._file._read_array(self)
+
+    def __repr__(self):
+        kind = "folder" if self.is_folder else self.cls
+        return f"GDSNode({self.name!r}, {kind}, dims={self.dims})"
+
+
+class GDSFile:
+    """A read-only CoreArray GDS file (SeqArray-compatible subset)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            data = f.read()
+        self._blocks = _read_blocks(data)
+        self.root = self._parse_node(1, "", is_folder=True)
+
+    # -- node parsing --
+
+    def _parse_node(self, bid: int, name: str, is_folder: bool, hidden=False) -> GDSNode:
+        buf = self._blocks[bid]
+        size = _u48(buf, 0)
+        nprops = int.from_bytes(buf[6:8], "little")
+        pos = 8
+        cls = ""
+        if not is_folder:
+            # [version:2][classname len:1][packed chars]
+            pos += 2
+            n = buf[pos]
+            nbytes = (7 * n + 7) // 8
+            cls = _unpack7(buf[pos + 1 : pos + 1 + nbytes], n)
+            pos += 1 + nbytes
+        props = _parse_props(buf, pos, size)
+        node = GDSNode(name=name, bid=bid, is_folder=is_folder, hidden=hidden,
+                       cls=cls, _file=self, _props=props)
+        if "dims" in props:
+            node.dims = props["dims"]
+        if "attr_rec" in props:
+            node.attrs = _parse_attrs(props["attr_rec"])
+        if "dir_entries" in props:
+            ents = props["dir_entries"]
+            epos = 0
+            while epos < len(ents):
+                esz = _u48(ents, epos)
+                ep = _parse_props(ents, epos + 8, epos + esz)
+                epos += esz
+                child_folder = bool(ep.get("entry_flags", 0) & 0x2)
+                child_hidden = bool(ep.get("entry_flags", 0) & 0x10)
+                child = self._parse_node(
+                    ep["entry_id"], ep.get("entry_name", "?"),
+                    is_folder=child_folder, hidden=child_hidden)
+                node.children[child.name] = child
+        return node
+
+    # -- data decoding --
+
+    def _raw_stream(self, node: GDSNode) -> bytes:
+        props = node._props
+        if "data_block" not in props:
+            return b""
+        raw = self._blocks[props["data_block"]]
+        pipe = props.get("pipe_name", "")
+        want = props.get("raw_size")
+        if pipe.upper().startswith("LZMA"):
+            return _inflate_xz_ra(raw, want)
+        if pipe.upper().startswith("ZIP") or pipe.upper().startswith("ZRA"):
+            return _inflate_zip_ra(raw, want)
+        if pipe:
+            raise NotImplementedError(f"GDS pipe codec {pipe!r}")
+        return raw
+
+    def _read_array(self, node: GDSNode) -> np.ndarray:
+        data = self._raw_stream(node)
+        dims = tuple(node.dims)
+        n = int(np.prod(dims)) if dims else 0
+        cls = node.cls
+        if cls in ("dInt32", "dUInt32"):
+            dt = "<i4" if cls == "dInt32" else "<u4"
+            return np.frombuffer(data, dtype=dt, count=n).reshape(dims)
+        if cls in ("dInt8", "dUInt8"):
+            dt = np.int8 if cls == "dInt8" else np.uint8
+            return np.frombuffer(data, dtype=dt, count=n).reshape(dims)
+        if cls in ("dInt16", "dUInt16"):
+            dt = "<i2" if cls == "dInt16" else "<u2"
+            return np.frombuffer(data, dtype=dt, count=n).reshape(dims)
+        if cls in ("dInt64", "dUInt64"):
+            dt = "<i8" if cls == "dInt64" else "<u8"
+            return np.frombuffer(data, dtype=dt, count=n).reshape(dims)
+        if cls == "dFloat64":
+            return np.frombuffer(data, dtype="<f8", count=n).reshape(dims)
+        if cls == "dFloat32":
+            return np.frombuffer(data, dtype="<f4", count=n).reshape(dims)
+        if cls == "dBit1":
+            bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8),
+                                 bitorder="little")
+            return bits[:n].reshape(dims)
+        if cls == "dBit2":
+            b = np.frombuffer(data, dtype=np.uint8)
+            out = np.empty((len(b), 4), dtype=np.uint8)
+            out[:, 0] = b & 3
+            out[:, 1] = (b >> 2) & 3
+            out[:, 2] = (b >> 4) & 3
+            out[:, 3] = (b >> 6) & 3
+            return out.reshape(-1)[:n].reshape(dims)
+        if cls.startswith("dPackedReal"):
+            spec = cls[len("dPackedReal"):]
+            scale = node._props.get("real_scale", 1.0)
+            offset = node._props.get("real_offset", 0.0)
+            width = int("".join(ch for ch in spec if ch.isdigit())) // 8
+            unsigned = spec.endswith("U")
+            dt = {1: "u1", 2: "<u2", 3: None, 4: "<u4"}[width] if unsigned else \
+                 {1: "i1", 2: "<i2", 3: None, 4: "<i4"}[width]
+            if dt is None:
+                raise NotImplementedError(cls)
+            vals = np.frombuffer(data, dtype=dt, count=n).astype(np.float64)
+            na_code = (1 << (8 * width)) - 1 if unsigned else -(1 << (8 * width - 1))
+            raw_ints = np.frombuffer(data, dtype=dt, count=n)
+            out = vals * scale + offset
+            out[raw_ints == na_code] = np.nan
+            return out.reshape(dims)
+        if cls in ("dStr8", "dVStr8"):
+            # variable-length strings, LEB128 length prefix per element
+            arr = np.empty(n, dtype=object)
+            p = 0
+            for i in range(n):
+                m = 0
+                shift = 0
+                while True:
+                    byte = data[p]
+                    p += 1
+                    m |= (byte & 0x7F) << shift
+                    if byte < 0x80:
+                        break
+                    shift += 7
+                arr[i] = data[p : p + m].decode("utf-8", errors="replace")
+                p += m
+            return arr.reshape(dims)
+        if cls == "dCStr8":  # NUL-terminated strings
+            parts = data.split(b"\x00")
+            arr = np.empty(n, dtype=object)
+            for i in range(n):
+                arr[i] = parts[i].decode("utf-8", errors="replace")
+            return arr.reshape(dims)
+        if cls in ("dFStr8",):  # fixed-width strings
+            props = node._props
+            width = (props.get("str_maxlen") or [1])[0]
+            arr = np.empty(n, dtype=object)
+            for i in range(n):
+                s = data[i * width : (i + 1) * width]
+                arr[i] = s.rstrip(b"\x00").decode("utf-8", errors="replace")
+            return arr.reshape(dims)
+        raise NotImplementedError(f"GDS array class {cls!r}")
+
+
+def _inflate_xz_ra(raw: bytes, want: Optional[int]) -> bytes:
+    """LZMA_ra: small header then one or more concatenated xz frames."""
+    start = raw.find(XZ_MAGIC)
+    if start < 0:
+        if want in (None, 0):
+            return b""
+        raise ValueError("LZMA_ra stream without xz frame")
+    out = bytearray()
+    pos = start
+    while pos < len(raw) and (want is None or len(out) < want):
+        nxt = raw.find(XZ_MAGIC, pos + 1)
+        # decompress frame-by-frame; LZMADecompressor stops at frame end
+        dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+        try:
+            out += dec.decompress(raw[pos:])
+        except lzma.LZMAError:
+            if nxt < 0:
+                raise
+        if nxt < 0:
+            break
+        pos = nxt
+    if want is not None and len(out) < want:
+        raise ValueError(f"LZMA_ra: inflated {len(out)} < expected {want}")
+    return bytes(out[:want]) if want is not None else bytes(out)
+
+
+def _inflate_zip_ra(raw: bytes, want: Optional[int]) -> bytes:
+    """ZIP_ra: header then one or more raw deflate blocks."""
+    # header mirrors XZ_RA: magic(5) + 2 + 1 + u32 + u48
+    pos = raw.find(b"\x78")  # zlib header byte
+    out = bytearray()
+    while pos >= 0 and pos < len(raw) and (want is None or len(out) < want):
+        dec = zlib.decompressobj()
+        try:
+            out += dec.decompress(raw[pos:])
+        except zlib.error:
+            pos = raw.find(b"\x78", pos + 1)
+            continue
+        tail = dec.unused_data
+        pos = len(raw) - len(tail) if tail else -1
+        if tail:
+            pos = raw.find(b"\x78", pos)
+    if want is not None and len(out) < want:
+        raise ValueError(f"ZIP_ra: inflated {len(out)} < expected {want}")
+    return bytes(out[:want]) if want is not None else bytes(out)
+
+
+def open_gds(path: str) -> GDSFile:
+    return GDSFile(path)
