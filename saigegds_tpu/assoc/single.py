@@ -1,0 +1,148 @@
+"""Single-variant association scan (the ``seqAssocGLMM_SPA`` equivalent).
+
+Streams variant blocks host->device and runs the batched score-test kernel
+(``ops/score.py``); output columns and semantics match the reference
+(``R/assoc_single.r:92-334``): id, chr, pos, rs.id, ref, alt, AF.alt, mac,
+num, beta, SE, pval [, p.norm, converged].  Variants failing the MAF/MAC/
+missing filters are dropped from the table, as in the reference's NULL
+results (R/assoc_single.r:228-234).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Union
+
+import numpy as np
+import pandas as pd
+
+from ..config import ScanConfig
+from ..io.seqarray import SeqData
+from ..models.nullmodel import NullModel
+from ..ops.score import (ScanParams, score_stats_binary, score_stats_quant,
+                         spa_refine_binary)
+
+SPA_BATCH = 256  # compact SPA refinement batch size
+
+
+def _pad_block(G: np.ndarray, B: int) -> np.ndarray:
+    if G.shape[0] == B:
+        return G
+    pad = np.full((B - G.shape[0], G.shape[1]), np.nan)
+    return np.concatenate([G, pad], axis=0)
+
+
+def assoc_spa(gdsfile, modobj: Union[NullModel, str],
+              config: ScanConfig = ScanConfig(),
+              res_savefn: str = "", verbose: bool = False) -> pd.DataFrame:
+    """Score-test + SPA scan over all variants of a SeqArray GDS file."""
+    model = NullModel.load(modobj)
+    seq = gdsfile if isinstance(gdsfile, SeqData) else SeqData(gdsfile)
+
+    # sample alignment: gds samples -> model samples (R: ii <- match(...))
+    ii = _match_samples(seq.sample_id, model.sample_id)
+    scan_model = model.scan_model(sample_index=ii, var_ratio=config.var_ratio)
+
+    params = ScanParams(
+        maf=-1.0 if math.isnan(config.maf) else config.maf,
+        mac=-1.0 if math.isnan(config.mac) else config.mac,
+        missing=1.0 if math.isnan(config.missing) else config.missing,
+        spa_pval=config.spa_pval,
+    )
+    binary = model.trait_type == "binary"
+    kernel = score_stats_binary if binary else score_stats_quant
+
+    B = config.block_size
+    rows_idx, outs = [], []
+    spa_G, spa_rows = [], []  # flagged variants for phase-2 refinement
+    row0 = 0
+    for idx, G in seq.iter_dosage_blocks(B, dsnode=config.dsnode):
+        G = np.asarray(G, np.float64)
+        Gp = _pad_block(G, B)
+        res = kernel(scan_model, params, Gp)
+        n = len(idx)
+        valid = np.asarray(res.valid)[:n]
+        rows_idx.append(idx[valid])
+        out = {k: np.asarray(getattr(res, k))[:n][valid]
+               for k in ("af", "mac", "num", "beta", "se", "pval")}
+        out["converged"] = np.isfinite(out["pval"])
+        out["pval_noadj"] = out["pval"].copy()
+        need = np.asarray(res.need_spa)[:n][valid]
+        if need.any():
+            spa_G.append(G[valid][need])
+            spa_rows.append(row0 + np.flatnonzero(need))
+        outs.append(out)
+        row0 += int(valid.sum())
+
+    idx = np.concatenate(rows_idx) if rows_idx else np.empty(0, int)
+
+    def col(k):
+        return np.concatenate([o[k] for o in outs]) if outs else np.empty(0)
+
+    pval = col("pval")
+    pval_noadj = col("pval_noadj")
+    beta = col("beta")
+    se = col("se")
+    converged = col("converged")
+
+    # phase 2: SPA refinement over the flagged subset, in compact batches
+    if spa_G:
+        Gs = np.concatenate(spa_G, axis=0)
+        rows = np.concatenate(spa_rows)
+        for s in range(0, len(rows), SPA_BATCH):
+            Gb = _pad_block(Gs[s : s + SPA_BATCH], SPA_BATCH)
+            p, conv, b, e = spa_refine_binary(scan_model, Gb)
+            m = len(rows[s : s + SPA_BATCH])
+            r = rows[s : s + m]
+            pval[r] = np.asarray(p)[:m]
+            converged[r] = np.asarray(conv)[:m]
+            beta[r] = np.asarray(b)[:m]
+            se[r] = np.asarray(e)[:m]
+
+    ref, alt = seq.ref_alt
+    tab = {
+        "id": seq.variant_id[idx],
+        "chr": seq.chromosome[idx],
+        "pos": seq.position[idx],
+        "rs.id": seq.rs_id[idx],
+        "ref": ref[idx],
+        "alt": alt[idx],
+        "AF.alt": col("af"),
+        "mac": col("mac"),
+        "num": col("num").astype(np.int32),
+        "beta": beta,
+        "SE": se,
+        "pval": pval,
+    }
+    if binary:
+        tab["p.norm"] = pval_noadj
+        tab["converged"] = converged.astype(bool)
+    df = pd.DataFrame(tab)
+    if res_savefn:
+        save_assoc(df, res_savefn)
+    return df
+
+
+def _match_samples(gds_samples, model_samples) -> Optional[np.ndarray]:
+    if model_samples is None:
+        return None
+    gds_samples = np.asarray(gds_samples)
+    model_samples = np.asarray(model_samples)
+    if len(gds_samples) == len(model_samples) and \
+            (gds_samples == model_samples).all():
+        return None
+    lookup = {s: i for i, s in enumerate(gds_samples)}
+    ii = np.asarray([lookup[s] for s in model_samples if s in lookup])
+    if len(ii) != len(model_samples):
+        raise ValueError("model samples missing from the GDS file")
+    return ii
+
+
+def save_assoc(df: pd.DataFrame, path: str):
+    """Save results (parquet / csv / tsv by extension)."""
+    if path.endswith(".parquet"):
+        df.to_parquet(path)
+    elif path.endswith(".csv") or path.endswith(".csv.gz"):
+        df.to_csv(path, index=False)
+    else:
+        df.to_csv(path, sep="\t", index=False)

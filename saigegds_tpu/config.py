@@ -1,0 +1,56 @@
+"""Configuration dataclasses with the reference defaults.
+
+Defaults mirror the documented arguments of ``seqFitNullGLMM_SPA`` and
+``seqAssocGLMM_SPA`` (reference: ``man/seqFitNullGLMM_SPA.Rd:10-15``,
+``R/saige_main.r:223-233``, ``R/assoc_single.r:92``), so that results are
+reproducible against the R package bit-for-bit at the algorithm level.
+"""
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class NullModelConfig:
+    trait_type: str = "binary"  # "binary" | "quantitative"
+    sample_col: str = "sample.id"
+    maf: float = 0.005            # GRM SNP MAF filter
+    missing_rate: float = 0.01    # GRM SNP missing-rate filter
+    max_num_snp: int = 1_000_000  # random down-sample bound for GRM SNPs
+    inv_norm: bool = True         # rank-based inverse normal (quantitative)
+    x_transform: bool = True      # QR-orthonormalise the covariate matrix
+    tol: float = 0.02             # outer AI-REML convergence tolerance
+    maxiter: int = 20             # outer iterations
+    nrun: int = 30                # initial number of Hutchinson probes
+    tol_pcg: float = 1e-5         # PCG residual tolerance
+    maxiter_pcg: int = 500        # PCG iteration bound
+    num_marker: int = 30          # initial markers for the variance ratio
+    tau_init: Tuple[float, float] = (0.0, 0.0)
+    trace_cv_cutoff: float = 0.0025
+    ratio_cv_cutoff: float = 0.001
+    geno_sparse: bool = True      # sparse vs 2-bit dense genotype storage
+    seed: int = 200
+    num_thread: int = 1
+
+
+@dataclass(frozen=True)
+class ScanConfig:
+    maf: float = float("nan")     # NaN = no filter
+    mac: float = 10.0
+    missing: float = 0.1
+    spa_pval: float = 0.05        # run SPA when p_noadj below this
+    var_ratio: float = float("nan")  # NaN = mean of model's var.ratio table
+    dsnode: str = ""              # "" = auto-detect genotype vs DS
+    block_size: int = 1024        # variants per device batch
+
+
+@dataclass(frozen=True)
+class AggregateConfig:
+    # beta(1,1) & beta(1,25) weighting schemes (AggrParamBeta,
+    # reference R/assoc_aggregate.r:18-19)
+    wbeta: Tuple[Tuple[float, float], ...] = ((1.0, 1.0), (1.0, 25.0))
+    summac: float = 3.0           # minimum weighted sum of MAC
+    acatv_mac: float = 10.0       # ACAT-V MAC threshold for single-variant part
+    spa_pval: float = 0.05
+    var_ratio: float = float("nan")
+    block_size: int = 64          # units per host step

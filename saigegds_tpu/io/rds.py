@@ -322,9 +322,14 @@ class _Reader:
             n, start, step = int(s[0]), s[1], s[2]
             return np.arange(n) * step + start
         if name in ("wrap_integer", "wrap_real", "wrap_string", "wrap_logical",
-                    "deferred_string"):
+                    "wrap_complex", "wrap_raw", "deferred_string"):
+            # state is (payload . metadata) as a pairlist; payload first
             st = strip(state)
-            return st[0] if isinstance(st, list) else st
+            if isinstance(st, dict):
+                st = strip(next(iter(st.values())))
+            elif isinstance(st, list):
+                st = strip(st[0])
+            return st
         raise NotImplementedError(f"ALTREP class {name!r} not supported")
 
 

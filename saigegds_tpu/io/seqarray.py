@@ -1,0 +1,115 @@
+"""SeqArray-level view over a GDS file: variants, samples, dosages.
+
+The equivalent of the reference's L4 data substrate (SeqArray `seqGetData`,
+`seqApply` over `$dosage_alt` / `annotation/format/DS`,
+``R/assoc_single.r:69-85``, ``R/saige_main.r:399-420``), exposing genotype
+blocks as numpy arrays ready for device upload.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from .gds import GDSFile, open_gds
+
+
+class SeqData:
+    """Read-only SeqArray GDS facade with variant/sample filters."""
+
+    def __init__(self, path_or_file):
+        self.gds = path_or_file if isinstance(path_or_file, GDSFile) \
+            else open_gds(str(path_or_file))
+        root = self.gds.root
+        self.sample_id = root["sample.id"].read()
+        self.variant_id = root["variant.id"].read()
+        self.position = root["position"].read()
+        self.chromosome = self._read_chromosome(root)
+        self.allele = root["allele"].read()
+        ann = root.get("annotation/id")
+        self.rs_id = ann.read() if ann is not None else np.asarray(
+            [""] * len(self.variant_id), dtype=object)
+        self.n_samples = len(self.sample_id)
+        self.n_variants = len(self.variant_id)
+        self._geno_node = root.get("genotype/data")
+        if self._geno_node is not None and not self._geno_node.dims:
+            self._geno_node = None
+        self._ds_node = root.get("annotation/format/DS/data")
+        self._geno_cache = None
+
+    @staticmethod
+    def _read_chromosome(root):
+        node = root["chromosome"]
+        vals = node.read()
+        rle_val = root.get("@chrom_rle_val")
+        if len(vals) == 0 and rle_val is not None:
+            lens = root["@chrom_rle_len"].read()
+            vals = np.repeat(rle_val.read(), lens)
+        return vals
+
+    @property
+    def ref_alt(self) -> Tuple[np.ndarray, np.ndarray]:
+        ref = np.empty(self.n_variants, dtype=object)
+        alt = np.empty(self.n_variants, dtype=object)
+        for i, a in enumerate(self.allele):
+            parts = a.split(",", 1)
+            ref[i] = parts[0]
+            alt[i] = parts[1] if len(parts) > 1 else ""
+        return ref, alt
+
+    # ---- dosage access ----
+
+    def has_genotype(self) -> bool:
+        return self._geno_node is not None
+
+    def dosage_node_name(self, dsnode: str = "") -> str:
+        """Auto-detect the dosage source (cf. .dsnode, R/assoc_single.r:69-85)."""
+        if dsnode:
+            return dsnode
+        if self._geno_node is not None:
+            return "$dosage_alt"
+        if self._ds_node is not None:
+            return "annotation/format/DS"
+        raise ValueError(
+            "Dosages should be stored in genotype or annotation/format/DS.")
+
+    def _genotype_matrix(self) -> np.ndarray:
+        """Full [M, N] ALT-dosage matrix from the 2-bit genotype node.
+
+        Genotype is stored variant-major as [M, N, ploidy] 2-bit codes with
+        3 = missing; ALT dosage = sum over ploidy, NaN if any allele missing.
+        """
+        if self._geno_cache is None:
+            raw = self._geno_node.read()  # [M, N, ploidy] uint8
+            miss = (raw == 3).any(axis=2)
+            ds = raw.sum(axis=2, dtype=np.int16).astype(np.float64)
+            ds[miss] = np.nan
+            self._geno_cache = ds
+        return self._geno_cache
+
+    def dosage_block(self, start: int, stop: int, dsnode: str = "") -> np.ndarray:
+        """[stop-start, N] float64 ALT dosages with NaN for missing."""
+        name = self.dosage_node_name(dsnode)
+        if name == "$dosage_alt":
+            return self._genotype_matrix()[start:stop]
+        node = self.gds.root.get(name)
+        if node is not None and node.is_folder:
+            node = node.get("data")
+        arr = node.read()
+        return np.asarray(arr[start:stop], dtype=np.float64)
+
+    def iter_dosage_blocks(self, block_size: int, dsnode: str = "",
+                           variant_mask: Optional[np.ndarray] = None
+                           ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yield (variant_indices, dosage_block [b, N])."""
+        idx_all = np.arange(self.n_variants)
+        if variant_mask is not None:
+            idx_all = idx_all[variant_mask]
+        for s in range(0, len(idx_all), block_size):
+            idx = idx_all[s : s + block_size]
+            if len(idx) == 0:
+                continue
+            lo, hi = int(idx[0]), int(idx[-1]) + 1
+            blk = self.dosage_block(lo, hi, dsnode)
+            yield idx, blk[idx - lo]

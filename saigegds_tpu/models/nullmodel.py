@@ -1,0 +1,176 @@
+"""Null-model container: fit results, (de)serialization, scan preparation.
+
+``NullModel`` mirrors the reference's ``ClassSAIGE_NullModel`` S3 object
+(``R/saige_main.r:616-628``) so models are interchangeable: we can load a
+model fitted by the R package from ``.rds`` and vice versa (ours saves to
+``.npz``/``.json``).  ``fit_null_glmm`` is the TPU-native fitting entry
+point (see ``fitnull.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field, asdict
+from typing import Optional
+
+import numpy as np
+
+from ..io.rds import read_rds, strip, RObject
+
+
+@dataclass
+class NullModel:
+    trait_type: str                   # "binary" | "quantitative"
+    coefficients: np.ndarray          # [K]
+    coef_names: list
+    tau: np.ndarray                   # [2] (Sigma_E, Sigma_G)
+    linear_predictors: np.ndarray     # [N]
+    fitted_values: np.ndarray         # [N] mu
+    residuals: np.ndarray             # [N] y - mu
+    cov: np.ndarray                   # [K, K]
+    converged: bool
+    # obj.noK (the SPAtest-style projection state)
+    y: np.ndarray                     # [N]
+    mu: np.ndarray                    # [N]
+    res: np.ndarray                   # [N]
+    V: np.ndarray                     # [N]
+    X1: np.ndarray                    # [N, K]
+    XV: np.ndarray                    # [K, N]
+    XXVX_inv: np.ndarray              # [N, K]
+    # variance ratio table (id, maf, mac, var1, var2, ratio)
+    var_ratio: dict = field(default_factory=dict)
+    sample_id: np.ndarray = None
+    variant_id: np.ndarray = None
+
+    @property
+    def n_samples(self) -> int:
+        return len(self.y)
+
+    @property
+    def mean_var_ratio(self) -> float:
+        r = np.asarray(self.var_ratio.get("ratio", [1.0]), dtype=float)
+        return float(np.mean(r))
+
+    # ---- persistence ----
+
+    @classmethod
+    def load(cls, path_or_obj) -> "NullModel":
+        """Load from .rds (R package format), .npz (ours), or pass-through."""
+        if isinstance(path_or_obj, NullModel):
+            return path_or_obj
+        path = str(path_or_obj)
+        if path.endswith(".rds") or path.endswith(".rda") or path.endswith(".RData"):
+            return cls.from_r_object(read_rds(path))
+        if path.endswith(".npz"):
+            return cls.from_npz(path)
+        raise ValueError(f"unknown model file format: {path}")
+
+    @classmethod
+    def from_r_object(cls, m) -> "NullModel":
+        """Decode a ClassSAIGE_NullModel read from RDS."""
+        nok = m["obj.noK"]
+        N = len(strip(nok["y"]))
+        coef = m["coefficients"]
+        coef_names = coef.names if isinstance(coef, RObject) else None
+        K = len(strip(coef))
+
+        def mat(x, shape):
+            return np.asarray(strip(x), dtype=np.float64).reshape(shape, order="F")
+
+        vr = m["var.ratio"]
+        vrd = {k: np.asarray(strip(vr[k])) for k in vr.names} if vr is not None else {}
+        return cls(
+            trait_type=str(strip(m["trait.type"])[0]),
+            coefficients=np.asarray(strip(coef), dtype=np.float64),
+            coef_names=list(coef_names) if coef_names else [f"b{i}" for i in range(K)],
+            tau=np.asarray(strip(m["tau"]), dtype=np.float64),
+            linear_predictors=np.asarray(strip(m["linear.predictors"]), np.float64),
+            fitted_values=np.asarray(strip(m["fitted.values"]), np.float64),
+            residuals=np.asarray(strip(m["residuals"]), np.float64),
+            cov=mat(m["cov"], (K, K)),
+            converged=bool(np.asarray(strip(m["converged"]))[0]),
+            y=np.asarray(strip(nok["y"]), np.float64),
+            mu=np.asarray(strip(nok["mu"]), np.float64),
+            res=np.asarray(strip(nok["res"]), np.float64),
+            V=np.asarray(strip(nok["V"]), np.float64),
+            X1=mat(nok["X1"], (N, K)),
+            XV=mat(nok["XV"], (K, N)),
+            XXVX_inv=mat(nok["XXVX_inv"], (N, K)),
+            var_ratio=vrd,
+            sample_id=np.asarray(strip(m["sample.id"])),
+            variant_id=np.asarray(strip(m["variant.id"])),
+        )
+
+    def save(self, path: str):
+        if not path.endswith(".npz"):
+            path += ".npz"
+        np.savez_compressed(
+            path,
+            trait_type=self.trait_type,
+            coefficients=self.coefficients,
+            coef_names=np.asarray(self.coef_names, dtype=object),
+            tau=self.tau,
+            linear_predictors=self.linear_predictors,
+            fitted_values=self.fitted_values,
+            residuals=self.residuals,
+            cov=self.cov,
+            converged=self.converged,
+            y=self.y, mu=self.mu, res=self.res, V=self.V,
+            X1=self.X1, XV=self.XV, XXVX_inv=self.XXVX_inv,
+            var_ratio=json.dumps({k: np.asarray(v).tolist()
+                                  for k, v in self.var_ratio.items()}),
+            sample_id=self.sample_id,
+            variant_id=self.variant_id,
+        )
+
+    @classmethod
+    def from_npz(cls, path: str) -> "NullModel":
+        z = np.load(path, allow_pickle=True)
+        return cls(
+            trait_type=str(z["trait_type"]),
+            coefficients=z["coefficients"],
+            coef_names=list(z["coef_names"]),
+            tau=z["tau"],
+            linear_predictors=z["linear_predictors"],
+            fitted_values=z["fitted_values"],
+            residuals=z["residuals"],
+            cov=z["cov"],
+            converged=bool(z["converged"]),
+            y=z["y"], mu=z["mu"], res=z["res"], V=z["V"],
+            X1=z["X1"], XV=z["XV"], XXVX_inv=z["XXVX_inv"],
+            var_ratio={k: np.asarray(v) for k, v in
+                       json.loads(str(z["var_ratio"])).items()},
+            sample_id=z["sample_id"],
+            variant_id=z["variant_id"],
+        )
+
+    # ---- scan preparation (the .init_nullmod analog) ----
+
+    def scan_model(self, sample_index: Optional[np.ndarray] = None,
+                   var_ratio: float = float("nan")):
+        """Build the device-side ScanModel (cf. R/assoc_single.r:17-67)."""
+        import jax.numpy as jnp
+        from ..ops.score import ScanModel
+
+        ii = np.arange(self.n_samples) if sample_index is None else sample_index
+        y = self.y[ii]
+        mu = self.fitted_values[ii]
+        if not np.isfinite(var_ratio):
+            var_ratio = self.mean_var_ratio
+        return ScanModel(
+            trait_binary=(self.trait_type == "binary"),
+            tau=jnp.asarray(self.tau),
+            y=jnp.asarray(y),
+            mu=jnp.asarray(mu),
+            y_mu=jnp.asarray(y - mu),
+            mu2=jnp.asarray(mu * (1.0 - mu)),
+            XV=jnp.asarray(self.XV[:, ii]),
+            XXVX_inv=jnp.asarray(self.XXVX_inv[ii, :]),
+            var_ratio=float(var_ratio),
+        )
+
+
+def fit_null_glmm(*args, **kwargs):
+    from .fitnull import fit_null_glmm as _fit
+    return _fit(*args, **kwargs)

@@ -1,0 +1,50 @@
+"""Cauchy-combination (ACAT) p-value, vectorized.
+
+Reimplements ``acat_pval`` (reference src/saige_main.cpp:989-1051, Liu &
+Xie 2020): T = sum_i w_i tan(pi (0.5 - p_i)) / sum w, with a Taylor-series
+branch for p < 1e-15 and the Cauchy tail formula 1/(pi T) for huge T.
+Supports a batch axis for per-unit combination in the aggregate tests.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+_ROUND_ZERO = 1e-300
+_ROUND_ONE = 1.0 - 1e-16
+
+
+def acat_pval(pvals, weights=None, axis=-1):
+    """Cauchy combination of p-values along `axis` (NaN entries skipped).
+
+    Returns NaN when no finite (pval, weight) pair exists or weights sum
+    to <= 0, mirroring the reference's non-throwing path.
+    """
+    p = jnp.asarray(pvals, dtype=jnp.float64)
+    w = jnp.ones_like(p) if weights is None else \
+        jnp.broadcast_to(jnp.asarray(weights, dtype=jnp.float64), p.shape)
+    ok = jnp.isfinite(p) & jnp.isfinite(w)
+    sumw = jnp.where(ok, w, 0.0).sum(axis=axis)
+
+    pc = jnp.clip(p, _ROUND_ZERO, _ROUND_ONE)
+    # tan(pi*(0.5-p)) == 1/tan(pi*p); for p < 1e-15 use the series 1/(pi p)
+    t_big = 1.0 / jnp.tan(jnp.pi * pc)
+    t_small = 1.0 / pc / jnp.pi
+    terms = jnp.where(pc >= 1e-15, t_big, t_small)
+    Tstat = jnp.where(ok, w * terms, 0.0).sum(axis=axis) / sumw
+
+    out = jnp.where(Tstat <= 5e14,
+                    0.5 - jnp.arctan(Tstat) / jnp.pi,
+                    1.0 / Tstat / jnp.pi)
+    return jnp.where(sumw > 0, out, jnp.nan)
+
+
+def beta_weights(maf, b1, b2):
+    """dbeta(maf, b1, b2) weights used by the aggregate tests.
+
+    Computed host-side in full double precision (jax's gammaln is only
+    ~1e-8 accurate, which would leak into the golden p-value contract)."""
+    import math
+    maf = np.asarray(maf, dtype=np.float64)
+    lbeta = math.lgamma(b1) + math.lgamma(b2) - math.lgamma(b1 + b2)
+    logpdf = (b1 - 1.0) * np.log(maf) + (b2 - 1.0) * np.log1p(-maf) - lbeta
+    return np.exp(logpdf)

@@ -1,0 +1,175 @@
+"""Batched single-variant score tests (binary + quantitative traits).
+
+TPU-native re-design of the reference's per-variant scalar loops
+(``single_test_bin`` / ``single_test_quant``, ``src/saige_main.cpp:189-407``):
+a whole block of B variants is tested at once.  The covariate projections
+``coeff = XV @ g`` and ``g_tilde = g - XXVX_inv' @ coeff`` become ``[B, N] x
+[N, K]`` matmuls (MXU-friendly), the score/variance contractions are fused
+VPU reductions.  The reference's sparse (maf < 0.05) path is an arithmetic
+re-association of the same quantities, so a single dense path reproduces
+both to fp64 rounding.
+
+SPA refinement is *two-phase*: the main kernel only flags variants with
+``p_noadj <= spa.pval`` (~5% under the null); flagged variants are gathered
+into compact batches and refined by ``spa_refine_binary``.  This keeps the
+divergent Newton iteration off the hot streaming path — the TPU analog of
+the reference's "only escalate to SPA when needed" control flow
+(src/saige_main.cpp:355-395).
+
+The model state mirrors ``saige_score_test_init`` (src/saige_main.cpp:103-150)
+and ``.init_nullmod`` (R/assoc_single.r:17-67).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .special import pchisq1_sf, qnorm
+from .spa import saddle_prob_batch
+
+
+class ScanModel(NamedTuple):
+    """Null-model state needed by the variant scan (all float64).
+
+    Replicated across devices: score tests are embarrassingly parallel over
+    variants (SURVEY.md §2.3)."""
+
+    trait_binary: bool
+    tau: jnp.ndarray          # [2]
+    y: jnp.ndarray            # [N]
+    mu: jnp.ndarray           # [N]
+    y_mu: jnp.ndarray         # [N] y - mu
+    mu2: jnp.ndarray          # [N] mu*(1-mu)
+    XV: jnp.ndarray           # [K, N]
+    XXVX_inv: jnp.ndarray     # [N, K]
+    var_ratio: float
+
+
+class ScanParams(NamedTuple):
+    maf: float
+    mac: float
+    missing: float
+    spa_pval: float
+
+
+class ScoreStats(NamedTuple):
+    valid: jnp.ndarray       # [B] passed filters
+    af: jnp.ndarray          # [B] ALT allele frequency
+    mac: jnp.ndarray         # [B] minor allele count
+    num: jnp.ndarray         # [B] non-missing samples
+    beta: jnp.ndarray        # [B]
+    se: jnp.ndarray          # [B]
+    pval: jnp.ndarray        # [B] (chi-square, pre-SPA for binary)
+    need_spa: jnp.ndarray    # [B] flagged for SPA refinement
+
+
+def prep_dosage(G):
+    """Per-variant AF/AC/missing + mean imputation + minor-allele flip.
+
+    G: [B, N] raw ALT dosages with NaN for missing.
+    Mirrors ``f64_af_ac_impute`` + flip (src/vectorization.cpp:303-354,
+    src/saige_main.cpp:291-299).
+    """
+    isnan = jnp.isnan(G)
+    num = jnp.sum(~isnan, axis=1)
+    ac = jnp.where(isnan, 0.0, G).sum(axis=1)
+    af = ac / (2.0 * num)
+    mean = ac / num
+    g = jnp.where(isnan, mean[:, None], G)
+    flip = af > 0.5
+    g = jnp.where(flip[:, None], 2.0 - g, g)
+    mac = jnp.minimum(ac, 2.0 * num - ac)
+    maf = jnp.minimum(af, 1.0 - af)
+    miss = (G.shape[1] - num) / G.shape[1]
+    return g, af, ac, num, mac, maf, miss, flip
+
+
+def _valid_mask(params, num, maf, mac, miss):
+    return (num > 0) & (maf > 0) & (maf >= params.maf) & \
+        (mac >= params.mac) & (miss <= params.missing)
+
+
+def _adjusted_genotype(model: ScanModel, g):
+    """coeff = XV @ g; g_tilde = g - XXVX_inv @ coeff (dense MXU path)."""
+    coeff = g @ model.XV.T                     # [B, K]
+    g_tilde = g - coeff @ model.XXVX_inv.T     # [B, N]
+    return g_tilde
+
+
+@partial(jax.jit, static_argnames=("params",))
+def score_stats_binary(model: ScanModel, params: ScanParams, G):
+    """Phase-1 binary score test: chi-square p-values + SPA flags."""
+    g, af, ac, num, mac, maf, miss, flip = prep_dosage(G)
+    valid = _valid_mask(params, num, maf, mac, miss)
+
+    g_tilde = _adjusted_genotype(model, g)
+    S = jnp.sum(model.y_mu[None, :] * g_tilde, axis=1)
+    var = jnp.sum(model.mu2[None, :] * g_tilde * g_tilde, axis=1)
+    var1 = var * model.var_ratio
+    pval_noadj = pchisq1_sf(S * S / var1)
+    beta = S / var1
+    beta = jnp.where(flip, -beta, beta)
+    se = jnp.abs(beta / qnorm(pval_noadj / 2.0))
+    need_spa = valid & jnp.isfinite(pval_noadj) & (pval_noadj <= params.spa_pval)
+
+    return ScoreStats(valid=valid, af=af, mac=mac, num=num, beta=beta, se=se,
+                      pval=pval_noadj, need_spa=need_spa)
+
+
+@jax.jit
+def spa_refine_binary(model: ScanModel, G):
+    """Phase-2 SPA refinement for a compact batch of flagged variants.
+
+    G: [Bs, N] raw dosages (NaN = missing) of variants that passed filters
+    and had p_noadj <= spa.pval.  Returns (pval, converged, beta).
+    Mirrors src/saige_main.cpp:355-400.
+    """
+    g, af, ac, num, mac, maf, miss, flip = prep_dosage(G)
+    g_tilde = _adjusted_genotype(model, g)
+    ac2 = jnp.where(flip, 2.0 * num - ac, ac)   # minor allele count
+    g_norm = g_tilde / jnp.sqrt(ac2)[:, None]
+    q = jnp.sum(model.y[None, :] * g_norm, axis=1)
+    m1 = jnp.sum(model.mu[None, :] * g_norm, axis=1)
+    var2 = jnp.sum(model.mu2[None, :] * g_norm * g_norm, axis=1)
+    var1 = var2 * model.var_ratio
+    Tstat = q - m1
+    qtilde = Tstat / jnp.sqrt(var1) * jnp.sqrt(var2) + m1
+
+    live = num > 0  # padding lanes are all-NaN -> num == 0
+    nzmask = (g != 0.0) & live[:, None]
+    pval, conv = saddle_prob_batch(
+        jnp.where(live, qtilde, 0.0), jnp.where(live, m1, 0.0),
+        jnp.where(live, var2, 1.0), jnp.where(live[:, None], g_norm, 0.0),
+        model.mu, nzmask, cutoff=2.0)
+
+    beta = (Tstat / var1) / jnp.sqrt(ac2)
+    beta = jnp.where(flip, -beta, beta)
+    se = jnp.abs(beta / qnorm(pval / 2.0))
+    return pval, conv, beta, se
+
+
+@partial(jax.jit, static_argnames=("params",))
+def score_stats_quant(model: ScanModel, params: ScanParams, G):
+    """Quantitative-trait score test (no SPA).
+
+    Mirrors ``single_test_quant`` (src/saige_main.cpp:189-276)."""
+    g, af, ac, num, mac, maf, miss, flip = prep_dosage(G)
+    valid = _valid_mask(params, num, maf, mac, miss)
+
+    g_tilde = _adjusted_genotype(model, g)
+    S = jnp.sum(model.y_mu[None, :] * g_tilde, axis=1)
+    var2 = jnp.sum(g_tilde * g_tilde, axis=1)
+    inv_mac = 1.0 / mac
+    inv_sqrt_mac = jnp.sqrt(inv_mac)
+    var1 = var2 * inv_mac * model.var_ratio
+    Tstat = S * inv_sqrt_mac / model.tau[0]
+    pval = pchisq1_sf(Tstat * Tstat / var1)
+    beta = Tstat / var1 * inv_sqrt_mac
+    beta = jnp.where(flip, -beta, beta)
+    se = jnp.abs(beta / qnorm(pval / 2.0))
+
+    return ScoreStats(valid=valid, af=af, mac=mac, num=num, beta=beta, se=se,
+                      pval=pval, need_spa=jnp.zeros_like(valid))

@@ -1,0 +1,213 @@
+"""Saddlepoint approximation (SPA) of score-statistic p-values, batched.
+
+TPU-native reimplementation of the reference's CGF machinery
+(``src/SPATest.cpp:42-374``, itself derived from the SPAtest R package /
+Dey et al. 2017).  Everything is vectorized over a block of variants: the
+CGF sums run as masked ``[B, N]`` reductions on the VPU and the Newton
+root-finding runs as a ``lax.while_loop`` with per-variant lane state, so a
+whole variant block is processed in a single fused XLA computation instead
+of the reference's per-variant scalar loops.
+
+Semantics reproduced exactly (they are part of the output contract):
+
+* "fast" split: samples with nonzero raw dosage contribute exact Bernoulli
+  CGF terms; the zero-dosage remainder is approximated as a Gaussian with
+  moments ``NAmu``/``NAsigma`` (``src/SPATest.cpp:299-374``).
+* Newton iteration with sign-change jump damping (``getroot_K1``,
+  ``src/SPATest.cpp:92-135``), tolerance ``eps^0.25``.
+* Barndorff-Nielsen tail formula ``z = w + log(v/w)/w``
+  (``src/SPATest.cpp:188-207``).
+* std-dev cutoff (initial 2.0 in the scan) with doubling escalation when
+  ``p_noadj / p_spa > 1000`` (``src/SPATest.cpp:286-290``): because the SPA
+  value itself does not depend on the cutoff, the escalation loop reduces
+  to a closed-form select, see ``_resolve_cutoff``.
+"""
+
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+from .special import pchisq1_sf, pnorm_sf
+
+_ROOT_TOL = jnp.finfo(jnp.float64).eps ** 0.25
+_MAX_ITER = 1000
+
+
+def _sign(x):
+    return jnp.sign(x)
+
+
+def _cgf_terms(t, g, mu, mask):
+    """Masked CGF of sum_i g_i X_i with X_i ~ Bernoulli(mu_i).
+
+    t: [B] lane parameter; g, mu, mask: [B, N].
+    Returns K0, K1, K2 each [B].
+    """
+    tt = t[:, None]
+    gt = g * tt
+    # log(1 - mu + mu * exp(g t)), stable via logaddexp:
+    #   = logaddexp(log(1-mu), log(mu) + g t)
+    k0_terms = jnp.where(mask, jnp.logaddexp(jnp.log1p(-mu), jnp.log(mu) + gt), 0.0)
+    K0 = k0_terms.sum(axis=1)
+    # mu g / ((1-mu) exp(-g t) + mu)
+    e_neg = jnp.exp(-gt)
+    denom = (1.0 - mu) * e_neg + mu
+    k1_terms = jnp.where(mask, mu * g / denom, 0.0)
+    K1 = k1_terms.sum(axis=1)
+    # (1-mu) mu g^2 exp(-g t) / ((1-mu) exp(-g t) + mu)^2, non-finite skipped
+    k2_raw = (1.0 - mu) * mu * g * g * e_neg / (denom * denom)
+    k2_terms = jnp.where(mask & jnp.isfinite(k2_raw), k2_raw, 0.0)
+    K2 = k2_terms.sum(axis=1)
+    return K0, K1, K2
+
+
+def _getroot_K1(q, g, mu, mask, NAmu, NAsigma, g_pos, g_neg):
+    """Vectorized Newton root-find of K1(t) = q with jump damping.
+
+    All args are [B] lanes except g/mu/mask [B, N].  Returns (root, converged).
+    Mirrors ``getroot_K1_fast`` (src/SPATest.cpp:139-183); with NAmu=NAsigma=0
+    and a full mask it is the plain ``getroot_K1``.
+    """
+    B = q.shape[0]
+    out_of_range = (q >= g_pos) | (q <= g_neg)
+
+    def k1_adj(t):
+        _, K1, _ = _cgf_terms(t, g, mu, mask)
+        return K1 + NAmu + NAsigma * t - q
+
+    def k2(t):
+        _, _, K2 = _cgf_terms(t, g, mu, mask)
+        return K2 + NAsigma
+
+    t0 = jnp.zeros(B)
+    state = dict(
+        t=t0,
+        root=t0,
+        K1=k1_adj(t0),
+        prevJump=jnp.full(B, jnp.inf),
+        conv=jnp.zeros(B, bool),
+        done=out_of_range,  # lanes finished (or never started)
+        it=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s):
+        return (~s["done"]).any() & (s["it"] < _MAX_ITER)
+
+    def body(s):
+        t, K1v, prevJump = s["t"], s["K1"], s["prevJump"]
+        K2v = k2(t)
+        tnew = t - K1v / K2v
+        nonfinite = ~jnp.isfinite(tnew)
+        tnew_safe = jnp.where(nonfinite, t, tnew)
+        small_step = jnp.abs(tnew_safe - t) < _ROOT_TOL
+        newK1 = k1_adj(tnew_safe)
+        flip = _sign(K1v) != _sign(newK1)
+        over = jnp.abs(tnew_safe - t) > (prevJump - _ROOT_TOL)
+        damped_t = t + _sign(newK1 - K1v) * prevJump * 0.5
+        use_damp = flip & over
+        t2 = jnp.where(use_damp, damped_t, tnew_safe)
+        # re-evaluate K1 only when some lane actually damped (rare)
+        K1_2 = jax.lax.cond(
+            use_damp.any(),
+            lambda: jnp.where(use_damp, k1_adj(t2), newK1),
+            lambda: newK1)
+        prevJump2 = jnp.where(
+            use_damp, prevJump * 0.5,
+            jnp.where(flip, jnp.abs(tnew_safe - t), prevJump))
+
+        active = ~s["done"]
+        finish_conv = active & ~nonfinite & small_step
+        finish_fail = active & nonfinite
+        cont = active & ~nonfinite & ~small_step
+        return dict(
+            t=jnp.where(cont, t2, s["t"]),
+            root=jnp.where(cont, t2, jnp.where(finish_conv, s["t"], s["root"])),
+            K1=jnp.where(cont, K1_2, s["K1"]),
+            prevJump=jnp.where(cont, prevJump2, s["prevJump"]),
+            conv=s["conv"] | finish_conv,
+            done=s["done"] | finish_conv | finish_fail,
+            it=s["it"] + 1,
+        )
+
+    s = jax.lax.while_loop(cond, body, state)
+    root = jnp.where(out_of_range, jnp.inf, s["root"])
+    conv = jnp.where(out_of_range, True, s["conv"])
+    return root, conv
+
+
+def _saddle_prob(t, g, mu, mask, NAmu, NAsigma, q):
+    """|one-sided saddlepoint tail probability| for root t (0 if invalid)."""
+    K0, _, K2v = _cgf_terms(t, g, mu, mask)
+    K = K0 + NAmu * t + 0.5 * NAsigma * t * t
+    k2 = K2v + NAsigma
+    w = _sign(t) * jnp.sqrt(jnp.maximum(2.0 * (t * q - K), 0.0))
+    v = t * jnp.sqrt(jnp.maximum(k2, 0.0))
+    z = w + jnp.log(v / w) / w
+    pval = jnp.where(z > 0, pnorm_sf(z), -pnorm_sf(-z))
+    ok = jnp.isfinite(t) & jnp.isfinite(K) & jnp.isfinite(k2) & jnp.isfinite(z)
+    return jnp.where(ok, jnp.abs(pval), 0.0)
+
+
+def saddle_prob_batch(q, m1, var2, g, mu, mask, cutoff=2.0):
+    """Batched Saddle_Prob_Fast / Saddle_Prob.
+
+    Parameters
+    ----------
+    q, m1, var2 : [B] statistics (q possibly the var-ratio-tilted qtilde)
+    g : [B, N] covariate-adjusted, AC-normalised genotypes
+    mu : [N] or [B, N] fitted probabilities
+    mask : [B, N] bool; True lanes use the exact CGF, the complement is
+        folded into the Gaussian NAmu/NAsigma remainder.  Pass all-True for
+        the full (non-fast) method.
+    cutoff : initial std-dev cutoff (the scan uses 2.0)
+
+    Returns (pval, converged) each [B].
+    """
+    if mu.ndim == 1:
+        mu = jnp.broadcast_to(mu[None, :], g.shape)
+    s = q - m1
+    qinv = m1 - s
+    pval_noadj = pchisq1_sf(s * s / var2)
+
+    gm = jnp.where(mask, g, 0.0)
+    NAmu = m1 - jnp.sum(gm * mu * mask, axis=1)
+    NAsigma = var2 - jnp.sum(gm * gm * mu * (1.0 - mu) * mask, axis=1)
+    # range bounds use the FULL adjusted genotype vector, not only the
+    # exact-CGF subset (reference src/SPATest.cpp:325-331 sums over n_g)
+    g_pos = jnp.sum(jnp.where(g > 0, g, 0.0), axis=1)
+    g_neg = jnp.sum(jnp.where(g < 0, g, 0.0), axis=1)
+
+    root1, conv1 = _getroot_K1(q, g, mu, mask, NAmu, NAsigma, g_pos, g_neg)
+    root2, conv2 = _getroot_K1(qinv, g, mu, mask, NAmu, NAsigma, g_pos, g_neg)
+    p1 = _saddle_prob(root1, g, mu, mask, NAmu, NAsigma, q)
+    p2 = _saddle_prob(root2, g, mu, mask, NAmu, NAsigma, qinv)
+    spa = p1 + p2
+    both_conv = conv1 & conv2
+
+    return _resolve_cutoff(pval_noadj, spa, both_conv, s, var2, cutoff)
+
+
+def _resolve_cutoff(pval_noadj, spa, both_conv, s, var2, cutoff):
+    """Closed form of the reference's cutoff-doubling loop.
+
+    The loop (src/SPATest.cpp:286-290) only toggles between the SPA value
+    and pval_noadj; doubling ends at the first branch giving a consistent
+    answer, which is:
+      * stat < cutoff            -> pval_noadj (converged)
+      * root-finding failed      -> pval_noadj, converged = False
+      * spa != 0 & ratio <= 1000 -> spa
+      * spa != 0 & ratio  > 1000 -> pval_noadj (escalated past stat)
+      * spa == 0                 -> pval_noadj, converged = False
+        (caller semantics: pval==0 && pval_noadj>0, src/saige_main.cpp:389-391)
+    """
+    cutoff = max(cutoff, 0.1)
+    stat = jnp.abs(s) / jnp.sqrt(var2)
+    below = stat < cutoff
+    ratio_big = (spa != 0) & (pval_noadj / spa > 1000.0)
+    spa_zero = (spa == 0) & (pval_noadj > 0)
+
+    pval = jnp.where(
+        below | ~both_conv, pval_noadj,
+        jnp.where(ratio_big, pval_noadj, jnp.where(spa_zero, pval_noadj, spa)))
+    converged = jnp.where(below, True, both_conv & ~spa_zero)
+    return pval, converged

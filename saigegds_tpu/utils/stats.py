@@ -1,0 +1,81 @@
+"""User-facing statistical utilities (pACAT, heritability, result loading).
+
+Equivalents of the reference's exported helpers ``pACAT``/``pACAT2``
+(R/saige_main.r:145-156), ``glmmHeritability`` (R/saige_main.r:666-691) and
+``seqSAIGE_LoadPval`` (R/saige_main.r:164-215).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+import numpy as np
+import pandas as pd
+
+from ..ops.acat import acat_pval, beta_weights
+
+
+def acat_p(pvals, weights=None) -> float:
+    """Cauchy-combination p-value (pACAT)."""
+    p = np.atleast_1d(np.asarray(pvals, dtype=np.float64))
+    if p.size == 1:
+        return float(p[0])
+    return float(acat_pval(p, weights))
+
+
+def acat_p_maf(pvals, maf, wbeta=(1.0, 25.0)) -> float:
+    """pACAT2: weights dbeta(maf; b1, b2)^2 * maf * (1 - maf)."""
+    maf = np.asarray(maf, dtype=np.float64)
+    w = np.asarray(beta_weights(maf, wbeta[0], wbeta[1])) ** 2 * maf * (1.0 - maf)
+    return acat_p(pvals, w)
+
+
+def glmm_heritability(model, prevalence: float = float("nan")) -> float:
+    """Heritability estimate from a fitted null model.
+
+    binary: h2 = tau_G / (pi^2/3 + tau_G), optionally transformed to the
+    liability scale with r = 2.970 + 0.372*log10(K) (Zhou et al. 2018,
+    Supp. Table 7; reference R/saige_main.r:666-691).
+    quantitative: h2 = tau_G / (tau_E + tau_G).
+    """
+    from ..models.nullmodel import NullModel
+    m = NullModel.load(model)
+    tau = np.asarray(m.tau, dtype=float)
+    if m.trait_type == "binary":
+        h = tau[1] / (np.pi ** 2 / 3.0 + tau[1])
+        if np.isfinite(prevalence):
+            if not (0 < prevalence < 1):
+                raise ValueError("prevalence must be in (0, 1)")
+            r = 2.970 + 0.372 * np.log10(prevalence)
+            h = h * r
+        return float(h)
+    if m.trait_type == "quantitative":
+        return float(tau[1] / (tau[0] + tau[1]))
+    raise ValueError(f"unknown trait type {m.trait_type!r}")
+
+
+def load_pval(files: Union[str, Sequence[str]], columns=None) -> pd.DataFrame:
+    """Load and row-bind association result shards (seqSAIGE_LoadPval).
+
+    Supports our parquet/tsv/csv outputs and the reference's .rds files.
+    """
+    if isinstance(files, (str,)):
+        files = [files]
+    parts = []
+    for fn in files:
+        if fn.endswith(".rds") or fn.endswith(".rda") or fn.endswith(".RData"):
+            from ..io.rds import read_rds, strip, RObject
+            obj = read_rds(fn)
+            names = obj.names
+            data = {k: np.asarray(strip(obj[k])) for k in names}
+            parts.append(pd.DataFrame(data))
+        elif fn.endswith(".parquet"):
+            parts.append(pd.read_parquet(fn))
+        elif fn.endswith(".csv") or fn.endswith(".csv.gz"):
+            parts.append(pd.read_csv(fn))
+        else:
+            parts.append(pd.read_csv(fn, sep="\t"))
+    df = pd.concat(parts, ignore_index=True)
+    if columns is not None:
+        df = df[list(columns)]
+    return df

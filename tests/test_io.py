@@ -1,0 +1,70 @@
+"""GDS / RDS reader tests against the reference's bundled data."""
+
+import numpy as np
+import pytest
+
+from saigegds_tpu.io.gds import open_gds
+from saigegds_tpu.io.rds import read_rds, strip
+
+GRM_GDS = "/root/reference/inst/extdata/grm1k_10k_snp.gds"
+ASSOC_GDS = "/root/reference/inst/extdata/assoc_100snp.gds"
+PVAL_RDS = "/root/reference/inst/unitTests/saige_pval.rds"
+MODEL_RDS = "/root/reference/inst/unitTests/saige_model.rds"
+
+
+def test_gds_tree():
+    g = open_gds(GRM_GDS)
+    root = g.root
+    assert root.attrs["FileFormat"] == "SEQ_ARRAY"
+    assert set(root.ls()) >= {"sample.id", "variant.id", "position",
+                              "chromosome", "allele", "genotype"}
+    assert root["genotype/data"].cls == "dBit2"
+    assert root["genotype/data"].dims == [10000, 1000, 2]
+
+
+def test_gds_arrays():
+    g = open_gds(GRM_GDS)
+    sid = g.root["sample.id"].read()
+    assert list(sid[:3]) == ["s1", "s2", "s3"] and sid[-1] == "s1000"
+    vid = g.root["variant.id"].read()
+    assert vid[0] == 1 and vid[-1] == 10000
+    pos = g.root["position"].read()
+    assert pos.shape == (10000,)
+
+
+def test_genotype_af_matches_fixture():
+    """Decoded 2-bit genotypes reproduce the fixture's AF.alt exactly."""
+    g = open_gds(GRM_GDS)
+    geno = g.root["genotype/data"].read()
+    miss = (geno == 3).any(axis=2)
+    ds = geno.sum(axis=2).astype(float)
+    ds[miss] = np.nan
+    af = np.nanmean(ds, axis=1) / 2.0
+    ref = read_rds(PVAL_RDS)
+    af_ref = strip(ref["AF.alt"])
+    np.testing.assert_allclose(af, af_ref, rtol=1e-12)
+
+
+def test_gds_packed_real_dosage():
+    g = open_gds(ASSOC_GDS)
+    node = g.root["annotation/format/DS/data"]
+    assert node.cls == "dPackedReal8U"
+    ds = node.read()
+    assert ds.shape == (100, 1000)
+    assert np.nanmin(ds) >= 0.0 and np.nanmax(ds) <= 2.0
+
+
+def test_rds_model_fixture():
+    m = read_rds(MODEL_RDS)
+    assert m.names[:3] == ["coefficients", "tau", "linear.predictors"]
+    tau = strip(m["tau"])
+    assert tau.shape == (2,) and tau[0] == 1.0
+    nok = m["obj.noK"]
+    assert len(strip(nok["y"])) == 1000
+
+
+def test_rds_quant_model_altrep():
+    m = read_rds("/root/reference/inst/unitTests/saige_model_quant.rds")
+    y = np.asarray(strip(m["obj.noK"]["y"]), dtype=np.float64)
+    assert y.shape == (1000,)
+    assert np.isfinite(y).all()
