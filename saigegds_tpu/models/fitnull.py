@@ -1,0 +1,616 @@
+"""Null GLMM fitting: penalized IRLS + AI-REML with PCG solves on device.
+
+TPU-native re-build of the reference fit pipeline (R driver
+``seqFitNullGLMM_SPA`` R/saige_main.r:223-658; C engines
+src/saige_fitnull.cpp:736-1248 and 1255-1474):
+
+* the GRM is never materialised — every ``Sigma^{-1} x`` runs a batched
+  Jacobi-PCG (``ops/pcg.py``) whose hot op is the standardized-genotype
+  crossprod on the MXU (``ops/grm.py``);
+* the outer AI-REML / IRLS loops stay on the host (latency-tolerant,
+  data-dependent control flow), each step dispatching fused device kernels;
+* Hutchinson trace probes and variance-ratio marker order replay R's RNG
+  streams exactly (``utils/rrandom.py``), so fitted models match the
+  reference fixtures to solver precision.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..config import NullModelConfig
+from ..io.seqarray import SeqData
+from ..ops.grm import GRMOperator, build_grm
+from ..ops.pcg import pcg_solve
+from ..utils.rrandom import RRandom
+from .glm import (GlmFit, ObjNoK, glm_binomial, glm_gaussian, obj_nok_binary,
+                  obj_nok_quant, qr_transform, rank_norm, get_x1)
+from .nullmodel import NullModel
+
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# family callbacks (R family objects: linkinv, mu.eta, variance)
+
+class _Binomial:
+    name = "binomial"
+
+    @staticmethod
+    def linkinv(eta):
+        return 1.0 / (1.0 + np.exp(-eta))
+
+    @staticmethod
+    def mu_eta(eta):
+        m = 1.0 / (1.0 + np.exp(-eta))
+        return m * (1.0 - m)
+
+    @staticmethod
+    def variance(mu):
+        return mu * (1.0 - mu)
+
+
+class _Gaussian:
+    name = "gaussian"
+
+    @staticmethod
+    def linkinv(eta):
+        return eta
+
+    @staticmethod
+    def mu_eta(eta):
+        return np.ones_like(eta)
+
+    @staticmethod
+    def variance(mu):
+        return np.ones_like(mu)
+
+
+# ---------------------------------------------------------------------------
+# device helpers
+
+
+def _pcg(grm: GRMOperator, w, tau, B, tol, maxiter):
+    """Solve Sigma X = B on device; B [N, R] numpy -> numpy."""
+    X, iters, conv = pcg_solve(grm.std_geno, grm.diag, jnp.asarray(w),
+                               jnp.asarray(tau), jnp.asarray(B), tol, maxiter)
+    if not bool(conv.all()):
+        print("PCG does not converge (may need to increase 'maxiter').")
+    return np.asarray(X)
+
+
+def _grm_mv(grm: GRMOperator, b):
+    return np.asarray(grm.matvec(jnp.asarray(b)))
+
+
+def _mat_inv(m):
+    """inv_sympd with inv() fallback (src/saige_fitnull.cpp:721-733)."""
+    ms = np.triu(m) + np.triu(m, 1).T  # symmatu
+    try:
+        c = np.linalg.cholesky(ms)
+        inv_c = np.linalg.inv(c)
+        return inv_c.T @ inv_c
+    except np.linalg.LinAlgError:
+        print("Warning: matrix is singular or not positive definite, "
+              "using general inverse instead.")
+        return np.linalg.inv(ms)
+
+
+def _calc_cv(x):
+    """stddev / (mean * n) — the reference's calcCV (src/saige_fitnull.cpp:618)."""
+    x = np.asarray(x, float)
+    return np.std(x, ddof=1) / (np.mean(x) * len(x))
+
+
+# ---------------------------------------------------------------------------
+# inner IRLS (get_coeff / get_coeff_w)
+
+
+@dataclass
+class _CoeffState:
+    Y: np.ndarray
+    mu: np.ndarray
+    alpha: np.ndarray
+    eta: np.ndarray
+    W: np.ndarray
+    cov: np.ndarray
+    Sigma_iY: np.ndarray
+    Sigma_iX: np.ndarray
+
+
+def _get_coeff(grm, y, X, tau, family, alpha0, eta0, offset, maxiter_pcg,
+               maxiter, tol_pcg) -> _CoeffState:
+    """Inner IRLS (src/saige_fitnull.cpp:766-813): iterate working response
+    and coefficients to rel-tol 0.1, every solve via one batched PCG."""
+    tol_coef = 0.1
+    mu = family.linkinv(eta0)
+    mu_eta = family.mu_eta(eta0)
+    Y = eta0 - offset + (y - mu) / mu_eta
+    W = (mu_eta * mu_eta) / family.variance(mu)
+
+    a0 = alpha0.copy()
+    st = None
+    for _ in range(maxiter):
+        # one batched PCG for [Y | X]  (reference solves them sequentially)
+        B = np.column_stack([Y, X])
+        sol = _pcg(grm, W, tau, B, tol_pcg, maxiter_pcg)
+        Sigma_iY = sol[:, 0]
+        Sigma_iX = sol[:, 1:]
+        cov = _mat_inv(X.T @ Sigma_iX)
+        alpha = cov @ (Sigma_iX.T @ Y)
+        eta = Y - tau[0] * (Sigma_iY - Sigma_iX @ alpha) / W + offset
+
+        mu = family.linkinv(eta)
+        mu_eta = family.mu_eta(eta)
+        Y = eta - offset + (y - mu) / mu_eta
+        W = (mu_eta * mu_eta) / family.variance(mu)
+
+        st = _CoeffState(Y=Y, mu=mu, alpha=alpha, eta=eta, W=W, cov=cov,
+                         Sigma_iY=Sigma_iY, Sigma_iX=Sigma_iX)
+        if np.max(np.abs(alpha - a0) / (np.abs(alpha) + np.abs(a0) + tol_coef)) \
+                < tol_coef:
+            break
+        a0 = alpha
+    return st
+
+
+# ---------------------------------------------------------------------------
+# Hutchinson trace estimators
+
+
+def _get_trace(grm, st: _CoeffState, tau, cfg: NullModelConfig, quant: bool):
+    """trace(P*GRM) (and trace(P) for quantitative) via Rademacher probes.
+
+    Probes replay R's ``set.seed(seed); rbinom(n,1,0.5)`` stream and the
+    +10 escalation continues the same stream (src/saige_fitnull.cpp:627-718).
+    """
+    rng = RRandom(cfg.seed)
+    SiX, cov = st.Sigma_iX, st.cov
+    n = grm.n_samples
+    buf, buf0 = [], []
+    n_runs = cfg.nrun
+    while True:
+        need = n_runs - len(buf)
+        U = np.stack([rng.rademacher(n).astype(np.float64) for _ in range(need)],
+                     axis=1)  # [N, need]
+        SiU = _pcg(grm, st.W, tau, U, cfg.tol_pcg, cfg.maxiter_pcg)
+        PU = SiU - SiX @ (cov @ (SiX.T @ U))
+        AU = _grm_mv(grm, U)
+        buf.extend(np.sum(AU * PU, axis=0).tolist())
+        if quant:
+            buf0.extend(np.sum(U * PU, axis=0).tolist())
+        cv = _calc_cv(buf)
+        cv0 = _calc_cv(buf0) if quant else 0.0
+        if cv <= cfg.trace_cv_cutoff and cv0 <= cfg.trace_cv_cutoff:
+            break
+        n_runs += 10
+    if quant:
+        return float(np.mean(buf0)), float(np.mean(buf))
+    return float(np.mean(buf))
+
+
+# ---------------------------------------------------------------------------
+# AI-REML updates
+
+
+def _get_ai_score_binary(grm, st, tau, cfg):
+    SiX, cov, Y = st.Sigma_iX, st.cov, st.Y
+    PY = st.Sigma_iY - SiX @ (cov @ (SiX.T @ Y))
+    APY = _grm_mv(grm, PY)
+    YPAPY = float(PY @ APY)
+    trace = _get_trace(grm, st, tau, cfg, quant=False)
+    PAPY_1 = _pcg(grm, st.W, tau, APY[:, None], cfg.tol_pcg, cfg.maxiter_pcg)[:, 0]
+    PAPY = PAPY_1 - SiX @ (cov @ (SiX.T @ PAPY_1))
+    AI = float(APY @ PAPY)
+    return YPAPY, trace, AI
+
+
+def _get_ai_score_quant(grm, st, tau, cfg):
+    SiX, cov, Y = st.Sigma_iX, st.cov, st.Y
+    PY = st.Sigma_iY - SiX @ (cov @ (SiX.T @ Y))
+    A0PY = PY
+    APY = _grm_mv(grm, PY)
+    YPAPY = float(PY @ APY)
+    YPA0PY = float(PY @ A0PY)
+    trace0, trace1 = _get_trace(grm, st, tau, cfg, quant=True)
+    B = np.column_stack([A0PY, APY])
+    sol = _pcg(grm, st.W, tau, B, cfg.tol_pcg, cfg.maxiter_pcg)
+    PA0PY = sol[:, 0] - SiX @ (cov @ (SiX.T @ sol[:, 0]))
+    PAPY = sol[:, 1] - SiX @ (cov @ (SiX.T @ sol[:, 1]))
+    AI = np.empty((2, 2))
+    AI[0, 0] = A0PY @ PA0PY
+    AI[1, 1] = APY @ PAPY
+    AI[0, 1] = AI[1, 0] = A0PY @ PAPY
+    return (YPAPY, YPA0PY), (trace0, trace1), AI
+
+
+def _fit_tau_binary(grm, st, tau0, cfg):
+    """fitglmmaiRPCG (src/saige_fitnull.cpp:860-890)."""
+    YPAPY, trace, AI = _get_ai_score_binary(grm, st, tau0, cfg)
+    score = YPAPY - trace
+    Dtau = score / AI
+    tau = tau0.copy()
+    tau[1] = tau0[1] + Dtau
+    tau[tau < cfg.tol] = 0.0
+    step = 1.0
+    while tau[1] < 0.0:
+        step *= 0.5
+        tau[1] = tau0[1] + step * Dtau
+    tau[tau < cfg.tol] = 0.0
+    return tau
+
+
+def _fit_tau_quant(grm, st, tau0, cfg):
+    """fitglmmaiRPCG_q (src/saige_fitnull.cpp:893-928)."""
+    zero_v = tau0 < cfg.tol
+    (YPAPY, YPA0PY), (trace0, trace1), AI = _get_ai_score_quant(grm, st, tau0, cfg)
+    score = np.array([YPA0PY - trace0, YPAPY - trace1])
+    Dtau = np.linalg.solve(AI, score)
+    tau = tau0 + Dtau
+    tau[zero_v & (tau < cfg.tol)] = 0.0
+    step = 1.0
+    while tau[0] < 0.0 or tau[1] < 0.0:
+        step *= 0.5
+        tau = tau0 + step * Dtau
+        tau[zero_v & (tau < cfg.tol)] = 0.0
+    tau[tau < cfg.tol] = 0.0
+    return tau
+
+
+# ---------------------------------------------------------------------------
+# outer drivers (saige_fit_AI_PCG_{binary,quant})
+
+
+@dataclass
+class GlmmFit:
+    coefficients: np.ndarray
+    tau: np.ndarray
+    linear_predictors: np.ndarray
+    fitted_values: np.ndarray
+    residuals: np.ndarray
+    cov: np.ndarray
+    converged: bool
+
+
+def fit_ai_pcg(grm: GRMOperator, fit0: GlmFit, X: np.ndarray, tau: np.ndarray,
+               cfg: NullModelConfig, binary: bool,
+               no_iteration: bool = False, verbose=False) -> GlmmFit:
+    """The saige_fit_AI_PCG_{binary,quant} outer loop
+    (src/saige_fitnull.cpp:948-1099, 1102-1248)."""
+    family = _Binomial() if binary else _Gaussian()
+    y = fit0.y.astype(np.float64)
+    n = len(y)
+    offset = np.zeros(n)
+    tol_inv_2 = 1.0 / (cfg.tol * cfg.tol)
+
+    eta = eta0 = fit0.linear_predictors.copy()
+    mu = fit0.fitted_values.copy()
+    alpha0 = fit0.coefficients.copy()
+    alpha = alpha0.copy()
+    tau = np.asarray(tau, np.float64).copy()
+    tau0 = tau.copy()
+
+    st = _get_coeff(grm, y, X, tau, family, alpha0, eta0, offset,
+                    cfg.maxiter_pcg, cfg.maxiter, cfg.tol_pcg)
+
+    if no_iteration:
+        return GlmmFit(coefficients=st.alpha, tau=tau,
+                       linear_predictors=st.eta, fitted_values=st.mu,
+                       residuals=y - st.mu, cov=st.cov, converged=True)
+
+    # first moment-based update of tau
+    if binary:
+        YPAPY, trace, _ = _get_ai_score_binary(grm, st, tau, cfg)
+        tau[1] = max(0.0, tau0[1] + tau0[1] ** 2 * (YPAPY - trace) / n)
+    else:
+        (YPAPY, YPA0PY), (trace0, trace1), _ = _get_ai_score_quant(
+            grm, st, tau, cfg)
+        tau[0] = max(0.0, tau0[0] + tau0[0] ** 2 * (YPA0PY - trace0) / n)
+        tau[1] = max(0.0, tau0[1] + tau0[1] ** 2 * (YPAPY - trace1) / n)
+
+    Y = st.Y
+    cov = st.cov
+    it = 1
+    for it in range(1, cfg.maxiter + 1):
+        if verbose:
+            print(f"    Iteration {it}: tau = {tau}, coeff = {alpha}")
+        alpha0 = st.alpha
+        tau0 = tau.copy()
+        eta0 = eta.copy()
+
+        for itry in range(1, 12):
+            st = _get_coeff(grm, y, X, tau0, family, alpha0, eta0, offset,
+                            cfg.maxiter_pcg, cfg.maxiter, cfg.tol_pcg)
+            tau = (_fit_tau_binary if binary else _fit_tau_quant)(
+                grm, st, tau0, cfg)
+            if np.max(tau) > tol_inv_2:
+                if itry <= 10:
+                    tau0[1] *= 0.5
+                    continue
+                raise OverflowError(
+                    "Large variance estimate observed in the iterations, "
+                    "model not converged!")
+            break
+
+        cov = st.cov
+        alpha = st.alpha
+        eta = st.eta
+        Y = st.Y
+        mu = st.mu
+
+        if binary:
+            if tau[1] == 0:
+                break
+        else:
+            if tau[0] <= 0:
+                raise OverflowError("Sigma_E = 0, model not converged!")
+        if np.max(np.abs(tau - tau0) / (np.abs(tau) + np.abs(tau0) + cfg.tol)) \
+                < cfg.tol:
+            break
+
+    st = _get_coeff(grm, y, X, tau, family, alpha0, eta0, offset,
+                    cfg.maxiter_pcg, cfg.maxiter, cfg.tol_pcg)
+    return GlmmFit(coefficients=st.alpha, tau=tau, linear_predictors=st.eta,
+                   fitted_values=st.mu, residuals=y - st.mu, cov=st.cov,
+                   converged=(it <= cfg.maxiter))
+
+
+# ---------------------------------------------------------------------------
+# variance ratio (saige_calc_var_ratio_{binary,quant})
+
+
+def calc_var_ratio(grm: GRMOperator, codes: np.ndarray, fit0: GlmFit,
+                   glmm: GlmmFit, nok: ObjNoK, cfg: NullModelConfig,
+                   marker_order: np.ndarray, binary: bool, verbose=False):
+    """Estimate var1/var2 on random markers with MAC>20, adaptively adding
+    10 until CV <= ratioCVcutoff (src/saige_fitnull.cpp:1255-1474)."""
+    family = _Binomial() if binary else _Gaussian()
+    eta = fit0.linear_predictors
+    mu = fit0.fitted_values
+    mu_eta = family.mu_eta(eta)
+    W = (mu_eta * mu_eta) / family.variance(mu)
+    tau = glmm.tau
+    X1 = nok.X1
+    Sigma_iX = _pcg(grm, W, tau, X1, cfg.tol_pcg, cfg.maxiter_pcg)
+    xsx_inv = _mat_inv(X1.T @ Sigma_iX)
+
+    rows = dict(id=[], maf=[], mac=[], var1=[], var2=[], ratio=[])
+    num_marker = cfg.num_marker
+    snp_pos = 0
+    num_tested = 0
+    n_rand = len(marker_order)
+    while snp_pos < n_rand:
+        # gather the next chunk of markers passing the MAC filter
+        pending = []
+        while num_tested + len(pending) < num_marker and snp_pos < n_rand:
+            i_snp = int(marker_order[snp_pos])  # 1-based
+            snp_pos += 1
+            g = codes[i_snp - 1].astype(np.float64)
+            isnan = g >= 3
+            num = int((~isnan).sum())
+            ac = float(np.where(isnan, 0, g).sum())
+            af = ac / (2 * num) if num else np.nan
+            g = np.where(isnan, ac / num, g)  # mean impute
+            if af > 0.5:
+                g = 2.0 - g
+                ac = 2 * num - ac
+                af = 1 - af
+            if ac <= 20:  # suggested by the paper
+                continue
+            pending.append((i_snp, af, ac, g))
+        if pending:
+            G0 = np.stack([p[3] for p in pending], axis=1)   # [N, B]
+            G = G0 - nok.XXVX_inv @ (nok.XV @ G0)
+            SiG = _pcg(grm, W, tau, G, cfg.tol_pcg, cfg.maxiter_pcg)
+            adj = Sigma_iX @ (xsx_inv @ (X1.T @ SiG))
+            for k, (i_snp, af, ac, _) in enumerate(pending):
+                var1 = (float(G[:, k] @ SiG[:, k]) -
+                        float(G[:, k] @ adj[:, k])) / ac
+                gn = G[:, k] / math.sqrt(ac)
+                if binary:
+                    var2 = float(np.sum(mu * (1 - mu) * gn * gn))
+                else:
+                    var2 = float(gn @ gn)
+                rows["id"].append(i_snp)
+                rows["maf"].append(af)
+                rows["mac"].append(ac)
+                rows["var1"].append(var1)
+                rows["var2"].append(var2)
+                rows["ratio"].append(var1 / var2)
+                num_tested += 1
+        if num_tested >= num_marker:
+            cv = _calc_cv(rows["ratio"])
+            if cv > cfg.ratio_cv_cutoff:
+                num_marker += 10
+            else:
+                break
+        elif snp_pos >= n_rand:
+            break
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# top-level driver
+
+
+def _parse_formula(formula: str):
+    lhs, rhs = formula.split("~")
+    resp = lhs.strip()
+    covs = [t.strip() for t in rhs.split("+")]
+    covs = [c for c in covs if c not in ("", "1")]
+    return resp, covs
+
+
+def _model_matrix(data, covs):
+    import pandas as pd
+    cols = [np.ones(len(data))]
+    names = ["(Intercept)"]
+    for c in covs:
+        v = data[c]
+        if v.dtype == object or str(v.dtype) == "category":
+            dummies = pd.get_dummies(v, prefix=c, drop_first=True)
+            for nm in dummies.columns:
+                cols.append(dummies[nm].to_numpy(np.float64))
+                names.append(nm)
+        else:
+            cols.append(np.asarray(v, np.float64))
+            names.append(c)
+    return np.column_stack(cols), names
+
+
+def fit_null_glmm(formula: str, data, gdsfile,
+                  config: NullModelConfig = NullModelConfig(),
+                  model_savefn: str = "", verbose: bool = False) -> NullModel:
+    """Fit the null GLMM (the ``seqFitNullGLMM_SPA`` equivalent).
+
+    formula: e.g. ``"y ~ x1 + x2"`` over columns of ``data`` (a pandas
+    DataFrame with a sample-id column, reference R/saige_main.r:223).
+    """
+    import pandas as pd
+
+    cfg = config
+    seq = gdsfile if isinstance(gdsfile, SeqData) else SeqData(gdsfile)
+    resp, covs = _parse_formula(formula)
+
+    # sample alignment (R/saige_main.r:303-313)
+    data = data[[cfg.sample_col, resp] + covs].dropna()
+    sid = pd.Index(data[cfg.sample_col].astype(str))
+    order = {s: i for i, s in enumerate(sid)}
+    keep = [order[s] for s in seq.sample_id.astype(str) if s in order]
+    data = data.iloc[keep].reset_index(drop=True)
+    if len(data) == 0:
+        raise ValueError("No common sample.id between 'data' and the GDS file.")
+    samp_mask = np.isin(seq.sample_id.astype(str),
+                        data[cfg.sample_col].astype(str).to_numpy())
+    sample_id = seq.sample_id[samp_mask]
+
+    # genotype codes for the selected samples: [M, N] int8, 3 = missing
+    codes = _genotype_codes(seq)[:, samp_mask]
+
+    # variant filters: maf >= maf, missing.rate <= missing.rate
+    # (seqSetFilterCond, R/saige_main.r:319-320)
+    valid = codes < 3
+    n_valid = valid.sum(axis=1)
+    ac = np.where(valid, codes, 0).sum(axis=1, dtype=np.int64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        af = ac / (2.0 * n_valid)
+    maf = np.minimum(af, 1 - af)
+    miss = 1.0 - n_valid / codes.shape[1]
+    vmask = np.isfinite(maf) & (maf >= cfg.maf) & (miss <= cfg.missing_rate)
+    variant_id = seq.variant_id[vmask]
+    codes = codes[vmask]
+
+    # random down-sample to max_num_snp (R/saige_main.r:328-333)
+    if cfg.max_num_snp > 0 and codes.shape[0] > cfg.max_num_snp:
+        rng = RRandom(cfg.seed)
+        sel = np.sort(rng.sample_int(codes.shape[0], cfg.max_num_snp) - 1)
+        codes = codes[sel]
+        variant_id = variant_id[sel]
+
+    n_samp = codes.shape[1]
+    n_var = codes.shape[0]
+    if verbose:
+        print(f"Fit the null model: {formula} + var(GRM)")
+        print(f"    # of samples: {n_samp}\n    # of variants: {n_var}")
+
+    # design matrix + QR transform (R/saige_main.r:356-387)
+    y_raw = data[resp].to_numpy(np.float64)
+    X, X_names = _model_matrix(data, covs)
+    x_transform = cfg.x_transform and X.shape[1] > 1
+    if x_transform:
+        X_new, X_qrr = qr_transform(X)
+    else:
+        X_new, X_qrr = X, None
+
+    grm = build_grm(codes)
+
+    if cfg.trait_type == "binary":
+        if set(np.unique(y_raw)) - {0.0, 1.0}:
+            raise ValueError("binary trait must be coded 0/1")
+        fit0 = glm_binomial(X_new, y_raw)
+        nok = obj_nok_binary(X_new, y_raw)
+        # initial tau: (1, 0.5) unless tau_init given (R/saige_main.r:489-495)
+        tau = np.array([1.0, 0.5])
+        ti = np.nan_to_num(np.asarray(cfg.tau_init, float))
+        ti[ti < 0] = 0
+        if ti[1] > 0:
+            tau[1] = ti[1]
+        glmm = fit_ai_pcg(grm, fit0, X_new, tau, cfg, binary=True,
+                          verbose=verbose)
+        rng = RRandom(cfg.seed)
+        marker_order = rng.sample_int(n_var, n_var)
+        vr = calc_var_ratio(grm, codes, fit0, glmm, nok, cfg, marker_order,
+                            binary=True, verbose=verbose)
+    elif cfg.trait_type == "quantitative":
+        yq = y_raw.copy()
+        if cfg.inv_norm:
+            fit_pre = glm_gaussian(X_new, yq)
+            resid_sd = np.std(fit_pre.residuals, ddof=1)
+            yq = rank_norm(fit_pre.residuals) * resid_sd
+        fit0 = glm_gaussian(X_new, yq)
+        nok = obj_nok_quant(X_new, fit0)
+        ti = np.nan_to_num(np.asarray(cfg.tau_init, float))
+        ti[ti < 0] = 0
+        tau = ti if ti.sum() > 0 else np.array([0.5, 0.5])
+        Y = fit0.y  # gaussian working response == y
+        tau = np.var(Y, ddof=1) * tau / tau.sum()
+        glmm = fit_ai_pcg(grm, fit0, nok.X1, tau, cfg, binary=False,
+                          verbose=verbose)
+        rng = RRandom(cfg.seed)
+        marker_order = rng.sample_int(n_var, n_var)
+        vr = calc_var_ratio(grm, codes, fit0, glmm, nok, cfg, marker_order,
+                            binary=False, verbose=verbose)
+    else:
+        raise ValueError(f"Invalid trait type {cfg.trait_type!r}")
+
+    # order the variance-ratio table by marker index; map ids
+    # (R/saige_main.r:510-513)
+    ord_ = np.argsort(np.asarray(vr["id"], dtype=np.int64), kind="stable")
+    var_ratio = {k: np.asarray(v)[ord_] for k, v in vr.items()}
+    var_ratio["id"] = variant_id[var_ratio["id"].astype(np.int64) - 1]
+
+    # un-rotate coefficients through qr.R (R/saige_main.r:616-623)
+    if x_transform:
+        coef = np.linalg.solve(X_qrr, glmm.coefficients * np.sqrt(len(data)))
+        coef_names = X_names
+    else:
+        coef = glmm.coefficients
+        coef_names = X_names[: len(coef)]
+
+    model = NullModel(
+        trait_type=cfg.trait_type,
+        coefficients=coef,
+        coef_names=coef_names,
+        tau=glmm.tau,
+        linear_predictors=glmm.linear_predictors,
+        fitted_values=glmm.fitted_values,
+        residuals=glmm.residuals,
+        cov=glmm.cov,
+        converged=glmm.converged,
+        y=nok.y, mu=nok.mu, res=nok.res, V=nok.V,
+        X1=nok.X1, XV=nok.XV, XXVX_inv=nok.XXVX_inv,
+        var_ratio=var_ratio,
+        sample_id=sample_id,
+        variant_id=variant_id,
+    )
+    if model_savefn:
+        model.save(model_savefn)
+    return model
+
+
+def _genotype_codes(seq: SeqData) -> np.ndarray:
+    """[M, N] int8 genotype codes (ALT dosage 0/1/2, 3 = missing)."""
+    if seq.has_genotype():
+        raw = seq.gds.root["genotype/data"].read()  # [M, N, ploidy]
+        miss = (raw == 3).any(axis=2)
+        ds = raw.sum(axis=2, dtype=np.int16)
+        ds = np.where(miss, 3, ds).astype(np.int8)
+        return ds
+    ds = seq.dosage_block(0, seq.n_variants)
+    out = np.where(np.isfinite(ds), np.round(ds), 3)
+    out = np.where((out >= 0) & (out <= 2), out, 3)
+    return out.astype(np.int8)

@@ -1,0 +1,74 @@
+"""Golden regression tests for null-GLMM fitting.
+
+Mirrors ``test.saige_fit_null_model`` (reference inst/unitTests/
+test_SAIGE.R:44-76): fit binary + quantitative null models on the bundled
+1000-sample data and compare against the pickled model fixtures.  Reference
+contract: tolerance 1e-4 (mean relative); thanks to exact R-RNG replication
+we hold ~1e-10 elementwise.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from saigegds_tpu.config import NullModelConfig
+from saigegds_tpu.models.fitnull import fit_null_glmm
+from saigegds_tpu.models.nullmodel import NullModel
+
+GDS = "/root/reference/inst/extdata/grm1k_10k_snp.gds"
+PHENO = "/root/reference/inst/extdata/pheno.txt.gz"
+
+
+@pytest.fixture(scope="module")
+def pheno():
+    return pd.read_csv(PHENO, sep="\t")
+
+
+def _compare(model, ref, tol=1e-8):
+    np.testing.assert_allclose(model.tau, ref.tau, rtol=0, atol=tol)
+    np.testing.assert_allclose(model.coefficients, ref.coefficients,
+                               rtol=tol, atol=tol)
+    for f in ("linear_predictors", "fitted_values", "residuals", "cov",
+              "y", "mu", "res", "V", "X1", "XV", "XXVX_inv"):
+        a = np.asarray(getattr(model, f))
+        b = np.asarray(getattr(ref, f))
+        assert a.shape == b.shape, f
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-7, err_msg=f)
+    assert model.converged == ref.converged
+    # variance ratio: marker ids must match exactly (R RNG replication)
+    np.testing.assert_array_equal(model.var_ratio["id"], ref.var_ratio["id"])
+    np.testing.assert_allclose(model.var_ratio["ratio"],
+                               ref.var_ratio["ratio"], rtol=1e-10)
+    np.testing.assert_array_equal(model.variant_id, ref.variant_id)
+
+
+def test_fit_binary_golden(pheno):
+    m = fit_null_glmm("y ~ x1 + x2", pheno, GDS,
+                      NullModelConfig(trait_type="binary"))
+    ref = NullModel.load("/root/reference/inst/unitTests/saige_model.rds")
+    _compare(m, ref)
+
+
+def test_fit_quant_golden(pheno):
+    m = fit_null_glmm("yy ~ x1 + x2", pheno, GDS,
+                      NullModelConfig(trait_type="quantitative"))
+    ref = NullModel.load(
+        "/root/reference/inst/unitTests/saige_model_quant.rds")
+    _compare(m, ref)
+
+
+def test_fit_then_scan_roundtrip(pheno, tmp_path):
+    """Full pipeline: our fit -> save/load -> our scan == reference pvals."""
+    import saigegds_tpu as st
+    from saigegds_tpu.config import ScanConfig
+    from saigegds_tpu.io.rds import read_rds, strip
+
+    m = fit_null_glmm("y ~ x1 + x2", pheno, GDS,
+                      NullModelConfig(trait_type="binary"))
+    fn = str(tmp_path / "model.npz")
+    m.save(fn)
+    df = st.assoc_spa(GDS, fn, ScanConfig(mac=4))
+    ref = read_rds("/root/reference/inst/unitTests/saige_pval.rds")
+    pv = np.asarray(strip(ref["pval"]))
+    rel = np.abs(df["pval"].to_numpy() - pv) / np.maximum(np.abs(pv), 1e-300)
+    assert np.nanmax(rel) < 1e-7
