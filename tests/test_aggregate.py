@@ -1,0 +1,85 @@
+"""Aggregate-test consistency checks (mirrors test.saige_acta_o,
+reference inst/unitTests/test_SAIGE.R:109-133)."""
+
+import numpy as np
+import pytest
+
+from saigegds_tpu.assoc.aggregate import (assoc_acat_o, assoc_acat_v,
+                                          assoc_burden, sliding_windows)
+from saigegds_tpu.io.seqarray import SeqData
+
+GDS = "/root/reference/inst/extdata/grm1k_10k_snp.gds"
+MODEL = "/root/reference/inst/unitTests/saige_model.rds"
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return SeqData(GDS)
+
+
+@pytest.fixture(scope="module")
+def units(seq):
+    return sliding_windows(seq, win_size=200, win_shift=100)
+
+
+@pytest.fixture(scope="module")
+def results(seq, units):
+    o = assoc_acat_o(seq, MODEL, units)
+    v = assoc_acat_v(seq, MODEL, units)
+    b = assoc_burden(seq, MODEL, units)
+    return o, v, b
+
+
+def _assert_equal_col(a, b):
+    a = np.asarray(a, float)
+    b = np.asarray(b, float)
+    np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
+    m = np.isfinite(a)
+    np.testing.assert_allclose(a[m], b[m], rtol=1e-12)
+
+
+def test_acato_matches_burden(results):
+    o, v, b = results
+    _assert_equal_col(o["pval.b1_1"], b["pval.b1_1"])
+    _assert_equal_col(o["pval.b1_25"], b["pval.b1_25"])
+
+
+def test_acato_matches_acatv(results):
+    o, v, b = results
+    _assert_equal_col(o["pval.v1_1"], v["pval.v1_1"])
+    _assert_equal_col(o["pval.v1_25"], v["pval.v1_25"])
+
+
+def test_acato_combined_is_cauchy_combination(results):
+    from saigegds_tpu.utils.stats import acat_p
+    o, _, _ = results
+    row = o.iloc[0]
+    parts = np.asarray([row["pval.b1_1"], row["pval.v1_1"],
+                        row["pval.b1_25"], row["pval.v1_25"]])
+    want = acat_p(parts[np.isfinite(parts)])
+    assert row["pval"] == pytest.approx(want, rel=1e-12)
+
+
+def test_burden_sanity(results, units):
+    _, _, b = results
+    assert len(b) == len(units)
+    p = b["pval.b1_1"].to_numpy()
+    assert np.isfinite(p).sum() > 90
+    assert ((p[np.isfinite(p)] >= 0) & (p[np.isfinite(p)] <= 1)).all()
+
+
+def test_single_snp_units_match_single_variant_scan(seq):
+    """A unit holding one common SNP: ACAT-V's single-variant part must
+    equal the plain scan p-value for that SNP."""
+    import saigegds_tpu as st
+    from saigegds_tpu.assoc.aggregate import VariantUnits
+    from saigegds_tpu.config import ScanConfig
+    import pandas as pd
+
+    idx = [np.array([0]), np.array([1]), np.array([2])]
+    units = VariantUnits(desp=pd.DataFrame({"set": ["a", "b", "c"]}), index=idx)
+    v = assoc_acat_v(seq, MODEL, units)
+    df = st.assoc_spa(seq, MODEL, ScanConfig(mac=0, missing=1.0))
+    for i in range(3):
+        assert v["pval.v1_1"].iloc[i] == pytest.approx(
+            df["pval"].iloc[i], rel=1e-9)
