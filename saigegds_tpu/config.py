@@ -29,6 +29,7 @@ class NullModelConfig:
     trace_cv_cutoff: float = 0.0025
     ratio_cv_cutoff: float = 0.001
     geno_sparse: bool = True      # sparse vs 2-bit dense genotype storage
+    grm_impl: str = "dense"       # "dense" f64 G_std | "packed" bf16-exact MXU
     seed: int = 200
     num_thread: int = 1
 

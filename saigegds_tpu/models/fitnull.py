@@ -25,7 +25,8 @@ import numpy as np
 from ..config import NullModelConfig
 from ..io.seqarray import SeqData
 from ..ops.grm import GRMOperator, build_grm
-from ..ops.pcg import pcg_solve
+from ..ops.packed_grm import build_packed_grm
+from ..ops.pcg import pcg_solve_op
 from ..utils.rrandom import RRandom
 from .glm import (GlmFit, ObjNoK, glm_binomial, glm_gaussian, obj_nok_binary,
                   obj_nok_quant, qr_transform, rank_norm, get_x1)
@@ -74,16 +75,19 @@ class _Gaussian:
 # device helpers
 
 
-def _pcg(grm: GRMOperator, w, tau, B, tol, maxiter):
-    """Solve Sigma X = B on device; B [N, R] numpy -> numpy."""
-    X, iters, conv = pcg_solve(grm.std_geno, grm.diag, jnp.asarray(w),
-                               jnp.asarray(tau), jnp.asarray(B), tol, maxiter)
+def _pcg(grm, w, tau, B, tol, maxiter):
+    """Solve Sigma X = B on device; B [N, R] numpy -> numpy.
+
+    ``grm`` is either a dense-f64 GRMOperator or a bf16-exact PackedGRM —
+    both expose ``.matvec``/``.diag`` and give f64-grade solutions."""
+    X, iters, conv = pcg_solve_op(grm, jnp.asarray(w),
+                                  jnp.asarray(tau), jnp.asarray(B), tol, maxiter)
     if not bool(conv.all()):
         print("PCG does not converge (may need to increase 'maxiter').")
     return np.asarray(X)
 
 
-def _grm_mv(grm: GRMOperator, b):
+def _grm_mv(grm, b):
     return np.asarray(grm.matvec(jnp.asarray(b)))
 
 
@@ -526,7 +530,13 @@ def fit_null_glmm(formula: str, data, gdsfile,
     else:
         X_new, X_qrr = X, None
 
-    grm = build_grm(codes)
+    if cfg.grm_impl == "packed":
+        grm = build_packed_grm(codes)
+    elif cfg.grm_impl == "dense":
+        grm = build_grm(codes)
+    else:
+        raise ValueError(f"grm_impl must be 'dense' or 'packed', "
+                         f"got {cfg.grm_impl!r}")
 
     if cfg.trait_type == "binary":
         if set(np.unique(y_raw)) - {0.0, 1.0}:

@@ -17,6 +17,13 @@ import jax.numpy as jnp
 
 
 @partial(jax.jit, static_argnames=("maxiter",))
+def pcg_solve_op(op, w, tau, B, tol, maxiter: int):
+    """Operator-generic PCG: ``op`` is any pytree with ``.matvec([N, R])``
+    and ``.diag`` (GRMOperator or PackedGRM)."""
+    return _pcg_body(op.matvec, op.diag, w, tau, B, tol, maxiter)
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
 def pcg_solve(std_geno, diag_grm, w, tau, B, tol, maxiter: int):
     """Solve Sigma X = B.
 
@@ -32,15 +39,22 @@ def pcg_solve(std_geno, diag_grm, w, tau, B, tol, maxiter: int):
 
     Returns (X [N, R], iters [R], converged [R]).
     """
-    N, R = B.shape
     M = std_geno.shape[0]
+
+    def grm_mv(P):
+        return (std_geno.T @ (std_geno @ P)) / M
+
+    return _pcg_body(grm_mv, diag_grm, w, tau, B, tol, maxiter)
+
+
+def _pcg_body(grm_mv, diag_grm, w, tau, B, tol, maxiter: int):
+    N, R = B.shape
     tau0, tau1 = tau[0], tau[1]
 
     inv_w = 1.0 / w
 
     def sigma_mv(P):  # [N, R] -> [N, R]
-        grm = (std_geno.T @ (std_geno @ P)) / M
-        return tau0 * inv_w[:, None] * P + tau1 * grm
+        return tau0 * inv_w[:, None] * P + tau1 * grm_mv(P)
 
     d = tau0 * inv_w + tau1 * diag_grm
     d = jnp.maximum(d, 1e-4)

@@ -57,6 +57,14 @@ def test_fit_quant_golden(pheno):
     _compare(m, ref)
 
 
+def test_fit_binary_packed_grm(pheno):
+    """grm_impl='packed' (bf16-exact MXU operator) reproduces the fixture."""
+    m = fit_null_glmm("y ~ x1 + x2", pheno, GDS,
+                      NullModelConfig(trait_type="binary", grm_impl="packed"))
+    ref = NullModel.load("/root/reference/inst/unitTests/saige_model.rds")
+    _compare(m, ref)
+
+
 def test_fit_then_scan_roundtrip(pheno, tmp_path):
     """Full pipeline: our fit -> save/load -> our scan == reference pvals."""
     import saigegds_tpu as st
