@@ -50,13 +50,74 @@ def assoc_spa(gdsfile, modobj: Union[NullModel, str],
         spa_pval=config.spa_pval,
     )
     binary = model.trait_type == "binary"
-    kernel = score_stats_binary if binary else score_stats_quant
 
+    df = _scan_blocks(scan_model, params, binary, config.block_size,
+                      seq.iter_dosage_blocks(config.block_size,
+                                             dsnode=config.dsnode))
+    idx = df.pop("__idx__").to_numpy()
+
+    ref, alt = seq.ref_alt
+    meta = pd.DataFrame({
+        "id": seq.variant_id[idx],
+        "chr": seq.chromosome[idx],
+        "pos": seq.position[idx],
+        "rs.id": seq.rs_id[idx],
+        "ref": ref[idx],
+        "alt": alt[idx],
+    })
+    df = pd.concat([meta, df], axis=1)
+    if res_savefn:
+        save_assoc(df, res_savefn)
+    return df
+
+
+def assoc_spa_user(geno_fn, n_variants: int, modobj: Union[NullModel, str],
+                   config: ScanConfig = ScanConfig(),
+                   variant_id=None, res_savefn: str = "") -> pd.DataFrame:
+    """Score-test + SPA scan over user-supplied dosages (the reference's
+    internal ``.UserGLMM_SPA`` driver, R/assoc_single.r:342-554).
+
+    ``geno_fn(start, stop)`` must return a ``[stop-start, N]`` float array
+    of ALT dosages (NaN = missing) aligned with the model's samples.
+    """
+    model = NullModel.load(modobj)
+    scan_model = model.scan_model(var_ratio=config.var_ratio)
+    params = ScanParams(
+        maf=-1.0 if math.isnan(config.maf) else config.maf,
+        mac=-1.0 if math.isnan(config.mac) else config.mac,
+        missing=1.0 if math.isnan(config.missing) else config.missing,
+        spa_pval=config.spa_pval,
+    )
+    binary = model.trait_type == "binary"
     B = config.block_size
+
+    def blocks():
+        for s in range(0, n_variants, B):
+            e = min(s + B, n_variants)
+            G = np.asarray(geno_fn(s, e), np.float64)
+            if G.shape != (e - s, model.n_samples):
+                raise ValueError(
+                    f"geno_fn({s}, {e}) returned shape {G.shape}, expected "
+                    f"({e - s}, {model.n_samples})")
+            yield np.arange(s, e), G
+
+    df = _scan_blocks(scan_model, params, binary, B, blocks())
+    idx = df.pop("__idx__").to_numpy()
+    ids = np.asarray(variant_id)[idx] if variant_id is not None else idx + 1
+    df.insert(0, "id", ids)
+    if res_savefn:
+        save_assoc(df, res_savefn)
+    return df
+
+
+def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter
+                 ) -> pd.DataFrame:
+    """Shared two-phase scan core: batched score kernel + compact SPA."""
+    kernel = score_stats_binary if binary else score_stats_quant
     rows_idx, outs = [], []
     spa_G, spa_rows = [], []  # flagged variants for phase-2 refinement
     row0 = 0
-    for idx, G in seq.iter_dosage_blocks(B, dsnode=config.dsnode):
+    for idx, G in block_iter:
         G = np.asarray(G, np.float64)
         Gp = _pad_block(G, B)
         res = kernel(scan_model, params, Gp)
@@ -99,14 +160,8 @@ def assoc_spa(gdsfile, modobj: Union[NullModel, str],
             beta[r] = np.asarray(b)[:m]
             se[r] = np.asarray(e)[:m]
 
-    ref, alt = seq.ref_alt
     tab = {
-        "id": seq.variant_id[idx],
-        "chr": seq.chromosome[idx],
-        "pos": seq.position[idx],
-        "rs.id": seq.rs_id[idx],
-        "ref": ref[idx],
-        "alt": alt[idx],
+        "__idx__": idx,
         "AF.alt": col("af"),
         "mac": col("mac"),
         "num": col("num").astype(np.int32),
@@ -117,10 +172,7 @@ def assoc_spa(gdsfile, modobj: Union[NullModel, str],
     if binary:
         tab["p.norm"] = pval_noadj
         tab["converged"] = converged.astype(bool)
-    df = pd.DataFrame(tab)
-    if res_savefn:
-        save_assoc(df, res_savefn)
-    return df
+    return pd.DataFrame(tab)
 
 
 def _match_samples(gds_samples, model_samples) -> Optional[np.ndarray]:

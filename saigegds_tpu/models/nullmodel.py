@@ -47,6 +47,25 @@ class NullModel:
     def n_samples(self) -> int:
         return len(self.y)
 
+    def __repr__(self) -> str:
+        """Compact structure dump (print.ClassSAIGE_NullModel = str(x),
+        reference R/saige_main.r:658)."""
+        tau = np.asarray(self.tau, dtype=float)
+        coef = ", ".join(f"{n}={c:.6g}" for n, c in
+                         zip(self.coef_names, np.asarray(self.coefficients)))
+        vr = np.asarray(self.var_ratio.get("ratio", []), dtype=float)
+        lines = [
+            f"<NullModel trait_type={self.trait_type!r} "
+            f"n_samples={self.n_samples} converged={self.converged}>",
+            f"  tau (Sigma_E, Sigma_G): {tau[0]:.6g}, {tau[1]:.6g}",
+            f"  coefficients: {coef}",
+            f"  var.ratio: n={vr.size}"
+            + (f" mean={vr.mean():.6g}" if vr.size else ""),
+            f"  GRM variants: "
+            f"{0 if self.variant_id is None else len(self.variant_id)}",
+        ]
+        return "\n".join(lines)
+
     @property
     def mean_var_ratio(self) -> float:
         r = np.asarray(self.var_ratio.get("ratio", [1.0]), dtype=float)

@@ -30,25 +30,24 @@ def acat_p_maf(pvals, maf, wbeta=(1.0, 25.0)) -> float:
     return acat_p(pvals, w)
 
 
-def glmm_heritability(model, prevalence: float = float("nan")) -> float:
-    """Heritability estimate from a fitted null model.
+def glmm_heritability(model, adjust: bool = True) -> float:
+    """Heritability estimate from a fitted null model (glmmHeritability).
 
-    binary: h2 = tau_G / (pi^2/3 + tau_G), optionally transformed to the
-    liability scale with r = 2.970 + 0.372*log10(K) (Zhou et al. 2018,
-    Supp. Table 7; reference R/saige_main.r:666-691).
+    binary: h2 = tau_G / (pi^2/3 + tau_G), scaled (``adjust=True``) to the
+    liability scale with r = 2.970 + 0.372*log10(p) where p is the observed
+    case fraction of the model's y (Zhou et al. 2018, Supp. Table 7;
+    reference R/saige_main.r:666-691).
     quantitative: h2 = tau_G / (tau_E + tau_G).
     """
     from ..models.nullmodel import NullModel
     m = NullModel.load(model)
     tau = np.asarray(m.tau, dtype=float)
     if m.trait_type == "binary":
-        h = tau[1] / (np.pi ** 2 / 3.0 + tau[1])
-        if np.isfinite(prevalence):
-            if not (0 < prevalence < 1):
-                raise ValueError("prevalence must be in (0, 1)")
-            r = 2.970 + 0.372 * np.log10(prevalence)
-            h = h * r
-        return float(h)
+        r = 1.0
+        if adjust:
+            p = float(np.mean(np.asarray(m.y) == 1))
+            r = 2.970 + 0.372 * np.log10(p)
+        return float(tau[1] / (np.pi ** 2 / 3.0 + tau[1]) * r)
     if m.trait_type == "quantitative":
         return float(tau[1] / (tau[0] + tau[1]))
     raise ValueError(f"unknown trait type {m.trait_type!r}")

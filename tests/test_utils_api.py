@@ -1,0 +1,70 @@
+"""API-surface parity utilities: user-genotype driver, heritability,
+repr, device_info."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import saigegds_tpu as st
+from saigegds_tpu.config import ScanConfig
+from saigegds_tpu.io.seqarray import SeqData
+from saigegds_tpu.models.nullmodel import NullModel
+
+MODEL = "/root/reference/inst/unitTests/saige_model.rds"
+GDS = "/root/reference/inst/extdata/grm1k_10k_snp.gds"
+
+
+@pytest.fixture(scope="module")
+def model():
+    return NullModel.load(MODEL)
+
+
+def test_assoc_spa_user_matches_gds(model):
+    """User-callback scan == GDS scan on the same dosages."""
+    seq = SeqData(GDS)
+    nv = 300
+
+    def geno_fn(s, e):
+        return seq.dosage_block(s, e)
+
+    want = st.assoc_spa(GDS, model, ScanConfig(mac=4, block_size=128))
+    got = st.assoc_spa_user(geno_fn, nv, model,
+                            ScanConfig(mac=4, block_size=128),
+                            variant_id=seq.variant_id)
+    w = want[want["id"].isin(got["id"])].reset_index(drop=True)
+    g = got[got["id"].isin(w["id"])].reset_index(drop=True)
+    np.testing.assert_allclose(g["pval"].to_numpy(), w["pval"].to_numpy(),
+                               rtol=1e-12)
+    np.testing.assert_allclose(g["beta"].to_numpy(), w["beta"].to_numpy(),
+                               rtol=1e-12)
+
+
+def test_assoc_spa_user_bad_shape(model):
+    with pytest.raises(ValueError, match="expected"):
+        st.assoc_spa_user(lambda s, e: np.zeros((e - s, 7)), 10, model)
+
+
+def test_heritability(model):
+    h_adj = st.glmm_heritability(model, adjust=True)
+    h_raw = st.glmm_heritability(model, adjust=False)
+    tau_g = float(model.tau[1])
+    assert h_raw == pytest.approx(tau_g / (np.pi ** 2 / 3 + tau_g))
+    p = float(np.mean(model.y == 1))
+    assert h_adj == pytest.approx(h_raw * (2.970 + 0.372 * np.log10(p)))
+
+
+def test_repr(model):
+    r = repr(model)
+    assert "trait_type='binary'" in r and "tau" in r and "var.ratio" in r
+
+
+def test_device_info():
+    s = st.device_info()
+    assert "backend=" in s and "devices=" in s
+
+
+def test_phase_timer(capsys):
+    with st.phase_timer("unit"):
+        pass
+    out = capsys.readouterr().out
+    assert "[unit] start" in out and "[unit] done" in out
