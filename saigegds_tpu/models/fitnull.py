@@ -78,16 +78,24 @@ class _Gaussian:
 def _pcg(grm, w, tau, B, tol, maxiter):
     """Solve Sigma X = B on device; B [N, R] numpy -> numpy.
 
-    ``grm`` is either a dense-f64 GRMOperator or a bf16-exact PackedGRM —
-    both expose ``.matvec``/``.diag`` and give f64-grade solutions."""
-    X, iters, conv = pcg_solve_op(grm, jnp.asarray(w),
-                                  jnp.asarray(tau), jnp.asarray(B), tol, maxiter)
+    ``grm`` is a dense-f64 GRMOperator, a bf16-exact PackedGRM, or a
+    mesh-sharded ShardedGrmHandle — all give f64-grade solutions."""
+    from ..parallel.mesh import ShardedGrmHandle
+    if isinstance(grm, ShardedGrmHandle):
+        X, conv = grm.pcg(w, tau, B, tol, maxiter)
+    else:
+        X, iters, conv = pcg_solve_op(grm, jnp.asarray(w), jnp.asarray(tau),
+                                      jnp.asarray(B), tol, maxiter)
+        X = np.asarray(X)
     if not bool(conv.all()):
         print("PCG does not converge (may need to increase 'maxiter').")
-    return np.asarray(X)
+    return X
 
 
 def _grm_mv(grm, b):
+    from ..parallel.mesh import ShardedGrmHandle
+    if isinstance(grm, ShardedGrmHandle):
+        return grm.mv(b)
     return np.asarray(grm.matvec(jnp.asarray(b)))
 
 
@@ -468,7 +476,8 @@ def _model_matrix(data, covs):
 
 def fit_null_glmm(formula: str, data, gdsfile,
                   config: NullModelConfig = NullModelConfig(),
-                  model_savefn: str = "", verbose: bool = False) -> NullModel:
+                  model_savefn: str = "", verbose: bool = False,
+                  mesh=None) -> NullModel:
     """Fit the null GLMM (the ``seqFitNullGLMM_SPA`` equivalent).
 
     formula: e.g. ``"y ~ x1 + x2"`` over columns of ``data`` (a pandas
@@ -537,6 +546,9 @@ def fit_null_glmm(formula: str, data, gdsfile,
     else:
         raise ValueError(f"grm_impl must be 'dense' or 'packed', "
                          f"got {cfg.grm_impl!r}")
+    if mesh is not None:
+        from ..parallel.mesh import ShardedGrmHandle
+        grm = ShardedGrmHandle(grm, mesh)
 
     if cfg.trait_type == "binary":
         if set(np.unique(y_raw)) - {0.0, 1.0}:

@@ -62,13 +62,14 @@ class PackedGRM(NamedTuple):
     miss_var: jnp.ndarray   # [nnz_pad] int32 variant index of missing entry
     miss_samp: jnp.ndarray  # [nnz_pad] int32 sample index of missing entry
     miss_pad: jnp.ndarray   # [nnz_pad] float64 1.0 real / 0.0 padding
+    samp_mask: jnp.ndarray  # [N] float64 1.0 real sample / 0.0 padded sample
     n_variants: int
     n_samples: int
 
     def matvec(self, b, precision: str = "exact_i8"):
         return packed_grm_matvec(self.codes, self.af, self.inv,
                                  self.miss_var, self.miss_samp, self.miss_pad,
-                                 b, precision=precision)
+                                 self.samp_mask, b, precision=precision)
 
 
 def build_packed_grm(codes: np.ndarray, pad_multiple: int = 256) -> PackedGRM:
@@ -105,6 +106,7 @@ def build_packed_grm(codes: np.ndarray, pad_multiple: int = 256) -> PackedGRM:
                      miss_var=jnp.asarray(miss_var),
                      miss_samp=jnp.asarray(miss_samp),
                      miss_pad=jnp.asarray(miss_pad),
+                     samp_mask=jnp.ones(N, dtype=jnp.float64),
                      n_variants=M, n_samples=N)
 
 
@@ -164,8 +166,8 @@ def _i8_exact_dot(A_bf16, x, n_slices: int, contract_left: bool):
 
 
 @partial(jax.jit, static_argnames=("precision",))
-def packed_grm_matvec(codes, af, inv, miss_var, miss_samp, miss_pad, b,
-                      precision: str = "exact_i8"):
+def packed_grm_matvec(codes, af, inv, miss_var, miss_samp, miss_pad,
+                      samp_mask, b, precision: str = "exact_i8"):
     """GRM @ b from packed codes; b [N] or [N, R] float64.
 
     Missing genotypes contribute s = 0; since they are stored as code 0,
@@ -199,7 +201,9 @@ def packed_grm_matvec(codes, af, inv, miss_var, miss_samp, miss_pad, b,
         out = codes.astype(jnp.float64).T @ w1
     corr2 = jax.ops.segment_sum(w2[miss_var] * miss_pad[:, None],
                                 miss_samp, num_segments=N)      # [N, R]
-    out = out - (jnp.sum(w2, axis=0)[None, :] - corr2)
+    # samp_mask zeroes the rank-1 centering term on padded sample columns
+    # (a zero-padded sample would otherwise act like a real 0/0 genotype)
+    out = out - samp_mask[:, None] * (jnp.sum(w2, axis=0)[None, :] - corr2)
 
     out = out / M
     return out[:, 0] if squeeze else out

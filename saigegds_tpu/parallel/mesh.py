@@ -95,6 +95,88 @@ def shard_variant_batch(mesh: Mesh, G, axis: str = "data"):
     return jax.device_put(G, NamedSharding(mesh, P(axis, None)))
 
 
+class ShardedGrmHandle:
+    """Drop-in GRM handle that pads the sample axis to the mesh size and
+    shards the operator + every per-call vector across the devices.
+
+    The fitter's host loop (``models/fitnull.py``) is oblivious: it calls
+    ``handle.pcg(...)`` / ``handle.mv(...)`` with original-size numpy
+    arrays and gets original-size results back; internally each solve runs
+    as one sharded XLA program with a ``psum`` per GRM product over the
+    mesh axis (the TPU equivalent of the reference's per-thread-buffer
+    reduce, src/saige_fitnull.cpp:521-535).
+
+    Padding is exact: padded samples carry zero genotype columns, weight 1
+    and rhs 0, so they stay identically zero through PCG (for the packed
+    operator the rank-1 centering term is masked via ``samp_mask``).
+    """
+
+    def __init__(self, op, mesh: Mesh, axis: str = "data"):
+        from ..ops.grm import GRMOperator
+        from ..ops.packed_grm import PackedGRM
+
+        nd = mesh.devices.size
+        N = op.n_samples
+        Np = -(-N // nd) * nd
+        pad = Np - N
+        self.mesh, self.axis = mesh, axis
+        self.n_orig, self.n_padded = N, Np
+        self._mat = NamedSharding(mesh, P(None, axis))
+        self._vec = NamedSharding(mesh, P(axis))
+        self._cols = NamedSharding(mesh, P(axis, None))
+        repl = NamedSharding(mesh, P())
+
+        def put(x, sh):
+            return jax.device_put(jnp.asarray(x), sh)
+
+        if isinstance(op, GRMOperator):
+            self.op = GRMOperator(
+                std_geno=put(jnp.pad(op.std_geno, ((0, 0), (0, pad))),
+                             self._mat),
+                diag=put(jnp.pad(op.diag, (0, pad)), self._vec),
+                n_variants=op.n_variants, n_samples=Np)
+        elif isinstance(op, PackedGRM):
+            self.op = PackedGRM(
+                codes=put(jnp.pad(op.codes, ((0, 0), (0, pad))), self._mat),
+                af=put(op.af, repl), inv=put(op.inv, repl),
+                diag=put(jnp.pad(op.diag, (0, pad)), self._vec),
+                miss_var=put(op.miss_var, repl),
+                miss_samp=put(op.miss_samp, repl),
+                miss_pad=put(op.miss_pad, repl),
+                samp_mask=put(jnp.pad(op.samp_mask, (0, pad)), self._vec),
+                n_variants=op.n_variants, n_samples=Np)
+        else:
+            raise TypeError(f"cannot shard {type(op).__name__}")
+        self.n_variants = op.n_variants
+        self.n_samples = N  # original size, what callers reason about
+
+    def _pad_put(self, x, fill, sharding):
+        x = np.asarray(x, np.float64)
+        pad = self.n_padded - self.n_orig
+        if pad:
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            x = np.pad(x, widths, constant_values=fill)
+        return jax.device_put(jnp.asarray(x), sharding)
+
+    def pcg(self, w, tau, B, tol, maxiter):
+        """Solve Sigma X = B sharded; returns (X, converged) numpy."""
+        from ..ops.pcg import pcg_solve_op
+        squeeze = np.ndim(B) == 1
+        Bp = self._pad_put(B[:, None] if squeeze else B, 0.0, self._cols)
+        wp = self._pad_put(w, 1.0, self._vec)
+        X, _, conv = pcg_solve_op(self.op, wp, jnp.asarray(tau), Bp,
+                                  tol, maxiter)
+        X = np.asarray(X)[: self.n_orig]
+        return (X[:, 0] if squeeze else X), conv
+
+    def mv(self, b):
+        """GRM @ b sharded; original-size numpy in/out."""
+        squeeze = np.ndim(b) == 1
+        bp = self._pad_put(b[:, None] if squeeze else b, 0.0, self._cols)
+        out = np.asarray(self.op.matvec(bp))[: self.n_orig]
+        return out[:, 0] if squeeze else out
+
+
 def replicate(mesh: Mesh, tree):
     """Replicate model state across the mesh."""
     full = NamedSharding(mesh, P())

@@ -51,6 +51,30 @@ def test_sharded_pcg_matches(mesh, small_grm):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-10)
 
 
+@pytest.mark.parametrize("n_dev,impl", [(8, "packed"), (3, "dense")])
+def test_sharded_fit_golden(n_dev, impl):
+    """Full null fit over a device mesh reproduces the reference fixture.
+
+    n_dev=3 exercises the sample-padding path (1000 % 3 != 0)."""
+    import pandas as pd
+    from saigegds_tpu.config import NullModelConfig
+    from saigegds_tpu.models.fitnull import fit_null_glmm
+    from saigegds_tpu.models.nullmodel import NullModel
+
+    pheno = pd.read_csv("/root/reference/inst/extdata/pheno.txt.gz", sep="\t")
+    m = fit_null_glmm("y ~ x1 + x2", pheno,
+                      "/root/reference/inst/extdata/grm1k_10k_snp.gds",
+                      NullModelConfig(trait_type="binary", grm_impl=impl),
+                      mesh=make_mesh(n_dev))
+    ref = NullModel.load("/root/reference/inst/unitTests/saige_model.rds")
+    np.testing.assert_allclose(m.tau, ref.tau, atol=1e-8)
+    np.testing.assert_allclose(m.coefficients, ref.coefficients, rtol=1e-8,
+                               atol=1e-8)
+    np.testing.assert_allclose(m.fitted_values, ref.fitted_values, atol=1e-7)
+    np.testing.assert_allclose(m.var_ratio["ratio"], ref.var_ratio["ratio"],
+                               rtol=1e-10)
+
+
 def test_make_mesh_overrequest_raises():
     with pytest.raises(ValueError, match="only"):
         make_mesh(jax.device_count() + 1)
