@@ -40,6 +40,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from . import native
+
 GDS_MAGIC = b"COREARRAYx0A"
 XZ_MAGIC = b"\xfd7zXZ\x00"
 
@@ -393,13 +395,7 @@ class GDSFile:
                                  bitorder="little")
             return bits[:n].reshape(dims)
         if cls == "dBit2":
-            b = np.frombuffer(data, dtype=np.uint8)
-            out = np.empty((len(b), 4), dtype=np.uint8)
-            out[:, 0] = b & 3
-            out[:, 1] = (b >> 2) & 3
-            out[:, 2] = (b >> 4) & 3
-            out[:, 3] = (b >> 6) & 3
-            return out.reshape(-1)[:n].reshape(dims)
+            return native.unpack_bit2(data, n).reshape(dims)
         if cls.startswith("dPackedReal"):
             spec = cls[len("dPackedReal"):]
             scale = node._props.get("real_scale", 1.0)
@@ -418,21 +414,7 @@ class GDSFile:
             return out.reshape(dims)
         if cls in ("dStr8", "dVStr8"):
             # variable-length strings, LEB128 length prefix per element
-            arr = np.empty(n, dtype=object)
-            p = 0
-            for i in range(n):
-                m = 0
-                shift = 0
-                while True:
-                    byte = data[p]
-                    p += 1
-                    m |= (byte & 0x7F) << shift
-                    if byte < 0x80:
-                        break
-                    shift += 7
-                arr[i] = data[p : p + m].decode("utf-8", errors="replace")
-                p += m
-            return arr.reshape(dims)
+            return native.vstr8_strings(data, n).reshape(dims)
         if cls == "dCStr8":  # NUL-terminated strings
             parts = data.split(b"\x00")
             arr = np.empty(n, dtype=object)
@@ -448,6 +430,20 @@ class GDSFile:
                 arr[i] = s.rstrip(b"\x00").decode("utf-8", errors="replace")
             return arr.reshape(dims)
         raise NotImplementedError(f"GDS array class {cls!r}")
+
+
+def read_bit2_dosage(node: GDSNode) -> np.ndarray:
+    """Fused decode of a [M, N, ploidy] dBit2 genotype node into [M, N]
+    int8 ALT dosage codes (3 = missing), without materializing the
+    unpacked allele array (native path when built)."""
+    if node.cls != "dBit2":
+        raise ValueError(f"expected a dBit2 node, got {node.cls!r}")
+    dims = tuple(node.dims)
+    if len(dims) != 3:
+        raise ValueError(f"expected [M, N, ploidy] dims, got {dims}")
+    M, N, ploidy = dims
+    data = node._file._raw_stream(node)
+    return native.bit2_dosage_codes(data, M * N, ploidy).reshape(M, N)
 
 
 def _inflate_xz_ra(raw: bytes, want: Optional[int]) -> bytes:

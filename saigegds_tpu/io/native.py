@@ -1,0 +1,129 @@
+"""ctypes loader for the native decode kernels (saigegds_tpu/native).
+
+Builds ``_fastio.so`` on first use with the in-tree Makefile (g++); every
+entry point has a numpy fallback, so the package works without a compiler —
+the native path just makes large-file ingestion several times faster.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "native")
+_SO = os.path.abspath(os.path.join(_NATIVE_DIR, "_fastio.so"))
+
+_lib = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR), "-s"],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.sg_unpack_bit2.argtypes = [u8p, ctypes.c_size_t, u8p]
+    lib.sg_vstr8_offsets.argtypes = [u8p, ctypes.c_size_t, ctypes.c_size_t,
+                                     i64p, i64p]
+    lib.sg_vstr8_offsets.restype = ctypes.c_int64
+    lib.sg_geno_fold.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, i8p]
+    lib.sg_bit2_dosage.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, i8p]
+    lib.sg_bit2_dosage_f64.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
+                                       f64p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def unpack_bit2(data: bytes, n: int) -> np.ndarray:
+    """Unpack a dBit2 byte stream into n uint8 codes."""
+    lib = _load()
+    src = np.frombuffer(data, dtype=np.uint8)
+    if lib is not None:
+        dst = np.empty(len(src) * 4, dtype=np.uint8)
+        lib.sg_unpack_bit2(src, len(src), dst)
+        return dst[:n]
+    out = np.empty((len(src), 4), dtype=np.uint8)
+    out[:, 0] = src & 3
+    out[:, 1] = (src >> 2) & 3
+    out[:, 2] = (src >> 4) & 3
+    out[:, 3] = (src >> 6) & 3
+    return out.reshape(-1)[:n]
+
+
+def vstr8_strings(data: bytes, n: int) -> np.ndarray:
+    """Decode n LEB128-length-prefixed strings into an object array."""
+    lib = _load()
+    arr = np.empty(n, dtype=object)
+    if lib is not None and n:
+        src = np.frombuffer(data, dtype=np.uint8)
+        starts = np.empty(n, dtype=np.int64)
+        ends = np.empty(n, dtype=np.int64)
+        used = lib.sg_vstr8_offsets(src, len(src), n, starts, ends)
+        if used >= 0:
+            for i in range(n):
+                arr[i] = data[starts[i]:ends[i]].decode("utf-8",
+                                                        errors="replace")
+            return arr
+    p = 0
+    for i in range(n):
+        m = 0
+        shift = 0
+        while True:
+            byte = data[p]
+            p += 1
+            m |= (byte & 0x7F) << shift
+            if byte < 0x80:
+                break
+            shift += 7
+        arr[i] = data[p:p + m].decode("utf-8", errors="replace")
+        p += m
+    return arr
+
+
+def bit2_dosage_codes(data: bytes, mn: int, ploidy: int) -> np.ndarray:
+    """Fused 2-bit stream -> [mn] int8 ALT dosage codes (3 = missing)."""
+    lib = _load()
+    if lib is not None:
+        src = np.frombuffer(data, dtype=np.uint8)
+        out = np.empty(mn, dtype=np.int8)
+        lib.sg_bit2_dosage(src, mn, ploidy, out)
+        return out
+    codes = unpack_bit2(data, mn * ploidy).reshape(mn, ploidy)
+    miss = (codes == 3).any(axis=1)
+    ds = codes.sum(axis=1, dtype=np.int16)
+    return np.where(miss, 3, ds).astype(np.int8)
+
+
+def bit2_dosage_f64(data: bytes, mn: int, ploidy: int) -> np.ndarray:
+    """Fused 2-bit stream -> [mn] float64 ALT dosages (NaN = missing)."""
+    lib = _load()
+    if lib is not None:
+        src = np.frombuffer(data, dtype=np.uint8)
+        out = np.empty(mn, dtype=np.float64)
+        lib.sg_bit2_dosage_f64(src, mn, ploidy, out)
+        return out
+    codes = bit2_dosage_codes(data, mn, ploidy).astype(np.float64)
+    codes[codes == 3] = np.nan
+    return codes

@@ -81,11 +81,21 @@ class SeqData:
         3 = missing; ALT dosage = sum over ploidy, NaN if any allele missing.
         """
         if self._geno_cache is None:
-            raw = self._geno_node.read()  # [M, N, ploidy] uint8
-            miss = (raw == 3).any(axis=2)
-            ds = raw.sum(axis=2, dtype=np.int16).astype(np.float64)
-            ds[miss] = np.nan
-            self._geno_cache = ds
+            from . import native
+            from .gds import read_bit2_dosage
+            node = self._geno_node
+            dims = tuple(node.dims)
+            if node.cls == "dBit2" and len(dims) == 3:
+                M, N, ploidy = dims
+                data = self.gds._raw_stream(node)
+                self._geno_cache = native.bit2_dosage_f64(
+                    data, M * N, ploidy).reshape(M, N)
+            else:
+                raw = node.read()  # [M, N, ploidy] uint8
+                miss = (raw == 3).any(axis=2)
+                ds = raw.sum(axis=2, dtype=np.int16).astype(np.float64)
+                ds[miss] = np.nan
+                self._geno_cache = ds
         return self._geno_cache
 
     def dosage_block(self, start: int, stop: int, dsnode: str = "") -> np.ndarray:

@@ -627,11 +627,8 @@ def fit_null_glmm(formula: str, data, gdsfile,
 def _genotype_codes(seq: SeqData) -> np.ndarray:
     """[M, N] int8 genotype codes (ALT dosage 0/1/2, 3 = missing)."""
     if seq.has_genotype():
-        raw = seq.gds.root["genotype/data"].read()  # [M, N, ploidy]
-        miss = (raw == 3).any(axis=2)
-        ds = raw.sum(axis=2, dtype=np.int16)
-        ds = np.where(miss, 3, ds).astype(np.int8)
-        return ds
+        from ..io.gds import read_bit2_dosage
+        return read_bit2_dosage(seq.gds.root["genotype/data"])
     ds = seq.dosage_block(0, seq.n_variants)
     out = np.where(np.isfinite(ds), np.round(ds), 3)
     out = np.where((out >= 0) & (out <= 2), out, 3)

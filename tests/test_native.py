@@ -1,0 +1,70 @@
+"""Native decode kernels: parity with the numpy fallbacks + real-file IO."""
+
+import numpy as np
+import pytest
+
+from saigegds_tpu.io import native
+
+
+def _leb128(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def test_native_built():
+    assert native.available(), "g++ build of _fastio.so failed"
+
+
+def test_unpack_bit2_parity():
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, size=1000, dtype=np.uint8).tobytes()
+    n = 3998
+    got = native.unpack_bit2(data, n)
+    src = np.frombuffer(data, dtype=np.uint8)
+    want = np.stack([src & 3, (src >> 2) & 3, (src >> 4) & 3,
+                     (src >> 6) & 3], axis=1).reshape(-1)[:n]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_vstr8_strings():
+    strs = ["", "a", "chr22", "x" * 300, "αβγ"]
+    payload = b"".join(_leb128(len(s.encode())) + s.encode() for s in strs)
+    got = native.vstr8_strings(payload, len(strs))
+    assert list(got) == strs
+
+
+def test_bit2_dosage_codes():
+    rng = np.random.default_rng(1)
+    M, N, P = 7, 13, 2
+    alleles = rng.integers(0, 4, size=(M, N, P), dtype=np.uint8)
+    flat = alleles.reshape(-1)
+    packed = bytearray((len(flat) + 3) // 4)
+    for i, g in enumerate(flat):
+        packed[i >> 2] |= int(g) << ((i & 3) * 2)
+    got = native.bit2_dosage_codes(bytes(packed), M * N, P).reshape(M, N)
+    miss = (alleles == 3).any(axis=2)
+    want = np.where(miss, 3, alleles.sum(axis=2)).astype(np.int8)
+    np.testing.assert_array_equal(got, want)
+    f = native.bit2_dosage_f64(bytes(packed), M * N, P).reshape(M, N)
+    np.testing.assert_array_equal(np.isnan(f), miss)
+    np.testing.assert_array_equal(f[~miss], want[~miss].astype(np.float64))
+
+
+def test_real_file_roundtrip():
+    """The native-decoded genotype matrix matches the generic array read."""
+    from saigegds_tpu.io.gds import open_gds, read_bit2_dosage
+
+    gds = open_gds("/root/reference/inst/extdata/grm1k_10k_snp.gds")
+    node = gds.root["genotype/data"]
+    codes = read_bit2_dosage(node)
+    raw = node.read()
+    miss = (raw == 3).any(axis=2)
+    want = np.where(miss, 3, raw.sum(axis=2, dtype=np.int16)).astype(np.int8)
+    np.testing.assert_array_equal(codes, want)
