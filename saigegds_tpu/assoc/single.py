@@ -34,8 +34,15 @@ def _pad_block(G: np.ndarray, B: int) -> np.ndarray:
 
 def assoc_spa(gdsfile, modobj: Union[NullModel, str],
               config: ScanConfig = ScanConfig(),
-              res_savefn: str = "", verbose: bool = False) -> pd.DataFrame:
-    """Score-test + SPA scan over all variants of a SeqArray GDS file."""
+              res_savefn: str = "", verbose: bool = False,
+              variant_mask: Optional[np.ndarray] = None,
+              mesh=None) -> pd.DataFrame:
+    """Score-test + SPA scan over all variants of a SeqArray GDS file.
+
+    ``variant_mask`` restricts the scan (multi-host range sharding, see
+    parallel/distributed.py); ``mesh`` data-parallelizes each block over
+    local devices with the model replicated.
+    """
     model = NullModel.load(modobj)
     seq = gdsfile if isinstance(gdsfile, SeqData) else SeqData(gdsfile)
 
@@ -53,7 +60,9 @@ def assoc_spa(gdsfile, modobj: Union[NullModel, str],
 
     df = _scan_blocks(scan_model, params, binary, config.block_size,
                       seq.iter_dosage_blocks(config.block_size,
-                                             dsnode=config.dsnode))
+                                             dsnode=config.dsnode,
+                                             variant_mask=variant_mask),
+                      mesh=mesh)
     idx = df.pop("__idx__").to_numpy()
 
     ref, alt = seq.ref_alt
@@ -110,16 +119,27 @@ def assoc_spa_user(geno_fn, n_variants: int, modobj: Union[NullModel, str],
     return df
 
 
-def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter
-                 ) -> pd.DataFrame:
-    """Shared two-phase scan core: batched score kernel + compact SPA."""
+def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
+                 mesh=None) -> pd.DataFrame:
+    """Shared two-phase scan core: batched score kernel + compact SPA.
+
+    With ``mesh``, each padded block is sharded over its variant axis and
+    the model replicated — embarrassingly parallel, the mesh analog of the
+    reference's ``seqParallel(split="by.variant")`` (R/assoc_single.r:202).
+    """
     kernel = score_stats_binary if binary else score_stats_quant
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_variant_batch
+        scan_model = replicate(mesh, scan_model)
+        _place = lambda Gp: shard_variant_batch(mesh, Gp)
+    else:
+        _place = lambda Gp: Gp
     rows_idx, outs = [], []
     spa_G, spa_rows = [], []  # flagged variants for phase-2 refinement
     row0 = 0
     for idx, G in block_iter:
         G = np.asarray(G, np.float64)
-        Gp = _pad_block(G, B)
+        Gp = _place(_pad_block(G, B))
         res = kernel(scan_model, params, Gp)
         n = len(idx)
         valid = np.asarray(res.valid)[:n]
@@ -151,7 +171,7 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter
         Gs = np.concatenate(spa_G, axis=0)
         rows = np.concatenate(spa_rows)
         for s in range(0, len(rows), SPA_BATCH):
-            Gb = _pad_block(Gs[s : s + SPA_BATCH], SPA_BATCH)
+            Gb = _place(_pad_block(Gs[s : s + SPA_BATCH], SPA_BATCH))
             p, conv, b, e = spa_refine_binary(scan_model, Gb)
             m = len(rows[s : s + SPA_BATCH])
             r = rows[s : s + m]

@@ -75,6 +75,46 @@ def test_sharded_fit_golden(n_dev, impl):
                                rtol=1e-10)
 
 
+def test_mesh_parallel_scan_matches(mesh):
+    """assoc_spa(mesh=...) == single-device scan."""
+    import saigegds_tpu as st
+    from saigegds_tpu.config import ScanConfig
+
+    want = st.assoc_spa("/root/reference/inst/extdata/grm1k_10k_snp.gds",
+                        "/root/reference/inst/unitTests/saige_model.rds",
+                        ScanConfig(mac=4, block_size=256))
+    got = st.assoc_spa("/root/reference/inst/extdata/grm1k_10k_snp.gds",
+                       "/root/reference/inst/unitTests/saige_model.rds",
+                       ScanConfig(mac=4, block_size=256), mesh=mesh)
+    np.testing.assert_array_equal(got["id"].to_numpy(), want["id"].to_numpy())
+    np.testing.assert_allclose(got["pval"].to_numpy(),
+                               want["pval"].to_numpy(), rtol=1e-12)
+
+
+def test_sharded_scan_merge_roundtrip(tmp_path):
+    """3 simulated hosts scan disjoint ranges; merged == full scan."""
+    import saigegds_tpu as st
+    from saigegds_tpu.config import ScanConfig
+    from saigegds_tpu.parallel.distributed import (assoc_spa_sharded,
+                                                   host_variant_range,
+                                                   merge_shards)
+
+    gds = "/root/reference/inst/extdata/grm1k_10k_snp.gds"
+    model = "/root/reference/inst/unitTests/saige_model.rds"
+    prefix = str(tmp_path / "scan")
+    cnt = 3
+    ranges = [host_variant_range(10000, pid, cnt) for pid in range(cnt)]
+    assert ranges[0][0] == 0 and ranges[-1][1] == 10000
+    for pid in range(cnt):
+        assoc_spa_sharded(gds, model, prefix, ScanConfig(mac=4),
+                          process_id=pid, process_count=cnt)
+    merged = merge_shards(prefix)
+    full = st.assoc_spa(gds, model, ScanConfig(mac=4))
+    assert len(merged) == len(full)
+    np.testing.assert_allclose(merged["pval"].to_numpy(),
+                               full["pval"].to_numpy(), rtol=1e-12)
+
+
 def test_make_mesh_overrequest_raises():
     with pytest.raises(ValueError, match="only"):
         make_mesh(jax.device_count() + 1)
