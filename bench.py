@@ -16,8 +16,9 @@ import time
 import numpy as np
 
 N_SAMPLES = 100_000
-BLOCK = 512
+BLOCK = 4096          # packed int8 path: [B, N] codes are only 0.4 GB
 N_BLOCKS = 16         # timed TPU blocks
+BLOCK_CPU = 512
 N_BLOCKS_CPU = 2      # timed CPU blocks (slow)
 N_COV = 4
 SPA_FRAC = 16         # refine B // SPA_FRAC variants per block (~6%)
@@ -75,21 +76,22 @@ def main():
     m = make_model(N_SAMPLES, N_COV, rng)
 
     # ---- CPU baseline ----
-    af_draw = rng.uniform(0.01, 0.5, size=BLOCK)
+    af_draw = rng.uniform(0.01, 0.5, size=BLOCK_CPU)
     G_host = rng.binomial(2, af_draw[:, None],
-                          size=(BLOCK, N_SAMPLES)).astype(np.float64)
+                          size=(BLOCK_CPU, N_SAMPLES)).astype(np.float64)
     cpu_scan_block(m, G_host[:128])               # warm caches
     t0 = time.perf_counter()
     for _ in range(N_BLOCKS_CPU):
         cpu_scan_block(m, G_host)
-    cpu_vps = N_BLOCKS_CPU * BLOCK / (time.perf_counter() - t0)
+    cpu_vps = N_BLOCKS_CPU * BLOCK_CPU / (time.perf_counter() - t0)
 
     # ---- TPU path ----
     import jax
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
-    from saigegds_tpu.ops.score import (ScanModel, ScanParams,
-                                        score_stats_binary, spa_refine_binary)
+    from saigegds_tpu.ops.score import ScanModel, ScanParams, spa_refine_binary
+    from saigegds_tpu.ops.score_packed import (pack_scan_model,
+                                               score_stats_binary_packed)
 
     model = ScanModel(
         trait_binary=True, tau=jnp.asarray([1.0, 0.5]),
@@ -97,29 +99,32 @@ def main():
         y_mu=jnp.asarray(m["y"] - m["mu"]), mu2=jnp.asarray(m["W"]),
         XV=jnp.asarray(m["XV"]), XXVX_inv=jnp.asarray(m["XXVX_inv"]),
         var_ratio=0.93)
+    pm = pack_scan_model(model)
     params = ScanParams(maf=0.0, mac=4.0, missing=0.1, spa_pval=0.05)
 
     n_spa = BLOCK // SPA_FRAC
 
     @jax.jit
-    def scan_block(key, model):
+    def scan_block(key, pm, model):
         k0, k1, k2 = jax.random.split(key, 3)
-        af = jax.random.uniform(k0, (BLOCK, 1), minval=0.01, maxval=0.5,
-                                dtype=jnp.float32)
-        u1 = jax.random.uniform(k1, (BLOCK, N_SAMPLES), dtype=jnp.float32)
-        u2 = jax.random.uniform(k2, (BLOCK, N_SAMPLES), dtype=jnp.float32)
-        G = ((u1 < af).astype(jnp.float64) + (u2 < af).astype(jnp.float64))
-        stats = score_stats_binary(model, params, G)
+        # allele frequency quantized to 1/256: integer threshold compare
+        thr = jax.random.randint(k0, (BLOCK, 1), 3, 128,
+                                 dtype=jnp.int32).astype(jnp.uint8)
+        r1 = jax.random.bits(k1, (BLOCK, N_SAMPLES), jnp.uint8)
+        r2 = jax.random.bits(k2, (BLOCK, N_SAMPLES), jnp.uint8)
+        codes = ((r1 < thr).astype(jnp.int8) + (r2 < thr).astype(jnp.int8))
+        stats = score_stats_binary_packed(pm, params, codes)
         # gather the worst p-values into a compact SPA batch (fixed size)
         order = jnp.argsort(jnp.where(stats.need_spa, stats.pval, jnp.inf))
         take = order[:n_spa]
-        pval, conv, beta, se = spa_refine_binary(model, G[take])
+        Gf = codes[take].astype(jnp.float64)
+        pval, conv, beta, se = spa_refine_binary(model, Gf, mixed=True)
         return stats.pval, take, pval
 
     keys = jax.random.split(jax.random.PRNGKey(0), N_BLOCKS + 1)
-    jax.block_until_ready(scan_block(keys[-1], model))      # compile
+    jax.block_until_ready(scan_block(keys[-1], pm, model))      # compile
     t0 = time.perf_counter()
-    outs = [scan_block(k, model) for k in keys[:N_BLOCKS]]
+    outs = [scan_block(k, pm, model) for k in keys[:N_BLOCKS]]
     jax.block_until_ready(outs)
     tpu_vps = N_BLOCKS * BLOCK / (time.perf_counter() - t0)
 

@@ -25,10 +25,10 @@ from ..ops.score import (ScanParams, score_stats_binary, score_stats_quant,
 SPA_BATCH = 256  # compact SPA refinement batch size
 
 
-def _pad_block(G: np.ndarray, B: int) -> np.ndarray:
+def _pad_block(G: np.ndarray, B: int, fill=np.nan) -> np.ndarray:
     if G.shape[0] == B:
         return G
-    pad = np.full((B - G.shape[0], G.shape[1]), np.nan)
+    pad = np.full((B - G.shape[0], G.shape[1]), fill, dtype=G.dtype)
     return np.concatenate([G, pad], axis=0)
 
 
@@ -58,11 +58,20 @@ def assoc_spa(gdsfile, modobj: Union[NullModel, str],
     )
     binary = model.trait_type == "binary"
 
+    # packed fast path: integer genotype node + binary trait -> the int8
+    # codes are the only [B, N] operand (ops/score_packed.py)
+    packed = binary and config.use_packed and seq.has_genotype() \
+        and not config.dsnode and ii is None
+    if packed:
+        blocks = seq.iter_code_blocks(config.block_size,
+                                      variant_mask=variant_mask)
+    else:
+        blocks = seq.iter_dosage_blocks(config.block_size,
+                                        dsnode=config.dsnode,
+                                        variant_mask=variant_mask)
     df = _scan_blocks(scan_model, params, binary, config.block_size,
-                      seq.iter_dosage_blocks(config.block_size,
-                                             dsnode=config.dsnode,
-                                             variant_mask=variant_mask),
-                      mesh=mesh)
+                      blocks, mesh=mesh, packed=packed,
+                      spa_mixed=config.spa_mixed)
     idx = df.pop("__idx__").to_numpy()
 
     ref, alt = seq.ref_alt
@@ -120,14 +129,21 @@ def assoc_spa_user(geno_fn, n_variants: int, modobj: Union[NullModel, str],
 
 
 def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
-                 mesh=None) -> pd.DataFrame:
+                 mesh=None, packed: bool = False,
+                 spa_mixed: bool = False) -> pd.DataFrame:
     """Shared two-phase scan core: batched score kernel + compact SPA.
 
     With ``mesh``, each padded block is sharded over its variant axis and
     the model replicated — embarrassingly parallel, the mesh analog of the
     reference's ``seqParallel(split="by.variant")`` (R/assoc_single.r:202).
     """
-    kernel = score_stats_binary if binary else score_stats_quant
+    if packed:
+        from ..ops.score_packed import pack_scan_model, \
+            score_stats_binary_packed
+        pm = pack_scan_model(scan_model)
+        kernel = lambda _sm, p, codes: score_stats_binary_packed(pm, p, codes)
+    else:
+        kernel = score_stats_binary if binary else score_stats_quant
     if mesh is not None:
         from ..parallel.mesh import replicate, shard_variant_batch
         scan_model = replicate(mesh, scan_model)
@@ -138,8 +154,12 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
     spa_G, spa_rows = [], []  # flagged variants for phase-2 refinement
     row0 = 0
     for idx, G in block_iter:
-        G = np.asarray(G, np.float64)
-        Gp = _place(_pad_block(G, B))
+        if packed:
+            G = np.asarray(G, np.int8)
+            Gp = _place(_pad_block(G, B, fill=3))
+        else:
+            G = np.asarray(G, np.float64)
+            Gp = _place(_pad_block(G, B))
         res = kernel(scan_model, params, Gp)
         n = len(idx)
         valid = np.asarray(res.valid)[:n]
@@ -150,7 +170,10 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
         out["pval_noadj"] = out["pval"].copy()
         need = np.asarray(res.need_spa)[:n][valid]
         if need.any():
-            spa_G.append(G[valid][need])
+            Gf = G[valid][need]
+            if packed:
+                Gf = np.where(Gf == 3, np.nan, Gf).astype(np.float64)
+            spa_G.append(Gf)
             spa_rows.append(row0 + np.flatnonzero(need))
         outs.append(out)
         row0 += int(valid.sum())
@@ -172,7 +195,8 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
         rows = np.concatenate(spa_rows)
         for s in range(0, len(rows), SPA_BATCH):
             Gb = _place(_pad_block(Gs[s : s + SPA_BATCH], SPA_BATCH))
-            p, conv, b, e = spa_refine_binary(scan_model, Gb)
+            p, conv, b, e = spa_refine_binary(scan_model, Gb,
+                                              mixed=spa_mixed)
             m = len(rows[s : s + SPA_BATCH])
             r = rows[s : s + m]
             pval[r] = np.asarray(p)[:m]

@@ -42,6 +42,10 @@ class ScanConfig:
     spa_pval: float = 0.05        # run SPA when p_noadj below this
     var_ratio: float = float("nan")  # NaN = mean of model's var.ratio table
     dsnode: str = ""              # "" = auto-detect genotype vs DS
+    use_packed: bool = True       # int8-code fast path for genotype nodes
+    spa_mixed: bool = False       # f32+polish SPA root-finding (TPU fast
+                                  # mode; ~1e-4 agreement with the reference
+                                  # instead of bit-parity, more accurate root)
     block_size: int = 1024        # variants per device batch
 
 

@@ -98,6 +98,27 @@ class SeqData:
                 self._geno_cache = ds
         return self._geno_cache
 
+    def code_matrix(self) -> np.ndarray:
+        """Full [M, N] int8 ALT-dosage codes (3 = missing) via the fused
+        native 2-bit decode; only for files with a genotype node."""
+        if not hasattr(self, "_code_cache") or self._code_cache is None:
+            from .gds import read_bit2_dosage
+            self._code_cache = read_bit2_dosage(self._geno_node)
+        return self._code_cache
+
+    def iter_code_blocks(self, block_size: int,
+                         variant_mask: Optional[np.ndarray] = None
+                         ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yield (variant_indices, int8 code block [b, N])."""
+        codes = self.code_matrix()
+        idx_all = np.arange(self.n_variants)
+        if variant_mask is not None:
+            idx_all = idx_all[variant_mask]
+        for s in range(0, len(idx_all), block_size):
+            idx = idx_all[s : s + block_size]
+            if len(idx):
+                yield idx, codes[idx]
+
     def dosage_block(self, start: int, stop: int, dsnode: str = "") -> np.ndarray:
         """[stop-start, N] float64 ALT dosages with NaN for missing."""
         name = self.dosage_node_name(dsnode)

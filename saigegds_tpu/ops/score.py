@@ -119,8 +119,8 @@ def score_stats_binary(model: ScanModel, params: ScanParams, G):
                       pval=pval_noadj, need_spa=need_spa)
 
 
-@jax.jit
-def spa_refine_binary(model: ScanModel, G):
+@partial(jax.jit, static_argnames=("mixed",))
+def spa_refine_binary(model: ScanModel, G, mixed: bool = False):
     """Phase-2 SPA refinement for a compact batch of flagged variants.
 
     G: [Bs, N] raw dosages (NaN = missing) of variants that passed filters
@@ -143,7 +143,7 @@ def spa_refine_binary(model: ScanModel, G):
     pval, conv = saddle_prob_batch(
         jnp.where(live, qtilde, 0.0), jnp.where(live, m1, 0.0),
         jnp.where(live, var2, 1.0), jnp.where(live[:, None], g_norm, 0.0),
-        model.mu, nzmask, cutoff=2.0)
+        model.mu, nzmask, cutoff=2.0, mixed=mixed)
 
     beta = (Tstat / var1) / jnp.sqrt(ac2)
     beta = jnp.where(flip, -beta, beta)

@@ -1,0 +1,158 @@
+"""Exact packed-genotype score test: integer MXU matmuls, f64 statistics.
+
+The dense f64 score kernel (``ops/score.py``) materializes several [B, N]
+float64 intermediates per block (imputed dosages, flips, the adjusted
+genotype) — on TPU that is both the memory and the (emulated-f64) compute
+bottleneck.  This module reformulates phase 1 **algebraically** so the raw
+int8 genotype codes are the only [B, N]-sized operand:
+
+With per-variant missing mask ``m``, zero-filled dosages ``g0`` and
+hom-ALT indicator ``g2`` (all exact small integers derived from the codes),
+mean imputation and allele flip are affine maps ``g = s*(g0 + mean*m) + t``
+and the covariate adjustment ``L(v) = v - XXVX_inv (XV v)`` is linear, so
+(reference ``single_test_bin`` src/saige_main.cpp:279-407):
+
+    S   = r' L(g)                    -> contractions  r'g0, r'm, XV g0, XV m
+    var = sum W L(g)^2               -> adds  W'g0, W'm, W'g2, (X'W) g0,
+                                        (X'W) m  and the constant K x K
+                                        matrix  X'WX
+
+i.e. phase 1 for a whole block is ONE exact integer matmul
+``[G0; M; G2] @ V'`` where ``V`` stacks the 2K+3 model vectors
+(ones, r, W, XV rows, (W XXVX_inv) rows), decomposed into signed-7-bit
+slices exactly as in ``ops/packed_grm.py`` — bf16 MXU throughput, float64
+results, bit-parity with the dense kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .packed_grm import _i8_exact_dot
+from .score import ScanModel, ScanParams, ScoreStats
+from .special import pchisq1_sf, qnorm
+
+
+class PackedScanModel(NamedTuple):
+    """Precomputed model-side state for the packed score kernel."""
+
+    trait_binary: bool
+    tau: jnp.ndarray       # [2]
+    V: jnp.ndarray         # [2K+3, N] stacked model vectors (f64)
+    XWX: jnp.ndarray       # [K, K] = XXVX_inv' W XXVX_inv
+    wr: jnp.ndarray        # [K] = XXVX_inv' r
+    u3: jnp.ndarray        # [K] = XV @ 1
+    v3: jnp.ndarray        # [K] = XXVX_inv' W 1
+    sum_r: jnp.ndarray     # [] r' 1
+    sum_w: jnp.ndarray     # [] W' 1
+    var_ratio: float
+    n_cov: int             # K
+    # for SPA phase 2 and quantitative stats the dense model is still needed
+    dense: ScanModel
+
+
+def pack_scan_model(model: ScanModel) -> PackedScanModel:
+    """Build the packed-kernel state from a dense ScanModel."""
+    XV = np.asarray(model.XV)             # [K, N]
+    X = np.asarray(model.XXVX_inv)        # [N, K]
+    r = np.asarray(model.y_mu)            # [N]
+    W = np.asarray(model.mu2) if model.trait_binary \
+        else np.ones_like(np.asarray(model.mu))
+    K, N = XV.shape
+    WX = X * W[:, None]                   # [N, K]
+    V = np.concatenate([
+        np.ones((1, N)),                  # row 0: ones  -> ac / n_missing
+        r[None, :],                       # row 1
+        W[None, :],                       # row 2
+        XV,                               # rows 3 .. 3+K-1
+        WX.T,                             # rows 3+K .. 3+2K-1
+    ], axis=0)                            # [2K+3, N]
+    return PackedScanModel(
+        trait_binary=model.trait_binary,
+        tau=jnp.asarray(model.tau),
+        V=jnp.asarray(V),
+        XWX=jnp.asarray(X.T @ WX),
+        wr=jnp.asarray(X.T @ r),
+        u3=jnp.asarray(XV @ np.ones(N)),
+        v3=jnp.asarray(WX.T @ np.ones(N)),
+        sum_r=jnp.asarray(r.sum()),
+        sum_w=jnp.asarray(W.sum()),
+        var_ratio=model.var_ratio,
+        n_cov=K,
+        dense=model,
+    )
+
+
+@partial(jax.jit, static_argnames=("params",))
+def score_stats_binary_packed(pm: PackedScanModel, params: ScanParams, codes):
+    """Phase-1 binary score test from int8 codes [B, N] (3 = missing).
+
+    Bit-parity with ``score_stats_binary`` on integer-dosage data, at
+    integer-matmul cost.
+    """
+    B, N = codes.shape
+    K = (pm.V.shape[0] - 3) // 2    # static (from array shape, not the leaf)
+
+    g0 = jnp.where(codes == 3, 0, codes).astype(jnp.bfloat16)   # [B, N]
+    m = (codes == 3).astype(jnp.bfloat16)
+    g2 = (codes == 2).astype(jnp.bfloat16)
+    Gcat = jnp.concatenate([g0, m, g2], axis=0)                 # [3B, N]
+
+    # ONE exact integer contraction against all model vectors
+    Y = _i8_exact_dot(Gcat, pm.V.T, 8, contract_left=False)     # [3B, 2K+3]
+    Y0, Ym, Y2 = Y[:B], Y[B:2*B], Y[2*B:]
+
+    ac = Y0[:, 0]
+    n_miss = Ym[:, 0]
+    a1, a2 = Y0[:, 1], Ym[:, 1]               # r' g0, r' m
+    b3, b2 = Y0[:, 2], Ym[:, 2]               # W' g0, W' m
+    bg2 = Y2[:, 2]                            # W' g2
+    u1 = Y0[:, 3:3+K]                         # XV g0       [B, K]
+    u2 = Ym[:, 3:3+K]                         # XV m
+    v1 = Y0[:, 3+K:3+2*K]                     # (X'W) g0
+    v2 = Ym[:, 3+K:3+2*K]                     # (X'W) m
+
+    num = (N - n_miss)
+    af = ac / (2.0 * num)
+    mean = ac / num
+    flip = af > 0.5
+    mac = jnp.minimum(ac, 2.0 * num - ac)
+    maf = jnp.minimum(af, 1.0 - af)
+    miss_rate = n_miss / N
+    valid = (num > 0) & (maf > 0) & (maf >= params.maf) & \
+        (mac >= params.mac) & (miss_rate <= params.missing)
+
+    # affine map g = s*(g0 + mean*m) + t;  unflipped (1, 0), flipped (-1, 2)
+    s = jnp.where(flip, -1.0, 1.0)
+    t = jnp.where(flip, 2.0, 0.0)
+    tau_c = t / s                                        # 0 or -2
+
+    # S = r' L(g) = s*[ (a1 - wr.u1) + mean*(a2 - wr.u2) ] + t*(sum_r - wr.u3)
+    wr_u1 = u1 @ pm.wr
+    wr_u2 = u2 @ pm.wr
+    wr_u3 = jnp.dot(pm.u3, pm.wr)
+    S = s * ((a1 - wr_u1) + mean * (a2 - wr_u2)) + t * (pm.sum_r - wr_u3)
+
+    # var = sum W (q - X c)^2, q = g0 + mean*m + tau_c, c = u1+mean*u2+tau_c*u3
+    c = u1 + mean[:, None] * u2 + tau_c[:, None] * pm.u3[None, :]  # [B, K]
+    Wq2 = (b3 + 2.0 * bg2) + mean**2 * b2 + tau_c**2 * pm.sum_w \
+        + 2.0 * tau_c * b3 + 2.0 * tau_c * mean * b2
+    XWq = v1 + mean[:, None] * v2 + tau_c[:, None] * pm.v3[None, :]
+    var = Wq2 - 2.0 * jnp.sum(c * XWq, axis=1) \
+        + jnp.sum(c * (c @ pm.XWX.T), axis=1)
+
+    var1 = var * pm.var_ratio
+    pval_noadj = pchisq1_sf(S * S / var1)
+    beta = S / var1
+    beta = jnp.where(flip, -beta, beta)
+    se = jnp.abs(beta / qnorm(pval_noadj / 2.0))
+    need_spa = valid & jnp.isfinite(pval_noadj) & \
+        (pval_noadj <= params.spa_pval)
+
+    return ScoreStats(valid=valid, af=af, mac=mac, num=num, beta=beta, se=se,
+                      pval=pval_noadj, need_spa=need_spa)

@@ -61,15 +61,19 @@ def _cgf_terms(t, g, mu, mask):
     return K0, K1, K2
 
 
-def _getroot_K1(q, g, mu, mask, NAmu, NAsigma, g_pos, g_neg):
+def _getroot_K1(q, g, mu, mask, NAmu, NAsigma, g_pos, g_neg, skip=None):
     """Vectorized Newton root-find of K1(t) = q with jump damping.
 
     All args are [B] lanes except g/mu/mask [B, N].  Returns (root, converged).
     Mirrors ``getroot_K1_fast`` (src/SPATest.cpp:139-183); with NAmu=NAsigma=0
-    and a full mask it is the plain ``getroot_K1``.
+    and a full mask it is the plain ``getroot_K1``.  ``skip`` lanes are
+    treated as already finished (their root/conv outputs are garbage — the
+    caller selects away from them).
     """
     B = q.shape[0]
     out_of_range = (q >= g_pos) | (q <= g_neg)
+    if skip is not None:
+        out_of_range = out_of_range | skip
 
     def k1_adj(t):
         _, K1, _ = _cgf_terms(t, g, mu, mask)
@@ -79,12 +83,12 @@ def _getroot_K1(q, g, mu, mask, NAmu, NAsigma, g_pos, g_neg):
         _, _, K2 = _cgf_terms(t, g, mu, mask)
         return K2 + NAsigma
 
-    t0 = jnp.zeros(B)
+    t0 = jnp.zeros(B, q.dtype)
     state = dict(
         t=t0,
         root=t0,
         K1=k1_adj(t0),
-        prevJump=jnp.full(B, jnp.inf),
+        prevJump=jnp.full(B, jnp.inf, q.dtype),
         conv=jnp.zeros(B, bool),
         done=out_of_range,  # lanes finished (or never started)
         it=jnp.zeros((), jnp.int32),
@@ -135,6 +139,42 @@ def _getroot_K1(q, g, mu, mask, NAmu, NAsigma, g_pos, g_neg):
     return root, conv
 
 
+def _getroot_mixed(q, g, mu, mask, NAmu, NAsigma, g_pos, g_neg):
+    """f32 Newton loop + f64 escalation + 2-step f64 polish.
+
+    On TPU float64 is software-emulated, and the root loop evaluates the
+    CGF over [B, N] every iteration.  The damped Newton iteration runs in
+    float32 (the reference's tolerance eps^0.25 ~ 1.2e-4 is far above f32
+    precision); lanes that fail in f32 (overflow at extreme roots) rerun
+    in the exact f64 loop; finally every converged root gets two f64
+    Newton steps, whose quadratic convergence restores full f64 accuracy
+    (~1e-12).  Semantics (converged flags, damping path) match the f64
+    loop."""
+    f32 = lambda x: x.astype(jnp.float32)
+    root32, conv32 = _getroot_K1(f32(q), f32(g), f32(mu), mask,
+                                 f32(NAmu), f32(NAsigma),
+                                 f32(g_pos), f32(g_neg))
+    root = root32.astype(jnp.float64)
+    # exact f64 loop only for lanes the f32 loop failed (exits immediately
+    # when none are active)
+    need64 = ~conv32
+    root64, conv64 = _getroot_K1(q, g, mu, mask, NAmu, NAsigma,
+                                 g_pos, g_neg, skip=conv32)
+    root = jnp.where(need64, root64, root)
+    conv = conv32 | (need64 & conv64)
+
+    # two f64 Newton polish steps on finite converged roots
+    finite = jnp.isfinite(root) & conv
+    t = jnp.where(finite, root, 0.0)
+    for _ in range(2):
+        _, K1v, K2v = _cgf_terms(t, g, mu, mask)
+        step = (K1v + NAmu + NAsigma * t - q) / (K2v + NAsigma)
+        t_new = t - step
+        t = jnp.where(finite & jnp.isfinite(t_new), t_new, t)
+    root = jnp.where(finite, t, root)
+    return root, conv
+
+
 def _saddle_prob(t, g, mu, mask, NAmu, NAsigma, q):
     """|one-sided saddlepoint tail probability| for root t (0 if invalid)."""
     K0, _, K2v = _cgf_terms(t, g, mu, mask)
@@ -148,7 +188,7 @@ def _saddle_prob(t, g, mu, mask, NAmu, NAsigma, q):
     return jnp.where(ok, jnp.abs(pval), 0.0)
 
 
-def saddle_prob_batch(q, m1, var2, g, mu, mask, cutoff=2.0):
+def saddle_prob_batch(q, m1, var2, g, mu, mask, cutoff=2.0, mixed=False):
     """Batched Saddle_Prob_Fast / Saddle_Prob.
 
     Parameters
@@ -160,6 +200,11 @@ def saddle_prob_batch(q, m1, var2, g, mu, mask, cutoff=2.0):
         folded into the Gaussian NAmu/NAsigma remainder.  Pass all-True for
         the full (non-fast) method.
     cutoff : initial std-dev cutoff (the scan uses 2.0)
+    mixed : False replays the reference's f64 Newton iteration bit-for-bit
+        (golden parity).  True runs the loop in f32 + two f64 polish steps —
+        several times faster where f64 is emulated (TPU); the polished root
+        is *more* accurate than the reference's tol-1.2e-4 stopping point,
+        so p-values agree with the reference only to ~1e-4.
 
     Returns (pval, converged) each [B].
     """
@@ -177,8 +222,9 @@ def saddle_prob_batch(q, m1, var2, g, mu, mask, cutoff=2.0):
     g_pos = jnp.sum(jnp.where(g > 0, g, 0.0), axis=1)
     g_neg = jnp.sum(jnp.where(g < 0, g, 0.0), axis=1)
 
-    root1, conv1 = _getroot_K1(q, g, mu, mask, NAmu, NAsigma, g_pos, g_neg)
-    root2, conv2 = _getroot_K1(qinv, g, mu, mask, NAmu, NAsigma, g_pos, g_neg)
+    rootfn = _getroot_mixed if mixed else _getroot_K1
+    root1, conv1 = rootfn(q, g, mu, mask, NAmu, NAsigma, g_pos, g_neg)
+    root2, conv2 = rootfn(qinv, g, mu, mask, NAmu, NAsigma, g_pos, g_neg)
     p1 = _saddle_prob(root1, g, mu, mask, NAmu, NAsigma, q)
     p2 = _saddle_prob(root2, g, mu, mask, NAmu, NAsigma, qinv)
     spa = p1 + p2

@@ -64,3 +64,20 @@ def test_scan_column_names(binary_scan):
     assert list(df.columns) == ["id", "chr", "pos", "rs.id", "ref", "alt",
                                 "AF.alt", "mac", "num", "beta", "SE", "pval",
                                 "p.norm", "converged"]
+
+
+def test_spa_mixed_mode_close():
+    """spa_mixed=True agrees with the exact mode to ~1e-4 with equal flags."""
+    import saigegds_tpu as st
+    from saigegds_tpu.config import ScanConfig
+    import numpy as np
+
+    gds = "/root/reference/inst/extdata/grm1k_10k_snp.gds"
+    model = "/root/reference/inst/unitTests/saige_model.rds"
+    exact = st.assoc_spa(gds, model, ScanConfig(mac=4))
+    mixed = st.assoc_spa(gds, model, ScanConfig(mac=4, spa_mixed=True))
+    np.testing.assert_array_equal(mixed["converged"].to_numpy(),
+                                  exact["converged"].to_numpy())
+    rel = np.abs(mixed["pval"].to_numpy() - exact["pval"].to_numpy()) \
+        / np.maximum(exact["pval"].to_numpy(), 1e-300)
+    assert np.nanmax(rel) < 1e-3

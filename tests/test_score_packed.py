@@ -1,0 +1,60 @@
+"""Packed integer score kernel: parity with the dense f64 kernel."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from saigegds_tpu.io.seqarray import SeqData
+from saigegds_tpu.models.nullmodel import NullModel
+from saigegds_tpu.ops.score import ScanParams, score_stats_binary
+from saigegds_tpu.ops.score_packed import (pack_scan_model,
+                                           score_stats_binary_packed)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = NullModel.load("/root/reference/inst/unitTests/saige_model.rds")
+    seq = SeqData("/root/reference/inst/extdata/grm1k_10k_snp.gds")
+    sm = model.scan_model()
+    return seq, sm, pack_scan_model(sm)
+
+
+@pytest.mark.parametrize("start,stop", [(0, 512), (512, 1024), (9488, 10000)])
+def test_packed_matches_dense(setup, start, stop):
+    seq, sm, pm = setup
+    params = ScanParams(maf=-1.0, mac=4.0, missing=0.1, spa_pval=0.05)
+    G = seq.dosage_block(start, stop)                 # f64 with NaN
+    codes = np.where(np.isnan(G), 3, G).astype(np.int8)
+
+    want = score_stats_binary(sm, params, jnp.asarray(G))
+    got = score_stats_binary_packed(pm, params, jnp.asarray(codes))
+
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(want.valid))
+    np.testing.assert_array_equal(np.asarray(got.need_spa),
+                                  np.asarray(want.need_spa))
+    for f in ("af", "mac", "num"):
+        np.testing.assert_allclose(np.asarray(getattr(got, f)),
+                                   np.asarray(getattr(want, f)), rtol=1e-14)
+    v = np.asarray(want.valid)
+    for f in ("beta", "se", "pval"):
+        a = np.asarray(getattr(got, f))[v]
+        b = np.asarray(getattr(want, f))[v]
+        np.testing.assert_allclose(a, b, rtol=1e-10, err_msg=f)
+
+
+def test_packed_all_missing_variant(setup):
+    _, sm, pm = setup
+    params = ScanParams(maf=-1.0, mac=4.0, missing=0.1, spa_pval=0.05)
+    codes = np.full((4, sm.y.shape[0]), 3, dtype=np.int8)
+    codes[1] = 1      # all-het (af = 0.5)
+    codes[2] = 0      # monomorphic REF
+    codes[3, :10] = 2
+    got = score_stats_binary_packed(pm, params, jnp.asarray(codes))
+    G = codes.astype(np.float64)
+    G[codes == 3] = np.nan
+    want = score_stats_binary(sm, params, jnp.asarray(G))
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(want.valid))
+    assert not bool(np.asarray(got.valid)[0])   # all-missing -> invalid
+    assert not bool(np.asarray(got.valid)[2])   # monomorphic -> maf 0
