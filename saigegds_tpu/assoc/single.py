@@ -71,7 +71,8 @@ def assoc_spa(gdsfile, modobj: Union[NullModel, str],
                                         variant_mask=variant_mask)
     df = _scan_blocks(scan_model, params, binary, config.block_size,
                       blocks, mesh=mesh, packed=packed,
-                      spa_mixed=config.spa_mixed)
+                      spa_mixed=config.spa_mixed,
+                      spa_compact=config.spa_compact)
     idx = df.pop("__idx__").to_numpy()
 
     ref, alt = seq.ref_alt
@@ -130,7 +131,8 @@ def assoc_spa_user(geno_fn, n_variants: int, modobj: Union[NullModel, str],
 
 def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
                  mesh=None, packed: bool = False,
-                 spa_mixed: bool = False) -> pd.DataFrame:
+                 spa_mixed: bool = False,
+                 spa_compact: bool = True) -> pd.DataFrame:
     """Shared two-phase scan core: batched score kernel + compact SPA.
 
     With ``mesh``, each padded block is sharded over its variant axis and
@@ -138,10 +140,13 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
     reference's ``seqParallel(split="by.variant")`` (R/assoc_single.r:202).
     """
     if packed:
+        from ..ops.pallas_score import pallas_available
         from ..ops.score_packed import pack_scan_model, \
             score_stats_binary_packed
         pm = pack_scan_model(scan_model)
-        kernel = lambda _sm, p, codes: score_stats_binary_packed(pm, p, codes)
+        impl = "pallas" if pallas_available() else "xla"
+        kernel = lambda _sm, p, codes: score_stats_binary_packed(
+            pm, p, codes, impl=impl)
     else:
         kernel = score_stats_binary if binary else score_stats_quant
     if mesh is not None:
@@ -194,9 +199,11 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
         Gs = np.concatenate(spa_G, axis=0)
         rows = np.concatenate(spa_rows)
         for s in range(0, len(rows), SPA_BATCH):
-            Gb = _place(_pad_block(Gs[s : s + SPA_BATCH], SPA_BATCH))
+            Gi = Gs[s : s + SPA_BATCH]
+            cap = _spa_cap(Gi) if spa_compact else 0
+            Gb = _place(_pad_block(Gi, SPA_BATCH))
             p, conv, b, e = spa_refine_binary(scan_model, Gb,
-                                              mixed=spa_mixed)
+                                              mixed=spa_mixed, cap=cap)
             m = len(rows[s : s + SPA_BATCH])
             r = rows[s : s + m]
             pval[r] = np.asarray(p)[:m]
@@ -217,6 +224,21 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
         tab["p.norm"] = pval_noadj
         tab["converged"] = converged.astype(bool)
     return pd.DataFrame(tab)
+
+
+def _spa_cap(Gi: np.ndarray) -> int:
+    """Power-of-two bucket covering the batch's max nonzero count after
+    imputation + flip (so compaction is exact); 0 disables compaction."""
+    isnan = np.isnan(Gi)
+    num = (~isnan).sum(axis=1)
+    ac = np.where(isnan, 0.0, Gi).sum(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        af = ac / (2 * num)
+        g = np.where(isnan, (ac / np.maximum(num, 1))[:, None], Gi)
+    g = np.where((af > 0.5)[:, None], 2.0 - g, g)
+    nnz_max = int(np.nan_to_num(g != 0).sum(axis=1).max(initial=0))
+    cap = 1 << max(10, int(nnz_max - 1).bit_length())
+    return 0 if cap >= 0.75 * Gi.shape[1] else cap
 
 
 def _match_samples(gds_samples, model_samples) -> Optional[np.ndarray]:

@@ -43,6 +43,8 @@ class ScanConfig:
     var_ratio: float = float("nan")  # NaN = mean of model's var.ratio table
     dsnode: str = ""              # "" = auto-detect genotype vs DS
     use_packed: bool = True       # int8-code fast path for genotype nodes
+    spa_compact: bool = True      # gather nonzero lanes before the SPA
+                                  # CGF loops (exact; big win for rare vars)
     spa_mixed: bool = False       # f32+polish SPA root-finding (TPU fast
                                   # mode; ~1e-4 agreement with the reference
                                   # instead of bit-parity, more accurate root)

@@ -150,15 +150,15 @@ def _i8_exact_dot(A_bf16, x, n_slices: int, contract_left: bool):
     if n_chunks <= 1:
         acc = jnp.dot(A, dmat, preferred_element_type=jnp.float32)
     else:
-        pad = n_chunks * EXACT_CHUNK - K
-        Ap = jnp.pad(A, ((0, 0), (0, pad)))
-        dp = jnp.pad(dmat, ((0, pad), (0, 0)))
-        Ab = Ap.reshape(out_rows, n_chunks, EXACT_CHUNK).transpose(1, 0, 2)
-        db = dp.reshape(n_chunks, EXACT_CHUNK, R * S)
-        part = jax.lax.dot_general(
-            Ab, db, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)     # [n_chunks, out, R*S]
-        acc = jnp.sum(part.astype(jnp.float64), axis=0)
+        # column-slice dots (no pad/transpose copies): each partial is an
+        # exact integer in f32, combined exactly in f64
+        acc = None
+        for c in range(n_chunks):
+            s0, s1 = c * EXACT_CHUNK, min((c + 1) * EXACT_CHUNK, K)
+            part = jnp.dot(A[:, s0:s1], dmat[s0:s1],
+                           preferred_element_type=jnp.float32)
+            part = part.astype(jnp.float64)
+            acc = part if acc is None else acc + part
     acc = acc.reshape(out_rows, R, S).astype(jnp.float64)
     w = scale[None, :, None] / 64.0 \
         * (1.0 / 128.0) ** jnp.arange(S, dtype=jnp.float64)[None, None, :]

@@ -119,8 +119,9 @@ def score_stats_binary(model: ScanModel, params: ScanParams, G):
                       pval=pval_noadj, need_spa=need_spa)
 
 
-@partial(jax.jit, static_argnames=("mixed",))
-def spa_refine_binary(model: ScanModel, G, mixed: bool = False):
+@partial(jax.jit, static_argnames=("mixed", "cap"))
+def spa_refine_binary(model: ScanModel, G, mixed: bool = False,
+                      cap: int = 0):
     """Phase-2 SPA refinement for a compact batch of flagged variants.
 
     G: [Bs, N] raw dosages (NaN = missing) of variants that passed filters
@@ -140,10 +141,30 @@ def spa_refine_binary(model: ScanModel, G, mixed: bool = False):
 
     live = num > 0  # padding lanes are all-NaN -> num == 0
     nzmask = (g != 0.0) & live[:, None]
-    pval, conv = saddle_prob_batch(
-        jnp.where(live, qtilde, 0.0), jnp.where(live, m1, 0.0),
-        jnp.where(live, var2, 1.0), jnp.where(live[:, None], g_norm, 0.0),
-        model.mu, nzmask, cutoff=2.0, mixed=mixed)
+    q_ = jnp.where(live, qtilde, 0.0)
+    m1_ = jnp.where(live, m1, 0.0)
+    v2_ = jnp.where(live, var2, 1.0)
+    gn_ = jnp.where(live[:, None], g_norm, 0.0)
+    if cap and cap < G.shape[1]:
+        # rare-variant compaction (the TPU analog of Saddle_Prob_Fast's
+        # nonzero-index gather, src/SPATest.cpp:299-374): the CGF loops run
+        # over the top-`cap` nonzero lanes only.  Exact when cap >= max nnz
+        # of the batch (the caller buckets cap accordingly); lanes beyond
+        # cap would fold into the Gaussian remainder.
+        keys = jnp.where(nzmask, jnp.abs(gn_), 0.0).astype(jnp.float32)
+        _, idx = jax.lax.top_k(keys, cap)                    # [Bs, cap]
+        gl = jnp.take_along_axis(gn_, idx, axis=1)
+        ml = jnp.take_along_axis(nzmask, idx, axis=1)
+        mul = jnp.broadcast_to(model.mu[None, :], gn_.shape)
+        mul = jnp.take_along_axis(mul, idx, axis=1)
+        # range bounds must still use the FULL vector
+        pval, conv = saddle_prob_batch(
+            q_, m1_, v2_, gl, mul, ml, cutoff=2.0, mixed=mixed,
+            g_bounds=(jnp.sum(jnp.where(gn_ > 0, gn_, 0.0), axis=1),
+                      jnp.sum(jnp.where(gn_ < 0, gn_, 0.0), axis=1)))
+    else:
+        pval, conv = saddle_prob_batch(
+            q_, m1_, v2_, gn_, model.mu, nzmask, cutoff=2.0, mixed=mixed)
 
     beta = (Tstat / var1) / jnp.sqrt(ac2)
     beta = jnp.where(flip, -beta, beta)

@@ -33,9 +33,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .packed_grm import _i8_exact_dot
+from .packed_grm import _i8_exact_dot, _slice_i8
 from .score import ScanModel, ScanParams, ScoreStats
 from .special import pchisq1_sf, qnorm
+
+N_SLICES = 8
 
 
 class PackedScanModel(NamedTuple):
@@ -52,6 +54,8 @@ class PackedScanModel(NamedTuple):
     sum_w: jnp.ndarray     # [] W' 1
     var_ratio: float
     n_cov: int             # K
+    vs: jnp.ndarray        # [N, Cpad] bf16 sliced V (Pallas kernel operand)
+    wts: jnp.ndarray       # [2K+3, S] f64 slice combine weights
     # for SPA phase 2 and quantitative stats the dense model is still needed
     dense: ScanModel
 
@@ -72,6 +76,16 @@ def pack_scan_model(model: ScanModel) -> PackedScanModel:
         XV,                               # rows 3 .. 3+K-1
         WX.T,                             # rows 3+K .. 3+2K-1
     ], axis=0)                            # [2K+3, N]
+    # bake the signed-7-bit slice decomposition for the Pallas kernel:
+    # V' ~ scale * sum_s d_s / (64 * 128^s)   (ops/packed_grm._slice_i8)
+    d, scale = _slice_i8(jnp.asarray(V.T), N_SLICES)      # [N, R, S], [R]
+    R = V.shape[0]
+    C = R * N_SLICES
+    Cpad = -(-C // 128) * 128
+    vs = jnp.asarray(d).reshape(N, C).astype(jnp.bfloat16)
+    vs = jnp.pad(vs, ((0, 0), (0, Cpad - C)))
+    wts = np.asarray(scale)[:, None] / 64.0 \
+        * (1.0 / 128.0) ** np.arange(N_SLICES)[None, :]
     return PackedScanModel(
         trait_binary=model.trait_binary,
         tau=jnp.asarray(model.tau),
@@ -84,28 +98,43 @@ def pack_scan_model(model: ScanModel) -> PackedScanModel:
         sum_w=jnp.asarray(W.sum()),
         var_ratio=model.var_ratio,
         n_cov=K,
+        vs=vs,
+        wts=jnp.asarray(wts),
         dense=model,
     )
 
 
-@partial(jax.jit, static_argnames=("params",))
-def score_stats_binary_packed(pm: PackedScanModel, params: ScanParams, codes):
+@partial(jax.jit, static_argnames=("params", "impl"))
+def score_stats_binary_packed(pm: PackedScanModel, params: ScanParams, codes,
+                              impl: str = "xla"):
     """Phase-1 binary score test from int8 codes [B, N] (3 = missing).
 
     Bit-parity with ``score_stats_binary`` on integer-dosage data, at
-    integer-matmul cost.
+    integer-matmul cost.  ``impl="pallas"`` fuses the indicator decode into
+    the contraction kernel (one HBM pass over the 1-byte codes);
+    ``"xla"`` is the portable formulation.
     """
     B, N = codes.shape
     K = (pm.V.shape[0] - 3) // 2    # static (from array shape, not the leaf)
+    R = pm.V.shape[0]
 
-    g0 = jnp.where(codes == 3, 0, codes).astype(jnp.bfloat16)   # [B, N]
-    m = (codes == 3).astype(jnp.bfloat16)
-    g2 = (codes == 2).astype(jnp.bfloat16)
-    Gcat = jnp.concatenate([g0, m, g2], axis=0)                 # [3B, N]
-
-    # ONE exact integer contraction against all model vectors
-    Y = _i8_exact_dot(Gcat, pm.V.T, 8, contract_left=False)     # [3B, 2K+3]
-    Y0, Ym, Y2 = Y[:B], Y[B:2*B], Y[2*B:]
+    if impl == "pallas" or impl == "pallas_interpret":
+        from .pallas_score import indicator_dot
+        Y3 = indicator_dot(codes, pm.vs,
+                           interpret=(impl == "pallas_interpret"))
+        Y3 = Y3[:, :, :R * N_SLICES].reshape(B, 3, R, N_SLICES)
+        Y3 = jnp.einsum("bgrs,rs->bgr", Y3, pm.wts)    # [B, 3, R]
+        Y0, Ym, Y2 = Y3[:, 0], Y3[:, 1], Y3[:, 2]
+    elif impl == "xla":
+        g0 = jnp.where(codes == 3, 0, codes).astype(jnp.bfloat16)   # [B, N]
+        m = (codes == 3).astype(jnp.bfloat16)
+        g2 = (codes == 2).astype(jnp.bfloat16)
+        Gcat = jnp.concatenate([g0, m, g2], axis=0)                 # [3B, N]
+        # ONE exact integer contraction against all model vectors
+        Y = _i8_exact_dot(Gcat, pm.V.T, 8, contract_left=False)     # [3B, R]
+        Y0, Ym, Y2 = Y[:B], Y[B:2*B], Y[2*B:]
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
 
     ac = Y0[:, 0]
     n_miss = Ym[:, 0]

@@ -188,7 +188,8 @@ def _saddle_prob(t, g, mu, mask, NAmu, NAsigma, q):
     return jnp.where(ok, jnp.abs(pval), 0.0)
 
 
-def saddle_prob_batch(q, m1, var2, g, mu, mask, cutoff=2.0, mixed=False):
+def saddle_prob_batch(q, m1, var2, g, mu, mask, cutoff=2.0, mixed=False,
+                      g_bounds=None):
     """Batched Saddle_Prob_Fast / Saddle_Prob.
 
     Parameters
@@ -218,9 +219,13 @@ def saddle_prob_batch(q, m1, var2, g, mu, mask, cutoff=2.0, mixed=False):
     NAmu = m1 - jnp.sum(gm * mu * mask, axis=1)
     NAsigma = var2 - jnp.sum(gm * gm * mu * (1.0 - mu) * mask, axis=1)
     # range bounds use the FULL adjusted genotype vector, not only the
-    # exact-CGF subset (reference src/SPATest.cpp:325-331 sums over n_g)
-    g_pos = jnp.sum(jnp.where(g > 0, g, 0.0), axis=1)
-    g_neg = jnp.sum(jnp.where(g < 0, g, 0.0), axis=1)
+    # exact-CGF subset (reference src/SPATest.cpp:325-331 sums over n_g);
+    # compacted callers pass them explicitly
+    if g_bounds is not None:
+        g_pos, g_neg = g_bounds
+    else:
+        g_pos = jnp.sum(jnp.where(g > 0, g, 0.0), axis=1)
+        g_neg = jnp.sum(jnp.where(g < 0, g, 0.0), axis=1)
 
     rootfn = _getroot_mixed if mixed else _getroot_K1
     root1, conv1 = rootfn(q, g, mu, mask, NAmu, NAsigma, g_pos, g_neg)

@@ -58,3 +58,20 @@ def test_packed_all_missing_variant(setup):
                                   np.asarray(want.valid))
     assert not bool(np.asarray(got.valid)[0])   # all-missing -> invalid
     assert not bool(np.asarray(got.valid)[2])   # monomorphic -> maf 0
+
+
+def test_pallas_impl_matches_xla(setup):
+    """interpret-mode Pallas kernel == XLA formulation."""
+    seq, sm, pm = setup
+    params = ScanParams(maf=-1.0, mac=4.0, missing=0.1, spa_pval=0.05)
+    G = seq.dosage_block(0, 300)
+    codes = np.where(np.isnan(G), 3, G).astype(np.int8)
+    want = score_stats_binary_packed(pm, params, jnp.asarray(codes))
+    got = score_stats_binary_packed(pm, params, jnp.asarray(codes),
+                                    impl="pallas_interpret")
+    v = np.asarray(want.valid)
+    np.testing.assert_array_equal(np.asarray(got.valid), v)
+    for f in ("beta", "se", "pval"):
+        np.testing.assert_allclose(np.asarray(getattr(got, f))[v],
+                                   np.asarray(getattr(want, f))[v],
+                                   rtol=1e-10, err_msg=f)
