@@ -130,7 +130,11 @@ def gxg_spa(formula: str, data: pd.DataFrame, gds_grm, snp_pair,
         rng = RRandom(cfg.seed)
         sel = np.sort(rng.sample_int(codes.shape[0], cfg.max_num_snp) - 1)
         codes = codes[sel]
-    grm = build_grm(codes)
+    if cfg.grm_impl == "packed":
+        from ..ops.packed_grm import build_packed_grm
+        grm = build_packed_grm(codes)
+    else:
+        grm = build_grm(codes)
 
     y = data[resp].to_numpy(np.float64)
     ori_X, _ = _model_matrix(data, covs)

@@ -58,9 +58,9 @@ def assoc_spa(gdsfile, modobj: Union[NullModel, str],
     )
     binary = model.trait_type == "binary"
 
-    # packed fast path: integer genotype node + binary trait -> the int8
-    # codes are the only [B, N] operand (ops/score_packed.py)
-    packed = binary and config.use_packed and seq.has_genotype() \
+    # packed fast path: integer genotype node -> the int8 codes are the
+    # only [B, N] operand (ops/score_packed.py)
+    packed = config.use_packed and seq.has_genotype() \
         and not config.dsnode and ii is None
     if packed:
         blocks = seq.iter_code_blocks(config.block_size,
@@ -141,12 +141,13 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
     """
     if packed:
         from ..ops.pallas_score import pallas_available
-        from ..ops.score_packed import pack_scan_model, \
-            score_stats_binary_packed
+        from ..ops.score_packed import (pack_scan_model,
+                                        score_stats_binary_packed,
+                                        score_stats_quant_packed)
         pm = pack_scan_model(scan_model)
         impl = "pallas" if pallas_available() else "xla"
-        kernel = lambda _sm, p, codes: score_stats_binary_packed(
-            pm, p, codes, impl=impl)
+        pk = score_stats_binary_packed if binary else score_stats_quant_packed
+        kernel = lambda _sm, p, codes: pk(pm, p, codes, impl=impl)
     else:
         kernel = score_stats_binary if binary else score_stats_quant
     if mesh is not None:

@@ -104,16 +104,9 @@ def pack_scan_model(model: ScanModel) -> PackedScanModel:
     )
 
 
-@partial(jax.jit, static_argnames=("params", "impl"))
-def score_stats_binary_packed(pm: PackedScanModel, params: ScanParams, codes,
-                              impl: str = "xla"):
-    """Phase-1 binary score test from int8 codes [B, N] (3 = missing).
-
-    Bit-parity with ``score_stats_binary`` on integer-dosage data, at
-    integer-matmul cost.  ``impl="pallas"`` fuses the indicator decode into
-    the contraction kernel (one HBM pass over the 1-byte codes);
-    ``"xla"`` is the portable formulation.
-    """
+def _packed_phase1(pm: PackedScanModel, params: ScanParams, codes,
+                   impl: str):
+    """Shared contraction + per-variant moment algebra for both traits."""
     B, N = codes.shape
     K = (pm.V.shape[0] - 3) // 2    # static (from array shape, not the leaf)
     R = pm.V.shape[0]
@@ -175,13 +168,51 @@ def score_stats_binary_packed(pm: PackedScanModel, params: ScanParams, codes,
     var = Wq2 - 2.0 * jnp.sum(c * XWq, axis=1) \
         + jnp.sum(c * (c @ pm.XWX.T), axis=1)
 
+    return dict(valid=valid, af=af, mac=mac, num=num, flip=flip,
+                S=S, var=var)
+
+
+@partial(jax.jit, static_argnames=("params", "impl"))
+def score_stats_binary_packed(pm: PackedScanModel, params: ScanParams, codes,
+                              impl: str = "xla"):
+    """Phase-1 binary score test from int8 codes [B, N] (3 = missing).
+
+    Bit-parity with ``score_stats_binary`` on integer-dosage data, at
+    integer-matmul cost.  ``impl="pallas"`` fuses the indicator decode into
+    the contraction kernel (one HBM pass over the 1-byte codes);
+    ``"xla"`` is the portable formulation.
+    """
+    m = _packed_phase1(pm, params, codes, impl)
+    S, var, flip = m["S"], m["var"], m["flip"]
     var1 = var * pm.var_ratio
     pval_noadj = pchisq1_sf(S * S / var1)
     beta = S / var1
     beta = jnp.where(flip, -beta, beta)
     se = jnp.abs(beta / qnorm(pval_noadj / 2.0))
-    need_spa = valid & jnp.isfinite(pval_noadj) & \
+    need_spa = m["valid"] & jnp.isfinite(pval_noadj) & \
         (pval_noadj <= params.spa_pval)
-
-    return ScoreStats(valid=valid, af=af, mac=mac, num=num, beta=beta, se=se,
+    return ScoreStats(valid=m["valid"], af=m["af"], mac=m["mac"],
+                      num=m["num"], beta=beta, se=se,
                       pval=pval_noadj, need_spa=need_spa)
+
+
+@partial(jax.jit, static_argnames=("params", "impl"))
+def score_stats_quant_packed(pm: PackedScanModel, params: ScanParams, codes,
+                             impl: str = "xla"):
+    """Phase-1 quantitative score test from int8 codes (no SPA).
+
+    ``pack_scan_model`` uses W = 1 for quantitative models, so ``var`` is
+    sum g_tilde^2 (single_test_quant, src/saige_main.cpp:189-276)."""
+    m = _packed_phase1(pm, params, codes, impl)
+    S, var, flip, mac = m["S"], m["var"], m["flip"], m["mac"]
+    inv_mac = 1.0 / mac
+    inv_sqrt_mac = jnp.sqrt(inv_mac)
+    var1 = var * inv_mac * pm.var_ratio
+    Tstat = S * inv_sqrt_mac / pm.tau[0]
+    pval = pchisq1_sf(Tstat * Tstat / var1)
+    beta = Tstat / var1 * inv_sqrt_mac
+    beta = jnp.where(flip, -beta, beta)
+    se = jnp.abs(beta / qnorm(pval / 2.0))
+    return ScoreStats(valid=m["valid"], af=m["af"], mac=mac, num=m["num"],
+                      beta=beta, se=se, pval=pval,
+                      need_spa=jnp.zeros_like(m["valid"]))

@@ -75,3 +75,25 @@ def test_pallas_impl_matches_xla(setup):
         np.testing.assert_allclose(np.asarray(getattr(got, f))[v],
                                    np.asarray(getattr(want, f))[v],
                                    rtol=1e-10, err_msg=f)
+
+
+def test_quant_packed_matches_dense():
+    from saigegds_tpu.ops.score import score_stats_quant
+    from saigegds_tpu.ops.score_packed import score_stats_quant_packed
+
+    model = NullModel.load(
+        "/root/reference/inst/unitTests/saige_model_quant.rds")
+    seq = SeqData("/root/reference/inst/extdata/grm1k_10k_snp.gds")
+    sm = model.scan_model()
+    pm = pack_scan_model(sm)
+    params = ScanParams(maf=-1.0, mac=4.0, missing=0.1, spa_pval=0.05)
+    G = seq.dosage_block(100, 600)
+    codes = np.where(np.isnan(G), 3, G).astype(np.int8)
+    want = score_stats_quant(sm, params, jnp.asarray(G))
+    got = score_stats_quant_packed(pm, params, jnp.asarray(codes))
+    v = np.asarray(want.valid)
+    np.testing.assert_array_equal(np.asarray(got.valid), v)
+    for f in ("beta", "se", "pval"):
+        np.testing.assert_allclose(np.asarray(getattr(got, f))[v],
+                                   np.asarray(getattr(want, f))[v],
+                                   rtol=1e-10, err_msg=f)
