@@ -257,9 +257,16 @@ def _match_samples(gds_samples, model_samples) -> Optional[np.ndarray]:
     return ii
 
 
-def save_assoc(df: pd.DataFrame, path: str):
-    """Save results (parquet / csv / tsv by extension)."""
-    if path.endswith(".parquet"):
+def save_assoc(df: pd.DataFrame, path: str, file_format: str = "SAIGE_OUTPUT"):
+    """Save results (gds / parquet / csv / tsv by extension).
+
+    ``.gds`` writes the reference's SAIGE_OUTPUT container
+    (R/assoc_single.r:242-333), readable by ``load_pval`` and the R
+    package's ``seqSAIGE_LoadPval``."""
+    if path.endswith(".gds"):
+        from ..io.gds_write import save_assoc_gds
+        save_assoc_gds(df, path, file_format=file_format)
+    elif path.endswith(".parquet"):
         df.to_parquet(path)
     elif path.endswith(".csv") or path.endswith(".csv.gz"):
         df.to_csv(path, index=False)

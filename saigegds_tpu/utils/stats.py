@@ -62,15 +62,34 @@ def load_pval(files: Union[str, Sequence[str]], columns=None) -> pd.DataFrame:
         files = [files]
     parts = []
     for fn in files:
-        if fn.endswith(".rds") or fn.endswith(".rda") or fn.endswith(".RData"):
+        low = fn.lower()
+        if low.endswith(".rds") or low.endswith(".rda") or \
+                low.endswith(".rdata"):
             from ..io.rds import read_rds, strip, RObject
             obj = read_rds(fn)
             names = obj.names
             data = {k: np.asarray(strip(obj[k])) for k in names}
             parts.append(pd.DataFrame(data))
-        elif fn.endswith(".parquet"):
+        elif low.endswith(".gds"):
+            # reference SAIGE_OUTPUT / SAIGE_OUTPUT_SET files
+            # (seqSAIGE_LoadPval's gds branch, R/saige_main.r:176-191)
+            from ..io.gds import open_gds
+            f = open_gds(fn)
+            fmt = f.root.attrs.get("FileFormat", "")
+            fmt = fmt[0] if isinstance(fmt, list) else fmt
+            if fmt not in ("SAIGE_OUTPUT", "SAIGE_OUTPUT_SET"):
+                raise ValueError(
+                    "FileFormat should be 'SAIGE_OUTPUT' or "
+                    f"'SAIGE_OUTPUT_SET', got {fmt!r}")
+            data = {}
+            for nm in f.root.ls():
+                if nm == "sample.id" or f.root[nm].is_folder:
+                    continue
+                data[nm] = np.asarray(f.root[nm].read())
+            parts.append(pd.DataFrame(data))
+        elif low.endswith(".parquet"):
             parts.append(pd.read_parquet(fn))
-        elif fn.endswith(".csv") or fn.endswith(".csv.gz"):
+        elif low.endswith(".csv") or low.endswith(".csv.gz"):
             parts.append(pd.read_csv(fn))
         else:
             parts.append(pd.read_csv(fn, sep="\t"))

@@ -68,3 +68,46 @@ def test_rds_quant_model_altrep():
     y = np.asarray(strip(m["obj.noK"]["y"]), dtype=np.float64)
     assert y.shape == (1000,)
     assert np.isfinite(y).all()
+
+
+def test_gds_writer_roundtrip(tmp_path):
+    """SAIGE_OUTPUT GDS write -> load_pval read."""
+    import pandas as pd
+    import saigegds_tpu as st
+    from saigegds_tpu.io.gds_write import save_assoc_gds
+
+    df = pd.DataFrame({
+        "id": np.arange(1, 8, dtype=np.int32),
+        "rs.id": [f"rs{i}" for i in range(7)],
+        "pval": np.linspace(1e-12, 0.9, 7),
+        "beta": np.linspace(-2, 2, 7),
+    })
+    fn = str(tmp_path / "out.gds")
+    save_assoc_gds(df, fn)
+    back = st.load_pval(fn)
+    np.testing.assert_array_equal(back["id"], df["id"])
+    assert list(back["rs.id"]) == list(df["rs.id"])
+    np.testing.assert_allclose(back["pval"], df["pval"], rtol=0)
+    np.testing.assert_allclose(back["beta"], df["beta"], rtol=0)
+
+
+def test_assoc_spa_gds_output(tmp_path):
+    """assoc_spa(res_savefn='*.gds') round-trips through load_pval."""
+    import saigegds_tpu as st
+    from saigegds_tpu.config import ScanConfig
+
+    fn = str(tmp_path / "assoc.gds")
+    df = st.assoc_spa("/root/reference/inst/extdata/grm1k_10k_snp.gds",
+                      "/root/reference/inst/unitTests/saige_model.rds",
+                      ScanConfig(mac=4, block_size=4096), res_savefn=fn)
+    back = st.load_pval(fn)
+    assert len(back) == len(df)
+    np.testing.assert_allclose(back["pval"].to_numpy(),
+                               df["pval"].to_numpy(), rtol=0)
+
+
+def test_load_pval_rejects_non_output_gds():
+    import pytest
+    import saigegds_tpu as st
+    with pytest.raises(ValueError, match="SAIGE_OUTPUT"):
+        st.load_pval("/root/reference/inst/extdata/assoc_100snp.gds")
