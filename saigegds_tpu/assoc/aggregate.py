@@ -266,7 +266,7 @@ def assoc_burden(gdsfile, modobj, units: VariantUnits,
             tab[f"cvg{s}"] = out["converged"][sel]
     if res_savefn:
         from .single import save_assoc
-        save_assoc(tab, res_savefn)
+        save_assoc(tab, res_savefn, file_format="SAIGE_OUTPUT_SET")
     return tab
 
 
@@ -361,7 +361,7 @@ def assoc_acat_v(gdsfile, modobj, units: VariantUnits,
         tab[f"p.max{s}"] = [r[4][w] for r in rows]
     if res_savefn:
         from .single import save_assoc
-        save_assoc(tab, res_savefn)
+        save_assoc(tab, res_savefn, file_format="SAIGE_OUTPUT_SET")
     return tab
 
 
@@ -406,5 +406,5 @@ def assoc_acat_o(gdsfile, modobj, units: VariantUnits,
         tab[f"pval.v{nm}"] = [r[3][w] for r in rows]
     if res_savefn:
         from .single import save_assoc
-        save_assoc(tab, res_savefn)
+        save_assoc(tab, res_savefn, file_format="SAIGE_OUTPUT_SET")
     return tab
