@@ -1,0 +1,155 @@
+"""Fully-on-device null-GLMM fit: the whole AI-REML loop in one program.
+
+The host-driven fitter (``fitnull.py``) replays the reference bit-for-bit
+but dispatches one device program per PCG solve — on a far-away accelerator
+(or a many-host pod where every dispatch synchronizes the fleet) the round
+trips dominate.  This module compiles the ENTIRE outer loop — inner IRLS
+coefficient iteration, Hutchinson trace, AI-REML tau update, convergence
+test — into a single ``lax.while_loop`` program: one dispatch per fit.
+
+Differences from the exact host path (both documented and deliberate):
+* fixed probe count (``nrun``) instead of the trace-CV escalation
+  (src/saige_fitnull.cpp:644-665) — pass more probes if CV matters;
+* no tau-blow-up retry loop (:1039-1066); the step-halving
+  non-negativity clamp is kept;
+* probes come from the caller (replay R's stream or use jax.random).
+
+Agreement with the host fitter is at solver precision for well-posed
+problems (tau tolerance 0.02 dominates).  Works with any GRM operator
+pytree (dense / packed / mesh-sharded via ShardedGrmHandle.op).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pcg import pcg_solve_op
+
+
+class DeviceFit(NamedTuple):
+    coefficients: jnp.ndarray   # [K]
+    tau: jnp.ndarray            # [2]
+    eta: jnp.ndarray            # [N] linear predictor
+    mu: jnp.ndarray             # [N] fitted values
+    cov: jnp.ndarray            # [K, K]
+    iterations: jnp.ndarray     # [] outer iterations taken
+    converged: jnp.ndarray      # [] bool
+
+
+def _sym_inv(m):
+    c = jnp.linalg.cholesky((m + m.T) / 2.0)
+    ic = jnp.linalg.inv(c)
+    return ic.T @ ic
+
+
+@partial(jax.jit, static_argnames=("maxiter", "maxiter_pcg", "maxiter_coef"))
+def fit_glmm_binary_device(op, y, X, tau_init, eta_init, U,
+                           tol, tol_pcg,
+                           maxiter: int = 20, maxiter_pcg: int = 500,
+                           maxiter_coef: int = 20) -> DeviceFit:
+    """Binary-trait null GLMM fit as one device program.
+
+    op: GRM operator pytree (.matvec/.diag); y [N]; X [N, K]; U [N, R]
+    Rademacher probes; tau_init [2]; eta_init [N].
+    """
+    N, K = X.shape
+    R = U.shape[1]
+
+    def get_coeff(tau, eta, alpha0):
+        """Inner IRLS to coefficient rel-tol 0.1 (get_coeff, :766-813)."""
+        def step(carry):
+            eta, alpha_prev, _, it = carry
+            mu = jax.nn.sigmoid(eta)
+            W = mu * (1.0 - mu)
+            Y = eta + (y - mu) / W
+            B = jnp.concatenate([Y[:, None], X], axis=1)
+            sol, _, _ = pcg_solve_op(op, W, tau, B, tol_pcg, maxiter_pcg)
+            Si_Y, Si_X = sol[:, 0], sol[:, 1:]
+            cov = _sym_inv(X.T @ Si_X)
+            alpha = cov @ (Si_X.T @ Y)
+            eta1 = Y - tau[0] * (Si_Y - Si_X @ alpha) / W
+            return eta1, alpha, (Y, W, cov, Si_Y, Si_X), it + 1
+
+        # fori-style loop with early-exit mask on alpha change
+        def body(carry):
+            eta, alpha, aux, it, done = carry
+            eta1, alpha1, aux1, _ = step((eta, alpha, aux, it))
+            delta = jnp.max(jnp.abs(alpha1 - alpha) /
+                            (jnp.abs(alpha1) + jnp.abs(alpha) + 0.1))
+            done1 = done | (delta < 0.1)
+            keep = ~done
+            eta_o = jnp.where(keep, eta1, eta)
+            alpha_o = jnp.where(keep, alpha1, alpha)
+            aux_o = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(keep, b, a), aux, aux1)
+            return eta_o, alpha_o, aux_o, it + 1, done1
+
+        def wcond(carry):
+            *_, it, done = carry
+            return (~done) & (it < maxiter_coef)
+
+        mu0 = jax.nn.sigmoid(eta)
+        W0 = mu0 * (1.0 - mu0)
+        aux0 = (eta, W0, jnp.eye(K), eta, jnp.zeros((N, K)))
+        eta1, alpha1, aux, _, _ = jax.lax.while_loop(
+            wcond, body, (eta, alpha0, aux0, jnp.zeros((), jnp.int32),
+                          jnp.zeros((), bool)))
+        Y, W, cov, Si_Y, Si_X = aux
+        return eta1, alpha1, Y, W, cov, Si_Y, Si_X
+
+    def ai_update(tau, Y, W, cov, Si_Y, Si_X):
+        """AI-REML tau step with Hutchinson trace (:816-890)."""
+        proj = lambda v, Siv: Siv - Si_X @ (cov @ (Si_X.T @ v))
+        PY = proj(Y, Si_Y)
+        APY = op.matvec(PY)
+        YPAPY = PY @ APY
+        B = jnp.concatenate([APY[:, None], U], axis=1)
+        sol, _, _ = pcg_solve_op(op, W, tau, B, tol_pcg, maxiter_pcg)
+        PAPY = proj(sol[:, 0], sol[:, 0])
+        AI = APY @ PAPY
+        Si_U = sol[:, 1:]
+        PU = Si_U - Si_X @ (cov @ (Si_X.T @ U))
+        AU = op.matvec(U)
+        trace = jnp.mean(jnp.sum(AU * PU, axis=0))
+        score = YPAPY - trace
+        dtau = score / AI
+        # step-halving non-negativity (fitglmmaiRPCG, :860-890)
+        def halve(carry):
+            t1, step = carry
+            return tau[1] + step * 0.5 * dtau, step * 0.5
+        def neg(carry):
+            return carry[0] < 0.0
+        t1, _ = jax.lax.while_loop(neg, halve, (tau[1] + dtau, 1.0))
+        t1 = jnp.where(t1 < tol, 0.0, t1)
+        return jnp.stack([tau[0], t1])
+
+    def outer_body(state):
+        tau, eta, alpha, it, done = state
+        eta1, alpha1, Y, W, cov, Si_Y, Si_X = get_coeff(tau, eta, alpha)
+        tau1 = ai_update(tau, Y, W, cov, Si_Y, Si_X)
+        delta = jnp.max(jnp.abs(tau1 - tau) /
+                        (jnp.abs(tau1) + jnp.abs(tau) + tol))
+        done1 = done | (delta < tol) | (tau1[1] == 0.0)
+        keep = ~done
+        return (jnp.where(keep, tau1, tau), jnp.where(keep, eta1, eta),
+                jnp.where(keep, alpha1, alpha), it + 1, done1)
+
+    def outer_cond(state):
+        *_, it, done = state
+        return (~done) & (it < maxiter)
+
+    alpha0 = jnp.zeros(K, X.dtype)
+    state = (tau_init, eta_init, alpha0, jnp.zeros((), jnp.int32),
+             jnp.zeros((), bool))
+    tau, eta, alpha, iters, done = jax.lax.while_loop(
+        outer_cond, outer_body, state)
+
+    # final coefficient solve at the converged tau
+    eta_f, alpha_f, Y, W, cov, Si_Y, Si_X = get_coeff(tau, eta, alpha)
+    mu_f = jax.nn.sigmoid(eta_f)
+    return DeviceFit(coefficients=alpha_f, tau=tau, eta=eta_f, mu=mu_f,
+                     cov=cov, iterations=iters, converged=done)

@@ -1,0 +1,49 @@
+"""Single-dispatch on-device fit vs the host-driven exact fitter."""
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from saigegds_tpu.config import NullModelConfig
+from saigegds_tpu.models.fit_device import fit_glmm_binary_device
+from saigegds_tpu.models.fitnull import fit_null_glmm, _genotype_codes
+from saigegds_tpu.models.glm import glm_binomial
+from saigegds_tpu.io.seqarray import SeqData
+from saigegds_tpu.ops.grm import build_grm
+from saigegds_tpu.ops.packed_grm import build_packed_grm
+from saigegds_tpu.models.nullmodel import NullModel
+from saigegds_tpu.utils.rrandom import RRandom
+
+GDS = "/root/reference/inst/extdata/grm1k_10k_snp.gds"
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_device_fit_matches_host(packed):
+    ref = NullModel.load("/root/reference/inst/unitTests/saige_model.rds")
+    pheno = pd.read_csv("/root/reference/inst/extdata/pheno.txt.gz", sep="\t")
+    seq = SeqData(GDS)
+    codes = _genotype_codes(seq)
+    # same variant filtering as the driver: reuse the model's variant ids
+    keep = np.isin(seq.variant_id, ref.variant_id)
+    codes = codes[keep]
+    grm = build_packed_grm(codes) if packed else build_grm(codes)
+
+    # covariates after the driver's QR transform: use the model's X1
+    X = np.asarray(ref.X1)
+    y = np.asarray(ref.y)
+    fit0 = glm_binomial(X, y)
+    rng = RRandom(200)
+    U = np.stack([rng.rademacher(len(y)).astype(np.float64)
+                  for _ in range(30)], axis=1)
+
+    out = fit_glmm_binary_device(grm, jnp.asarray(y), jnp.asarray(X),
+                                 jnp.asarray([1.0, 0.5]),
+                                 jnp.asarray(fit0.linear_predictors),
+                                 jnp.asarray(U), 0.02, 1e-5)
+    assert bool(out.converged)
+    tau = np.asarray(out.tau)
+    np.testing.assert_allclose(tau, np.asarray(ref.tau), atol=5e-3)
+    # coefficients in the rotated basis: compare fitted values instead
+    np.testing.assert_allclose(np.asarray(out.mu),
+                               np.asarray(ref.fitted_values), atol=2e-3)
