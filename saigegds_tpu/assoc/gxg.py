@@ -206,6 +206,11 @@ def gxg_spa(formula: str, data: pd.DataFrame, gds_grm, snp_pair,
         row = dict(id1=i1, snp1=s1, maf1=maf1, id2=i2, snp2=s2, maf2=maf2)
         row.update(d)
         rows.append(row)
+        if res_savefn:
+            # incremental checkpoint after every pair, like the reference
+            # (R/saige_interaction.r:612-631) — a crash loses no results
+            from .single import save_assoc
+            save_assoc(pd.DataFrame(rows), res_savefn)
 
     out = pd.DataFrame(rows)
     if snp_pair.shape[1] > 2:
