@@ -28,7 +28,10 @@ class NullModelConfig:
     tau_init: Tuple[float, float] = (0.0, 0.0)
     trace_cv_cutoff: float = 0.0025
     ratio_cv_cutoff: float = 0.001
-    geno_sparse: bool = True      # sparse vs 2-bit dense genotype storage
+    # The reference's geno.sparse flag picks its sparse index-list vs dense
+    # 2-bit store (R/saige_main.r:399-420); here grm_impl covers that axis:
+    # "packed" (bf16-exact integer codes + sparse missing corrections)
+    # subsumes both layouts on TPU.
     grm_impl: str = "dense"       # "dense" f64 G_std | "packed" bf16-exact MXU
     seed: int = 200
     num_thread: int = 1
