@@ -117,13 +117,9 @@ def fit_glmm_binary_device(op, y, X, tau_init, eta_init, U,
         trace = jnp.mean(jnp.sum(AU * PU, axis=0))
         score = YPAPY - trace
         dtau = score / AI
-        # step-halving non-negativity (fitglmmaiRPCG, :860-890)
-        def halve(carry):
-            t1, step = carry
-            return tau[1] + step * 0.5 * dtau, step * 0.5
-        def neg(carry):
-            return carry[0] < 0.0
-        t1, _ = jax.lax.while_loop(neg, halve, (tau[1] + dtau, 1.0))
+        # sub-tol values clamp to 0 (fitglmmaiRPCG, :860-890); the
+        # reference's step-halving loop is unreachable after the clamp
+        t1 = tau[1] + dtau
         t1 = jnp.where(t1 < tol, 0.0, t1)
         return jnp.stack([tau[0], t1])
 
@@ -153,3 +149,106 @@ def fit_glmm_binary_device(op, y, X, tau_init, eta_init, U,
     mu_f = jax.nn.sigmoid(eta_f)
     return DeviceFit(coefficients=alpha_f, tau=tau, eta=eta_f, mu=mu_f,
                      cov=cov, iterations=iters, converged=done)
+
+
+@partial(jax.jit, static_argnames=("maxiter", "maxiter_pcg"))
+def fit_glmm_quant_device(op, y, X, tau_init, U,
+                          tol, tol_pcg,
+                          maxiter: int = 20,
+                          maxiter_pcg: int = 500) -> DeviceFit:
+    """Quantitative-trait (gaussian identity-link) device fit.
+
+    Both variance components are free; the 2x2 average-information system
+    mirrors ``get_AI_score_q``/``fitglmmaiRPCG_q``
+    (src/saige_fitnull.cpp:893-928).  The gaussian working response equals
+    y, so the inner IRLS collapses to a single solve per outer iteration.
+    """
+    N, K = X.shape
+
+    def coeff(tau):
+        W = jnp.ones(N, y.dtype)
+        B = jnp.concatenate([y[:, None], X, U], axis=1)
+        sol, _, _ = pcg_solve_op(op, W, tau, B, tol_pcg, maxiter_pcg)
+        Si_Y, Si_X, Si_U = sol[:, 0], sol[:, 1:1 + K], sol[:, 1 + K:]
+        cov = _sym_inv(X.T @ Si_X)
+        alpha = cov @ (Si_X.T @ y)
+        eta = y - tau[0] * (Si_Y - Si_X @ alpha)
+        return alpha, eta, cov, Si_Y, Si_X, Si_U
+
+    def ai_step(tau):
+        alpha, eta, cov, Si_Y, Si_X, Si_U = coeff(tau)
+        proj = lambda v, Siv: Siv - Si_X @ (cov @ (Si_X.T @ v))
+        PY = proj(y, Si_Y)
+        APY = op.matvec(PY)
+        YPAPY = PY @ APY
+        YPA0PY = PY @ PY
+        PU = Si_U - Si_X @ (cov @ (Si_X.T @ U))
+        AU = op.matvec(U)
+        trace1 = jnp.mean(jnp.sum(AU * PU, axis=0))
+        trace0 = jnp.mean(jnp.sum(U * PU, axis=0))
+        B2 = jnp.stack([PY, APY], axis=1)
+        sol2, _, _ = pcg_solve_op(op, jnp.ones(N, y.dtype), tau, B2,
+                                  tol_pcg, maxiter_pcg)
+        PA0PY = proj(sol2[:, 0], sol2[:, 0])
+        PAPY = proj(sol2[:, 1], sol2[:, 1])
+        AI = jnp.array([[PY @ PA0PY, PY @ PAPY],
+                        [APY @ PA0PY, APY @ PAPY]])
+        AI = (AI + AI.T) / 2.0
+        score = jnp.array([YPA0PY - trace0, YPAPY - trace1])
+        dtau = jnp.linalg.solve(AI, score)
+        # fitglmmaiRPCG_q (:893-928): components that entered at ~0 clamp
+        # back to 0 (zero_v) so they never drive the halving loop; genuine
+        # negativity of live components step-halves until non-negative
+        zero_v = tau < tol
+        def clamp(t):
+            return jnp.where(zero_v & (t < tol), 0.0, t)
+        def halve(carry):
+            _, step = carry
+            step = step * 0.5
+            return clamp(tau + step * dtau), step
+        def neg(carry):
+            return jnp.any(carry[0] < 0.0)
+        t1, _ = jax.lax.while_loop(neg, halve, (clamp(tau + dtau), 1.0))
+        t1 = jnp.where(t1 < tol, 0.0, t1)
+        return t1, alpha, eta, cov
+
+    def body(state):
+        tau, alpha, eta, cov, it, done = state
+        tau1, alpha1, eta1, cov1 = ai_step(tau)
+        delta = jnp.max(jnp.abs(tau1 - tau) /
+                        (jnp.abs(tau1) + jnp.abs(tau) + tol))
+        done1 = done | (delta < tol)
+        keep = ~done
+        sel = lambda a, b: jnp.where(keep, b, a)
+        return (sel(tau, tau1), sel(alpha, alpha1), sel(eta, eta1),
+                sel(cov, cov1), it + 1, done1)
+
+    def cond(state):
+        *_, it, done = state
+        return (~done) & (it < maxiter)
+
+    # initial moment-based update (reference saige_fit_AI_PCG_quant
+    # :1160-1170): tau_k <- max(0, tau_k + tau_k^2 (YP A_k PY - tr) / n)
+    def moment_update(tau):
+        _, _, cov, Si_Y, Si_X, Si_U = coeff(tau)
+        proj = lambda v, Siv: Siv - Si_X @ (cov @ (Si_X.T @ v))
+        PY = proj(y, Si_Y)
+        APY = op.matvec(PY)
+        PU = Si_U - Si_X @ (cov @ (Si_X.T @ U))
+        trace1 = jnp.mean(jnp.sum(op.matvec(U) * PU, axis=0))
+        trace0 = jnp.mean(jnp.sum(U * PU, axis=0))
+        s0 = PY @ PY - trace0
+        s1 = PY @ APY - trace1
+        return jnp.maximum(
+            tau + tau ** 2 * jnp.stack([s0, s1]) / N, 0.0)
+
+    tau1 = moment_update(tau_init)
+    state = (tau1, jnp.zeros(K, X.dtype), y, jnp.eye(K, dtype=X.dtype),
+             jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    tau, alpha, eta, cov, iters, done = jax.lax.while_loop(cond, body, state)
+    # one polish step past the 2% stopping rule: AI-Newton is quadratic near
+    # the optimum, so this lands on the REML fixed point
+    tau, *_ = ai_step(tau)
+    alpha_f, eta_f, cov_f, *_ = coeff(tau)
+    return DeviceFit(coefficients=alpha_f, tau=tau, eta=eta_f, mu=eta_f,
+                     cov=cov_f, iterations=iters, converged=done)

@@ -47,3 +47,31 @@ def test_device_fit_matches_host(packed):
     # coefficients in the rotated basis: compare fitted values instead
     np.testing.assert_allclose(np.asarray(out.mu),
                                np.asarray(ref.fitted_values), atol=2e-3)
+
+
+def test_quant_device_fit_matches_host():
+    from saigegds_tpu.models.fit_device import fit_glmm_quant_device
+
+    ref = NullModel.load(
+        "/root/reference/inst/unitTests/saige_model_quant.rds")
+    seq = SeqData(GDS)
+    codes = _genotype_codes(seq)
+    codes = codes[np.isin(seq.variant_id, ref.variant_id)]
+    grm = build_packed_grm(codes)
+
+    # the quant driver's working y (inv-norm applied) is stored in the model
+    X = np.asarray(ref.X1)
+    y = np.asarray(ref.y)
+    rng = RRandom(200)
+    U = np.stack([rng.rademacher(len(y)).astype(np.float64)
+                  for _ in range(30)], axis=1)
+    tau0 = np.var(y, ddof=1) * np.array([0.5, 0.5])
+
+    out = fit_glmm_quant_device(grm, jnp.asarray(y), jnp.asarray(X),
+                                jnp.asarray(tau0), jnp.asarray(U),
+                                0.02, 1e-5)
+    assert bool(out.converged)
+    np.testing.assert_allclose(np.asarray(out.tau), np.asarray(ref.tau),
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out.eta),
+                               np.asarray(ref.linear_predictors), atol=5e-2)
