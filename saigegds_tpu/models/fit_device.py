@@ -41,8 +41,10 @@ class DeviceFit(NamedTuple):
 
 
 def _sym_inv(m):
+    # Cholesky + triangular solve: TPU f64 has no LU (jnp.linalg.inv path)
     c = jnp.linalg.cholesky((m + m.T) / 2.0)
-    ic = jnp.linalg.inv(c)
+    ic = jax.scipy.linalg.solve_triangular(
+        c, jnp.eye(m.shape[0], dtype=m.dtype), lower=True)
     return ic.T @ ic
 
 
@@ -195,7 +197,12 @@ def fit_glmm_quant_device(op, y, X, tau_init, U,
                         [APY @ PA0PY, APY @ PAPY]])
         AI = (AI + AI.T) / 2.0
         score = jnp.array([YPA0PY - trace0, YPAPY - trace1])
-        dtau = jnp.linalg.solve(AI, score)
+        # closed-form 2x2 solve (TPU f64 has no LU for jnp.linalg.solve)
+        det = AI[0, 0] * AI[1, 1] - AI[0, 1] * AI[1, 0]
+        dtau = jnp.array([
+            (AI[1, 1] * score[0] - AI[0, 1] * score[1]) / det,
+            (AI[0, 0] * score[1] - AI[1, 0] * score[0]) / det,
+        ])
         # fitglmmaiRPCG_q (:893-928): components that entered at ~0 clamp
         # back to 0 (zero_v) so they never drive the halving loop; genuine
         # negativity of live components step-halves until non-negative

@@ -42,10 +42,13 @@ class FitStepOut(NamedTuple):
 
 
 def _sym_inv(m):
-    """inv via Cholesky of the symmetrized matrix (src/saige_fitnull.cpp:721)."""
+    """inv via Cholesky of the symmetrized matrix (src/saige_fitnull.cpp:721).
+
+    Triangular solve instead of jnp.linalg.inv: TPU f64 has no LU."""
     ms = (m + m.T) / 2.0
     c = jnp.linalg.cholesky(ms)
-    inv_c = jnp.linalg.inv(c)
+    inv_c = jax.scipy.linalg.solve_triangular(
+        c, jnp.eye(m.shape[0], dtype=m.dtype), lower=True)
     return inv_c.T @ inv_c
 
 
