@@ -270,61 +270,103 @@ def assoc_burden(gdsfile, modobj, units: VariantUnits,
     return tab
 
 
-def _acatv_unit(kernel: _Kernel, ds, maf, mac, wbeta, config):
-    """Per-unit ACAT-V p-values for every weight scheme.
+class _AcatVBatch:
+    """Two-phase cross-unit ACAT-V: accumulate every test vector from every
+    unit, run ONE batched device pass, then combine per unit.
 
-    Returns (pvals [W], p_med/min/max [W], n_single, n_burden).
-    Mirrors saige_acatv_test_bin (src/saige_main.cpp:734-833)."""
-    W = len(wbeta)
-    n_snp = ds.shape[0]
-    single_mask = mac >= config.acatv_mac
-    n_burden = int((~single_mask).sum())
-    # single-variant p-values (shared across weight schemes)
-    psingle = np.full(n_snp, np.nan)
-    if single_mask.any():
-        res = kernel.run(ds[single_mask])
-        psingle[single_mask] = res["pval"]
-    out_p, out_med, out_min, out_max = [], [], [], []
-    burden_added_w0 = False
-    for w in range(W):
-        b1, b2 = wbeta[w]
-        pvals, wp = [], []
+    Single-variant p-values are deduplicated globally by variant index
+    (overlapping sliding windows share SNPs), which the reference's
+    per-unit loop recomputes (src/saige_main.cpp:900-963) — values are
+    identical, the device work is O(distinct SNPs + mini-burdens) instead
+    of O(units x unit size)."""
+
+    def __init__(self, kernel: _Kernel, wbeta, config):
+        self.kernel = kernel
+        self.wbeta = wbeta
+        self.config = config
+        self.single_rows: dict = {}        # variant idx -> dosage row
+        self.burdens: list = []            # (key, vector)
+        self.units: list = []              # per-unit plan
+
+    def add_unit(self, uid, idx, ds, maf, mac):
+        cfg = self.config
+        single_mask = mac >= cfg.acatv_mac
+        n_snp = ds.shape[0]
+        n_burden = int((~single_mask).sum())
         for j in np.flatnonzero(single_mask):
-            p = maf[j]
-            wp.append(float(beta_weights(p, b1, b2)) ** 2 * p * (1 - p))
-            pvals.append(psingle[j])
+            self.single_rows.setdefault(int(idx[j]), ds[j])
+        burden_keys = {}
         if n_burden > 0:
-            with np.errstate(invalid="ignore", divide="ignore"):
-                wb = np.where(single_mask, np.nan, beta_weights(maf, b1, b2))
-            wb = _normalize(wb)
-            g = _burden_collapse(ds, wb)
-            summac = g.sum() * n_snp
-            if summac >= config.summac and summac > 0:
-                res = kernel.run(g[None, :])
-                pv = float(res["pval"][0])
-                if np.isfinite(pv):
-                    p = float(maf[~single_mask].sum() / n_burden)
-                    wp.append(float(beta_weights(p, b1, b2)) ** 2 * p * (1 - p))
-                    pvals.append(pv)
-                    if w == 0:
-                        burden_added_w0 = True
-        pvals = np.asarray(pvals, float)
-        wp = np.asarray(wp, float)
-        if len(pvals) > 0:
-            out_p.append(acat_p(pvals, wp) if len(pvals) > 1 else float(pvals[0]))
-            fin = pvals[np.isfinite(pvals)]
-            out_med.append(float(np.median(fin)) if len(fin) else np.nan)
-            out_min.append(float(np.min(fin)) if len(fin) else np.nan)
-            out_max.append(float(np.max(fin)) if len(fin) else np.nan)
-        else:
-            out_p.append(np.nan)
-            out_med.append(np.nan)
-            out_min.append(np.nan)
-            out_max.append(np.nan)
-    # reference reports counts for the first weight scheme only
-    # (src/saige_main.cpp:815-819)
-    n_single = int(single_mask.sum()) + (1 if burden_added_w0 else 0)
-    return out_p, out_med, out_min, out_max, n_single - n_burden, n_burden
+            for w, (b1, b2) in enumerate(self.wbeta):
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    wb = np.where(single_mask, np.nan,
+                                  beta_weights(maf, b1, b2))
+                wb = _normalize(wb)
+                g = _burden_collapse(ds, wb)
+                summac = g.sum() * n_snp
+                if summac >= cfg.summac and summac > 0:
+                    key = (uid, w)
+                    burden_keys[w] = len(self.burdens)
+                    self.burdens.append(g)
+        self.units.append(dict(uid=uid, idx=idx, maf=maf, mac=mac,
+                               single_mask=single_mask, n_burden=n_burden,
+                               burden_keys=burden_keys))
+
+    def run(self):
+        """-> {uid: (pvals [W], p_med, p_min, p_max, n_single, n_burden)}"""
+        sv_idx = sorted(self.single_rows)
+        psingle = {}
+        if sv_idx:
+            G = np.stack([self.single_rows[i] for i in sv_idx])
+            res = self.kernel.run(G)
+            psingle = dict(zip(sv_idx, res["pval"]))
+        pburden = []
+        if self.burdens:
+            res = self.kernel.run(np.stack(self.burdens))
+            pburden = res["pval"]
+
+        out = {}
+        for u in self.units:
+            maf, mac = u["maf"], u["mac"]
+            single_mask, n_burden = u["single_mask"], u["n_burden"]
+            out_p, out_med, out_min, out_max = [], [], [], []
+            burden_added_w0 = False
+            for w, (b1, b2) in enumerate(self.wbeta):
+                pvals, wp = [], []
+                for j in np.flatnonzero(single_mask):
+                    p = maf[j]
+                    wp.append(float(beta_weights(p, b1, b2)) ** 2
+                              * p * (1 - p))
+                    pvals.append(float(psingle[int(u["idx"][j])]))
+                if w in u["burden_keys"]:
+                    pv = float(pburden[u["burden_keys"][w]])
+                    if np.isfinite(pv):
+                        p = float(maf[~single_mask].sum() / n_burden)
+                        wp.append(float(beta_weights(p, b1, b2)) ** 2
+                                  * p * (1 - p))
+                        pvals.append(pv)
+                        if w == 0:
+                            burden_added_w0 = True
+                pvals = np.asarray(pvals, float)
+                wp = np.asarray(wp, float)
+                if len(pvals) > 0:
+                    out_p.append(acat_p(pvals, wp) if len(pvals) > 1
+                                 else float(pvals[0]))
+                    fin = pvals[np.isfinite(pvals)]
+                    out_med.append(float(np.median(fin)) if len(fin) else np.nan)
+                    out_min.append(float(np.min(fin)) if len(fin) else np.nan)
+                    out_max.append(float(np.max(fin)) if len(fin) else np.nan)
+                else:
+                    out_p.append(np.nan)
+                    out_med.append(np.nan)
+                    out_min.append(np.nan)
+                    out_max.append(np.nan)
+            # reference reports counts for the first weight scheme only
+            # (src/saige_main.cpp:815-819)
+            n_single = int(single_mask.sum()) + (1 if burden_added_w0 else 0)
+            out[u["uid"]] = (out_p, out_med, out_min, out_max,
+                             n_single - n_burden, n_burden)
+        return out
 
 
 def assoc_acat_v(gdsfile, modobj, units: VariantUnits,
@@ -336,14 +378,15 @@ def assoc_acat_v(gdsfile, modobj, units: VariantUnits,
         raise NotImplementedError(
             "ACAT-V is binary-only, like the reference "
             "(src/saige_main.cpp:836-842)")
-    rows = []
-    for idx in units.index:
+    batch = _AcatVBatch(kernel, wbeta, config)
+    summaries = []
+    for uid, idx in enumerate(units.index):
         ds = _unit_dosage(seq, idx)
         maf, mac = _maf_mac(ds)
-        summ = _maf_mac_summary(maf, mac)
-        p, pmed, pmin, pmax, n_single, n_burden = _acatv_unit(
-            kernel, ds, maf, mac, wbeta, config)
-        rows.append((summ, p, pmed, pmin, pmax, n_single, n_burden))
+        summaries.append(_maf_mac_summary(maf, mac))
+        batch.add_unit(uid, idx, ds, maf, mac)
+    results = batch.run()
+    rows = [(summaries[uid],) + results[uid] for uid in range(len(units))]
 
     W = len(wbeta)
     tab = units.desp.copy()
@@ -374,26 +417,36 @@ def assoc_acat_o(gdsfile, modobj, units: VariantUnits,
     if not binary:
         raise NotImplementedError("ACAT-O is binary-only, like the reference")
     W = len(wbeta)
-    rows = []
-    for idx in units.index:
+    batch = _AcatVBatch(kernel, wbeta, config)
+    summaries = []
+    full_burdens, full_keys = [], []   # whole-unit burden per weight scheme
+    for uid, idx in enumerate(units.index):
         ds = _unit_dosage(seq, idx)
         maf, mac = _maf_mac(ds)
-        summ = _maf_mac_summary(maf, mac)
-        # burden p-values per weight scheme
-        pb = []
+        summaries.append(_maf_mac_summary(maf, mac))
+        batch.add_unit(uid, idx, ds, maf, mac)
+        keys = {}
         for w in range(W):
             ws = _normalize(beta_weights(maf, wbeta[w, 0], wbeta[w, 1]))
             g = _burden_collapse(ds, ws)
             summac = g.sum() * len(idx)
             if summac >= config.summac and summac > 0:
-                pb.append(float(kernel.run(g[None, :])["pval"][0]))
-            else:
-                pb.append(np.nan)
-        pv, *_ = _acatv_unit(kernel, ds, maf, mac, wbeta, config)
+                keys[w] = len(full_burdens)
+                full_burdens.append(g)
+        full_keys.append(keys)
+    pb_all = kernel.run(np.stack(full_burdens))["pval"] if full_burdens \
+        else np.empty(0)
+    results = batch.run()
+
+    rows = []
+    for uid in range(len(units)):
+        pb = [float(pb_all[full_keys[uid][w]]) if w in full_keys[uid]
+              else np.nan for w in range(W)]
+        pv = results[uid][0]
         allp = np.asarray(pb + list(pv), float)
         combined = acat_p(allp[np.isfinite(allp)]) if np.isfinite(allp).any() \
             else np.nan
-        rows.append((summ, combined, pb, pv))
+        rows.append((summaries[uid], combined, pb, pv))
 
     tab = units.desp.copy()
     tab["numvar"] = [len(i) for i in units.index]
