@@ -22,5 +22,7 @@ from .assoc.aggregate import assoc_burden, assoc_acat_v, assoc_acat_o  # noqa: E
 from .assoc.gxg import gxg_spa  # noqa: E402
 from .utils.stats import acat_p, acat_p_maf, glmm_heritability, load_pval  # noqa: E402
 from .utils.profiling import device_info, phase_timer, profile_trace  # noqa: E402
+from .models.fit_device import (fit_glmm_binary_device,  # noqa: E402
+                                fit_glmm_quant_device)
 
 __version__ = "0.1.0"
