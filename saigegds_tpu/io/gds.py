@@ -369,6 +369,46 @@ class GDSFile:
             raise NotImplementedError(f"GDS pipe codec {pipe!r}")
         return raw
 
+    def stream_node_bytes(self, node: GDSNode, chunk_hint: int = 1 << 22):
+        """Yield the node's decompressed payload incrementally.
+
+        LZMA_ra/ZIP_ra containers hold independently-decodable frames, so
+        large genotype nodes stream frame-by-frame instead of inflating
+        the whole array (the basis of out-of-core block iteration)."""
+        props = node._props
+        if "data_block" not in props:
+            return
+        raw = self._blocks[props["data_block"]]
+        pipe = props.get("pipe_name", "")
+        want = props.get("raw_size")
+        produced = 0
+        if pipe.upper().startswith("LZMA"):
+            pos = raw.find(XZ_MAGIC)
+            while pos >= 0 and (want is None or produced < want):
+                nxt = raw.find(XZ_MAGIC, pos + 1)
+                dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+                try:
+                    out = dec.decompress(raw[pos:])
+                except lzma.LZMAError:
+                    if nxt < 0:
+                        raise
+                    out = b""
+                if want is not None and produced + len(out) > want:
+                    out = out[: want - produced]
+                if out:
+                    produced += len(out)
+                    yield out
+                pos = nxt
+        elif pipe.upper().startswith("ZIP") or pipe.upper().startswith("ZRA"):
+            data = _inflate_zip_ra(raw, want)
+            for s in range(0, len(data), chunk_hint):
+                yield data[s : s + chunk_hint]
+        elif pipe:
+            raise NotImplementedError(f"GDS pipe codec {pipe!r}")
+        else:
+            for s in range(0, len(raw), chunk_hint):
+                yield raw[s : s + chunk_hint]
+
     def _read_array(self, node: GDSNode) -> np.ndarray:
         data = self._raw_stream(node)
         dims = tuple(node.dims)

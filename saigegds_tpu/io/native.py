@@ -46,6 +46,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.sg_vstr8_offsets.restype = ctypes.c_int64
     lib.sg_geno_fold.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, i8p]
     lib.sg_bit2_dosage.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, i8p]
+    lib.sg_bit2_dosage_off.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.c_int64, i8p]
     lib.sg_bit2_dosage_f64.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
                                        f64p]
     _lib = lib
@@ -111,6 +113,23 @@ def bit2_dosage_codes(data: bytes, mn: int, ploidy: int) -> np.ndarray:
         lib.sg_bit2_dosage(src, mn, ploidy, out)
         return out
     codes = unpack_bit2(data, mn * ploidy).reshape(mn, ploidy)
+    miss = (codes == 3).any(axis=1)
+    ds = codes.sum(axis=1, dtype=np.int16)
+    return np.where(miss, 3, ds).astype(np.int8)
+
+
+def bit2_dosage_codes_off(data, geno_offset: int, mn: int,
+                          ploidy: int) -> np.ndarray:
+    """Fused 2-bit stream -> int8 codes, starting geno_offset codes in."""
+    lib = _load()
+    src = np.frombuffer(data, dtype=np.uint8) if isinstance(data, bytes) \
+        else np.ascontiguousarray(data, dtype=np.uint8)
+    if lib is not None:
+        out = np.empty(mn, dtype=np.int8)
+        lib.sg_bit2_dosage_off(src, geno_offset, mn, ploidy, out)
+        return out
+    codes = unpack_bit2(src.tobytes(), geno_offset + mn * ploidy)
+    codes = codes[geno_offset:].reshape(mn, ploidy)
     miss = (codes == 3).any(axis=1)
     ds = codes.sum(axis=1, dtype=np.int16)
     return np.where(miss, 3, ds).astype(np.int8)

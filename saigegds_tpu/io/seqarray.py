@@ -107,9 +107,20 @@ class SeqData:
         return self._code_cache
 
     def iter_code_blocks(self, block_size: int,
-                         variant_mask: Optional[np.ndarray] = None
+                         variant_mask: Optional[np.ndarray] = None,
+                         streamed: Optional[bool] = None
                          ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yield (variant_indices, int8 code block [b, N])."""
+        """Yield (variant_indices, int8 code block [b, N]).
+
+        ``streamed=True`` decodes LZMA frames incrementally instead of
+        materializing the [M, N] matrix (out-of-core scans); auto when the
+        full matrix would exceed ~4 GB."""
+        if streamed is None:
+            streamed = self.n_variants * self.n_samples > 4 << 30
+        if streamed:
+            yield from self._iter_code_blocks_streamed(block_size,
+                                                       variant_mask)
+            return
         codes = self.code_matrix()
         idx_all = np.arange(self.n_variants)
         if variant_mask is not None:
@@ -118,6 +129,40 @@ class SeqData:
             idx = idx_all[s : s + block_size]
             if len(idx):
                 yield idx, codes[idx]
+
+    def _iter_code_blocks_streamed(self, block_size, variant_mask):
+        from . import native
+
+        node = self._geno_node
+        M, N, ploidy = node.dims
+        bits_per_var = N * ploidy * 2
+        buf = bytearray()
+        buf_start = 0                 # absolute byte offset of buf[0]
+        gen = self.gds.stream_node_bytes(node)
+        for v0 in range(0, M, block_size):
+            v1 = min(v0 + block_size, M)
+            bit0 = v0 * bits_per_var
+            bit1 = v1 * bits_per_var
+            b0, b1 = bit0 // 8, -(-bit1 // 8)
+            while buf_start + len(buf) < b1:
+                try:
+                    buf += next(gen)
+                except StopIteration:
+                    raise ValueError("genotype stream ended early")
+            # drop consumed prefix
+            if b0 > buf_start:
+                del buf[: b0 - buf_start]
+                buf_start = b0
+            span = bytes(buf[: b1 - b0])
+            geno_off = (bit0 - b0 * 8) // 2
+            codes = native.bit2_dosage_codes_off(
+                span, geno_off, (v1 - v0) * N, ploidy).reshape(v1 - v0, N)
+            idx = np.arange(v0, v1)
+            if variant_mask is not None:
+                keep = variant_mask[v0:v1]
+                idx, codes = idx[keep], codes[keep]
+            if len(idx):
+                yield idx, codes
 
     def dosage_block(self, start: int, stop: int, dsnode: str = "") -> np.ndarray:
         """[stop-start, N] float64 ALT dosages with NaN for missing."""

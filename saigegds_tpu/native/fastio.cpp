@@ -71,7 +71,6 @@ void sg_geno_fold(const uint8_t* raw, int64_t mn, int64_t ploidy,
 void sg_bit2_dosage(const uint8_t* src, int64_t mn, int64_t ploidy,
                     int8_t* out) {
     // walk the 2-bit stream without materializing the unpacked array
-    int64_t total = mn * ploidy;
     int64_t idx = 0;     // genotype index within the stream
     for (int64_t i = 0; i < mn; ++i) {
         int sum = 0, miss = 0;
@@ -83,7 +82,23 @@ void sg_bit2_dosage(const uint8_t* src, int64_t mn, int64_t ploidy,
         }
         out[i] = miss ? (int8_t)3 : (int8_t)sum;
     }
-    (void)total;
+}
+
+// Same, starting `geno_offset` 2-bit codes into the buffer (for streamed
+// variant blocks whose first genotype is not byte-aligned).
+void sg_bit2_dosage_off(const uint8_t* src, int64_t geno_offset, int64_t mn,
+                        int64_t ploidy, int8_t* out) {
+    int64_t idx = geno_offset;
+    for (int64_t i = 0; i < mn; ++i) {
+        int sum = 0, miss = 0;
+        for (int64_t k = 0; k < ploidy; ++k, ++idx) {
+            uint8_t b = src[idx >> 2];
+            uint8_t g = (b >> ((idx & 3) * 2)) & 3u;
+            miss |= (g == 3);
+            sum += g;
+        }
+        out[i] = miss ? (int8_t)3 : (int8_t)sum;
+    }
 }
 
 // f64 ALT-dosage matrix from 2-bit stream: NaN for missing (the

@@ -68,3 +68,35 @@ def test_real_file_roundtrip():
     miss = (raw == 3).any(axis=2)
     want = np.where(miss, 3, raw.sum(axis=2, dtype=np.int16)).astype(np.int8)
     np.testing.assert_array_equal(codes, want)
+
+
+def test_streamed_code_blocks_match_cached():
+    """Out-of-core streamed block iteration == cached code matrix."""
+    from saigegds_tpu.io.seqarray import SeqData
+
+    seq = SeqData("/root/reference/inst/extdata/grm1k_10k_snp.gds")
+    want = seq.code_matrix()
+    got_rows = []
+    got_idx = []
+    # odd block size -> exercises non-byte-aligned block starts
+    for idx, codes in seq.iter_code_blocks(677, streamed=True):
+        got_rows.append(codes)
+        got_idx.append(idx)
+    got = np.concatenate(got_rows, axis=0)
+    np.testing.assert_array_equal(np.concatenate(got_idx),
+                                  np.arange(seq.n_variants))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streamed_with_mask():
+    from saigegds_tpu.io.seqarray import SeqData
+
+    seq = SeqData("/root/reference/inst/extdata/grm1k_10k_snp.gds")
+    mask = np.zeros(seq.n_variants, bool)
+    mask[123:456] = True
+    mask[9000:] = True
+    want = seq.code_matrix()[mask]
+    got = np.concatenate([c for _, c in
+                          seq.iter_code_blocks(512, variant_mask=mask,
+                                               streamed=True)], axis=0)
+    np.testing.assert_array_equal(got, want)
