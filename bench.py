@@ -17,8 +17,8 @@ import numpy as np
 
 N_SAMPLES = 430_000   # UK-Biobank scale (BASELINE.json north star)
 BLOCK = 2048          # packed int8 path: [B, N] codes are only 0.9 GB
-N_BLOCKS = 12         # timed TPU blocks
-BLOCK_CPU = 256
+N_BLOCKS = 8          # timed TPU blocks
+BLOCK_CPU = 128
 N_BLOCKS_CPU = 1      # timed CPU blocks (slow)
 N_COV = 4
 SPA_FRAC = 16         # refine B // SPA_FRAC variants per block (~6%)

@@ -22,9 +22,8 @@ ACAT-V / ACAT-O are binary-trait only, like the reference (:836-842).
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, replace
-from typing import List, Optional, Sequence, Union
+from dataclasses import dataclass
+from typing import List
 
 import numpy as np
 import pandas as pd

@@ -6,8 +6,8 @@ Defaults mirror the documented arguments of ``seqFitNullGLMM_SPA`` and
 reproducible against the R package bit-for-bit at the algorithm level.
 """
 
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 
 @dataclass(frozen=True)

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Optional, Sequence
 
 import numpy as np
 
@@ -29,7 +28,7 @@ from ..ops.packed_grm import build_packed_grm
 from ..ops.pcg import pcg_solve_op
 from ..utils.rrandom import RRandom
 from .glm import (GlmFit, ObjNoK, glm_binomial, glm_gaussian, obj_nok_binary,
-                  obj_nok_quant, qr_transform, rank_norm, get_x1)
+                  obj_nok_quant, qr_transform, rank_norm)
 from .nullmodel import NullModel
 
 import jax.numpy as jnp

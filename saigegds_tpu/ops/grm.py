@@ -17,7 +17,6 @@ leaving the GRM unchanged, so it is not reproduced.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

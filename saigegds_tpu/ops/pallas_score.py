@@ -27,7 +27,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 TB = 256        # variant-tile rows
 TN = 2048       # sample-tile (contraction) width

@@ -122,10 +122,10 @@ def _packed_phase1(pm: PackedScanModel, params: ScanParams, codes,
         g0 = jnp.where(codes == 3, 0, codes).astype(jnp.bfloat16)   # [B, N]
         m = (codes == 3).astype(jnp.bfloat16)
         g2 = (codes == 2).astype(jnp.bfloat16)
-        Gcat = jnp.concatenate([g0, m, g2], axis=0)                 # [3B, N]
-        # ONE exact integer contraction against all model vectors
-        Y = _i8_exact_dot(Gcat, pm.V.T, 8, contract_left=False)     # [3B, R]
-        Y0, Ym, Y2 = Y[:B], Y[B:2*B], Y[2*B:]
+        # three exact integer contractions (no [3B, N] concat copy)
+        Y0 = _i8_exact_dot(g0, pm.V.T, 8, contract_left=False)      # [B, R]
+        Ym = _i8_exact_dot(m, pm.V.T, 8, contract_left=False)
+        Y2 = _i8_exact_dot(g2, pm.V.T, 8, contract_left=False)
     else:
         raise ValueError(f"unknown impl {impl!r}")
 

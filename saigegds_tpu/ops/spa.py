@@ -25,7 +25,6 @@ Semantics reproduced exactly (they are part of the output contract):
 
 import jax
 import jax.numpy as jnp
-from functools import partial
 
 from .special import pchisq1_sf, pnorm_sf
 

@@ -13,7 +13,6 @@ global mesh).
 from __future__ import annotations
 
 import glob
-import os
 from typing import Optional, Tuple
 
 import numpy as np

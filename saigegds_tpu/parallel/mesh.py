@@ -20,7 +20,6 @@ choices optimal (one all-reduce per GRM product).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -53,11 +53,17 @@ def glmm_heritability(model, adjust: bool = True) -> float:
     raise ValueError(f"unknown trait type {m.trait_type!r}")
 
 
-def load_pval(files: Union[str, Sequence[str]], columns=None) -> pd.DataFrame:
+def load_pval(files: Union[str, Sequence[str]], columns=None,
+              index=None) -> pd.DataFrame:
     """Load and row-bind association result shards (seqSAIGE_LoadPval).
 
-    Supports our parquet/tsv/csv outputs and the reference's .rds files.
+    Supports our gds/parquet/tsv/csv outputs and the reference's .rds and
+    SAIGE_OUTPUT .gds files.  ``columns`` subsets columns (varnm);
+    ``index`` subsets rows of a single file (like the reference, it is
+    rejected for multi-file merges).
     """
+    if index is not None and not isinstance(files, str) and len(files) > 1:
+        raise ValueError("'index' should be None for multiple input files")
     if isinstance(files, (str,)):
         files = [files]
     parts = []
@@ -65,7 +71,7 @@ def load_pval(files: Union[str, Sequence[str]], columns=None) -> pd.DataFrame:
         low = fn.lower()
         if low.endswith(".rds") or low.endswith(".rda") or \
                 low.endswith(".rdata"):
-            from ..io.rds import read_rds, strip, RObject
+            from ..io.rds import read_rds, strip
             obj = read_rds(fn)
             names = obj.names
             data = {k: np.asarray(strip(obj[k])) for k in names}
@@ -96,4 +102,6 @@ def load_pval(files: Union[str, Sequence[str]], columns=None) -> pd.DataFrame:
     df = pd.concat(parts, ignore_index=True)
     if columns is not None:
         df = df[list(columns)]
+    if index is not None:
+        df = df.iloc[np.asarray(index)].reset_index(drop=True)
     return df
