@@ -33,6 +33,8 @@ class NullModelConfig:
     # "packed" (bf16-exact integer codes + sparse missing corrections)
     # subsumes both layouts on TPU.
     grm_impl: str = "dense"       # "dense" f64 G_std | "packed" bf16-exact MXU
+    stream_geno: bool = False     # out-of-core streamed GRM ingestion
+                                  # (packed only; host holds one block)
     seed: int = 200
     num_thread: int = 1
 

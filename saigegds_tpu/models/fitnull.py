@@ -24,7 +24,7 @@ import numpy as np
 from ..config import NullModelConfig
 from ..io.seqarray import SeqData
 from ..ops.grm import GRMOperator, build_grm
-from ..ops.packed_grm import build_packed_grm
+from ..ops.packed_grm import build_packed_grm, build_packed_grm_streamed
 from ..ops.pcg import pcg_solve_op
 from ..utils.rrandom import RRandom
 from .glm import (GlmFit, ObjNoK, glm_binomial, glm_gaussian, obj_nok_binary,
@@ -448,6 +448,23 @@ def calc_var_ratio(grm: GRMOperator, codes: np.ndarray, fit0: GlmFit,
 # top-level driver
 
 
+class _MarkerRows(dict):
+    """Cached genotype rows for the variance-ratio markers (streamed fits).
+
+    Keys are 0-based local indices into the GRM variant set; missing keys
+    mean the adaptive marker escalation outran the harvest cache."""
+
+    def __init__(self, cache_k: int):
+        super().__init__()
+        self.cache_k = cache_k
+
+    def __missing__(self, key):
+        raise RuntimeError(
+            f"variance-ratio escalation needed marker row {key} beyond the "
+            f"streamed cache of {self.cache_k}; refit with stream_geno=False "
+            f"or a larger num_marker")
+
+
 def _parse_formula(formula: str):
     lhs, rhs = formula.split("~")
     resp = lhs.strip()
@@ -500,31 +517,55 @@ def fit_null_glmm(formula: str, data, gdsfile,
                         data[cfg.sample_col].astype(str).to_numpy())
     sample_id = seq.sample_id[samp_mask]
 
-    # genotype codes for the selected samples: [M, N] int8, 3 = missing
-    codes = _genotype_codes(seq)[:, samp_mask]
+    streamed = cfg.grm_impl == "packed" and cfg.stream_geno \
+        and seq.has_genotype()
+    if streamed:
+        # pass 1: streamed per-variant maf/missing for the filter
+        maf = np.empty(seq.n_variants)
+        miss = np.empty(seq.n_variants)
+        for idx, blk in seq.iter_code_blocks(8192, streamed=True):
+            blk = blk[:, samp_mask]
+            valid = blk < 3
+            n_valid = valid.sum(axis=1)
+            ac = np.where(valid, blk, 0).sum(axis=1, dtype=np.int64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                af = ac / (2.0 * n_valid)
+            maf[idx] = np.minimum(af, 1 - af)
+            miss[idx] = 1.0 - n_valid / blk.shape[1]
+        codes = None
+    else:
+        # genotype codes for the selected samples: [M, N] int8, 3 = missing
+        codes = _genotype_codes(seq)[:, samp_mask]
+        valid = codes < 3
+        n_valid = valid.sum(axis=1)
+        ac = np.where(valid, codes, 0).sum(axis=1, dtype=np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            af = ac / (2.0 * n_valid)
+        maf = np.minimum(af, 1 - af)
+        miss = 1.0 - n_valid / codes.shape[1]
 
     # variant filters: maf >= maf, missing.rate <= missing.rate
     # (seqSetFilterCond, R/saige_main.r:319-320)
-    valid = codes < 3
-    n_valid = valid.sum(axis=1)
-    ac = np.where(valid, codes, 0).sum(axis=1, dtype=np.int64)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        af = ac / (2.0 * n_valid)
-    maf = np.minimum(af, 1 - af)
-    miss = 1.0 - n_valid / codes.shape[1]
     vmask = np.isfinite(maf) & (maf >= cfg.maf) & (miss <= cfg.missing_rate)
     variant_id = seq.variant_id[vmask]
-    codes = codes[vmask]
+    if codes is not None:
+        codes = codes[vmask]
+    n_filtered = int(vmask.sum())
 
     # random down-sample to max_num_snp (R/saige_main.r:328-333)
-    if cfg.max_num_snp > 0 and codes.shape[0] > cfg.max_num_snp:
+    if cfg.max_num_snp > 0 and n_filtered > cfg.max_num_snp:
         rng = RRandom(cfg.seed)
-        sel = np.sort(rng.sample_int(codes.shape[0], cfg.max_num_snp) - 1)
-        codes = codes[sel]
+        sel = np.sort(rng.sample_int(n_filtered, cfg.max_num_snp) - 1)
+        if codes is not None:
+            codes = codes[sel]
         variant_id = variant_id[sel]
+        selmask = np.zeros(n_filtered, bool)
+        selmask[sel] = True
+    else:
+        selmask = np.ones(n_filtered, bool)
 
-    n_samp = codes.shape[1]
-    n_var = codes.shape[0]
+    n_samp = int(samp_mask.sum())
+    n_var = len(variant_id)
     if verbose:
         print(f"Fit the null model: {formula} + var(GRM)")
         print(f"    # of samples: {n_samp}\n    # of variants: {n_var}")
@@ -538,7 +579,31 @@ def fit_null_glmm(formula: str, data, gdsfile,
     else:
         X_new, X_qrr = X, None
 
-    if cfg.grm_impl == "packed":
+    if streamed:
+        # pass 2: streamed build + harvest the rows the variance-ratio
+        # estimator will touch (marker order is seed-deterministic)
+        rng = RRandom(cfg.seed)
+        marker_order = rng.sample_int(n_var, n_var)
+        cache_k = min(n_var, max(600, cfg.num_marker * 20))
+        want_rows = set(int(i) - 1 for i in marker_order[:cache_k])
+        marker_rows = _MarkerRows(cache_k)
+        full_sel = np.zeros(seq.n_variants, bool)
+        full_sel[np.flatnonzero(vmask)[selmask]] = True
+
+        def blocks():
+            local0 = 0
+            for idx, blk in seq.iter_code_blocks(8192, streamed=True,
+                                                 variant_mask=full_sel):
+                blk = np.ascontiguousarray(blk[:, samp_mask])
+                for r in range(blk.shape[0]):
+                    if local0 + r in want_rows:
+                        marker_rows[local0 + r] = blk[r].copy()
+                local0 += blk.shape[0]
+                yield idx, blk
+
+        grm = build_packed_grm_streamed(blocks(), n_samp)
+        codes = marker_rows            # row provider for calc_var_ratio
+    elif cfg.grm_impl == "packed":
         grm = build_packed_grm(codes)
     elif cfg.grm_impl == "dense":
         grm = build_grm(codes)

@@ -110,6 +110,68 @@ def build_packed_grm(codes: np.ndarray, pad_multiple: int = 256) -> PackedGRM:
                      n_variants=M, n_samples=N)
 
 
+def build_packed_grm_streamed(block_iter, n_samples: int,
+                              pad_multiple: int = 256,
+                              device_put=None) -> PackedGRM:
+    """Build the packed operator from streamed (idx, int8 codes) blocks.
+
+    Host peak memory is one block: per-block moments accumulate in numpy,
+    code blocks are converted to bf16 and placed on device immediately
+    (``device_put`` defaults to jnp.asarray; pass a sharded putter for
+    multi-chip fits).  Mirrors :func:`build_packed_grm` exactly.
+    """
+    put = device_put or (lambda x: jnp.asarray(x))
+    dev_blocks = []
+    af_parts, inv_parts = [], []
+    diag = np.zeros(n_samples, np.float64)
+    miss_v, miss_s = [], []
+    row0 = 0
+    for _idx, codes in block_iter:
+        codes = np.ascontiguousarray(codes, dtype=np.int8)
+        valid = codes < 3
+        n_valid = valid.sum(axis=1)
+        s = np.where(valid, codes, 0).sum(axis=1, dtype=np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            af = s / (2.0 * n_valid)
+            inv = 1.0 / np.sqrt(2.0 * af * (1.0 - af))
+        bad = ~np.isfinite(af) | ~np.isfinite(inv)
+        af = np.where(bad, 0.0, af)
+        inv = np.where(bad, 0.0, inv)
+        std = np.where(valid, (codes - 2.0 * af[:, None]) * inv[:, None], 0.0)
+        diag += (std * std).sum(axis=0)
+        mv, ms = np.nonzero(~valid)
+        miss_v.append(mv.astype(np.int64) + row0)
+        miss_s.append(ms.astype(np.int64))
+        af_parts.append(af)
+        inv_parts.append(inv)
+        dev_blocks.append(put(jnp.asarray(np.where(valid, codes, 0),
+                                          dtype=jnp.bfloat16)))
+        row0 += codes.shape[0]
+
+    M = row0
+    codes_dev = jnp.concatenate(dev_blocks, axis=0) if len(dev_blocks) > 1 \
+        else dev_blocks[0]
+    mv = np.concatenate(miss_v) if miss_v else np.empty(0, np.int64)
+    ms = np.concatenate(miss_s) if miss_s else np.empty(0, np.int64)
+    nnz = len(mv)
+    nnz_pad = max(-(-max(nnz, 1) // pad_multiple) * pad_multiple, pad_multiple)
+    miss_var = np.zeros(nnz_pad, np.int32)
+    miss_samp = np.zeros(nnz_pad, np.int32)
+    miss_pad = np.zeros(nnz_pad, np.float64)
+    miss_var[:nnz] = mv
+    miss_samp[:nnz] = ms
+    miss_pad[:nnz] = 1.0
+    return PackedGRM(codes=codes_dev,
+                     af=jnp.asarray(np.concatenate(af_parts)),
+                     inv=jnp.asarray(np.concatenate(inv_parts)),
+                     diag=jnp.asarray(diag / M),
+                     miss_var=jnp.asarray(miss_var),
+                     miss_samp=jnp.asarray(miss_samp),
+                     miss_pad=jnp.asarray(miss_pad),
+                     samp_mask=jnp.ones(n_samples, dtype=jnp.float64),
+                     n_variants=M, n_samples=n_samples)
+
+
 def _slice_i8(x, n_slices: int):
     """Decompose f64 [N, R] into signed-7-bit slices.
 

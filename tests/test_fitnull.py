@@ -80,3 +80,12 @@ def test_fit_then_scan_roundtrip(pheno, tmp_path):
     pv = np.asarray(strip(ref["pval"]))
     rel = np.abs(df["pval"].to_numpy() - pv) / np.maximum(np.abs(pv), 1e-300)
     assert np.nanmax(rel) < 1e-7
+
+
+def test_fit_binary_streamed_golden(pheno):
+    """stream_geno=True (out-of-core ingestion) reproduces the fixture."""
+    m = fit_null_glmm("y ~ x1 + x2", pheno, GDS,
+                      NullModelConfig(trait_type="binary", grm_impl="packed",
+                                      stream_geno=True))
+    ref = NullModel.load("/root/reference/inst/unitTests/saige_model.rds")
+    _compare(m, ref)

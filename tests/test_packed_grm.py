@@ -66,3 +66,19 @@ def test_no_missing_genotypes():
     np.testing.assert_allclose(np.asarray(pg.matvec(jnp.asarray(b))),
                                np.asarray(g0.matvec(jnp.asarray(b))),
                                atol=1e-13)
+
+
+def test_streamed_build_matches(problem):
+    from saigegds_tpu.ops.packed_grm import build_packed_grm_streamed
+
+    codes, g0, pg = problem
+    def blocks():
+        for s in range(0, codes.shape[0], 97):
+            yield np.arange(s, min(s + 97, codes.shape[0])), codes[s:s + 97]
+    sg = build_packed_grm_streamed(blocks(), codes.shape[1])
+    b = np.random.default_rng(4).normal(size=codes.shape[1])
+    np.testing.assert_allclose(np.asarray(sg.matvec(jnp.asarray(b))),
+                               np.asarray(pg.matvec(jnp.asarray(b))),
+                               atol=1e-13)
+    np.testing.assert_allclose(np.asarray(sg.diag), np.asarray(pg.diag),
+                               rtol=1e-12)
