@@ -159,14 +159,17 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
     rows_idx, outs = [], []
     spa_G, spa_rows = [], []  # flagged variants for phase-2 refinement
     row0 = 0
-    for idx, G in block_iter:
-        if packed:
-            G = np.asarray(G, np.int8)
-            Gp = _place(_pad_block(G, B, fill=3))
-        else:
-            G = np.asarray(G, np.float64)
-            Gp = _place(_pad_block(G, B))
-        res = kernel(scan_model, params, Gp)
+
+    # dispatch pipeline: keep a small window of in-flight device blocks so
+    # host-side decode of block k+1 overlaps device compute of block k
+    # (the np.asarray conversion in drain forces a sync per block)
+    from collections import deque
+    window = deque()
+    DEPTH = 3
+
+    def _drain_one():
+        nonlocal row0
+        idx, G, res = window.popleft()
         n = len(idx)
         valid = np.asarray(res.valid)[:n]
         rows_idx.append(idx[valid])
@@ -183,6 +186,19 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
             spa_rows.append(row0 + np.flatnonzero(need))
         outs.append(out)
         row0 += int(valid.sum())
+
+    for idx, G in block_iter:
+        if packed:
+            G = np.asarray(G, np.int8)
+            Gp = _place(_pad_block(G, B, fill=3))
+        else:
+            G = np.asarray(G, np.float64)
+            Gp = _place(_pad_block(G, B))
+        window.append((idx, G, kernel(scan_model, params, Gp)))
+        if len(window) >= DEPTH:
+            _drain_one()
+    while window:
+        _drain_one()
 
     idx = np.concatenate(rows_idx) if rows_idx else np.empty(0, int)
 
