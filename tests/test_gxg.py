@@ -56,3 +56,18 @@ def test_gxg_quant_unimplemented(pheno):
     with pytest.raises(NotImplementedError):
         gxg_spa("yy ~ x1 + x2", pheno, GDS, pairs,
                 config=NullModelConfig(trait_type="quantitative"))
+
+
+def test_gxg_glm_threshold_screen(pheno):
+    """glm_threshold screens pairs with a plain-GLM p-value first
+    (R/saige_interaction.r:496-516): p.glm columns appear, and pairs
+    failing the screen skip the GLMM refit (pval == NaN or from GLM)."""
+    pairs = pd.DataFrame({"id1": [1, 3], "id2": [2, 4]})
+    out = gxg_spa("y ~ x1 + x2", pheno, GDS, pairs, glm_threshold=0.99)
+    assert "p.glm" in out.columns and "p.glm.norm" in out.columns
+    assert len(out) == 2
+    assert np.isfinite(out["p.glm"]).all()
+    # with an impossible threshold no pair runs the GLMM
+    out2 = gxg_spa("y ~ x1 + x2", pheno, GDS, pairs, glm_threshold=1e-30)
+    assert not np.isfinite(out2["pval"]).any() or \
+        (out2["pval"] == out2["p.glm"]).all()
