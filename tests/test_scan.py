@@ -81,3 +81,19 @@ def test_spa_mixed_mode_close():
     rel = np.abs(mixed["pval"].to_numpy() - exact["pval"].to_numpy()) \
         / np.maximum(exact["pval"].to_numpy(), 1e-300)
     assert np.nanmax(rel) < 1e-3
+
+
+def test_scan_ds_dosage_node():
+    """Scans over annotation/format/DS dosage files (non-integer dosages,
+    the .dsnode auto-detect branch, R/assoc_single.r:69-85)."""
+    import saigegds_tpu as st
+    from saigegds_tpu.config import ScanConfig
+    import numpy as np
+
+    df = st.assoc_spa("/root/reference/inst/extdata/assoc_100snp.gds",
+                      "/root/reference/inst/unitTests/saige_model.rds",
+                      ScanConfig(mac=4))
+    assert len(df) > 0
+    assert np.isfinite(df["pval"]).all()
+    # fractional dosages force the dense f64 kernel (no genotype node)
+    assert df["AF.alt"].between(0, 1).all()
