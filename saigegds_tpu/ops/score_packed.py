@@ -119,13 +119,27 @@ def _packed_phase1(pm: PackedScanModel, params: ScanParams, codes,
         Y3 = jnp.einsum("bgrs,rs->bgr", Y3, pm.wts)    # [B, 3, R]
         Y0, Ym, Y2 = Y3[:, 0], Y3[:, 1], Y3[:, 2]
     elif impl == "xla":
-        g0 = jnp.where(codes == 3, 0, codes).astype(jnp.bfloat16)   # [B, N]
-        m = (codes == 3).astype(jnp.bfloat16)
-        g2 = (codes == 2).astype(jnp.bfloat16)
-        # three exact integer contractions (no [3B, N] concat copy)
-        Y0 = _i8_exact_dot(g0, pm.V.T, 8, contract_left=False)      # [B, R]
-        Ym = _i8_exact_dot(m, pm.V.T, 8, contract_left=False)
-        Y2 = _i8_exact_dot(g2, pm.V.T, 8, contract_left=False)
+        # chunk the contraction axis (exact-f32 bound, see packed_grm) and
+        # build the bf16 indicators chunk-locally: no full-width [B, N]
+        # bf16 materializations and no strided column slices of them
+        from .packed_grm import EXACT_CHUNK
+        acc = [None, None, None]
+        for s0 in range(0, N, EXACT_CHUNK):
+            c = codes[:, s0:s0 + EXACT_CHUNK]
+            v = pm.vs[s0:s0 + EXACT_CHUNK]                      # [n, Cpad]
+            g0 = jnp.where(c == 3, 0, c).astype(jnp.bfloat16)
+            mm = (c == 3).astype(jnp.bfloat16)
+            gg = (c == 2).astype(jnp.bfloat16)
+            for i, ind in enumerate((g0, mm, gg)):
+                part = jnp.dot(ind, v,
+                               preferred_element_type=jnp.float32)
+                part = part.astype(jnp.float64)
+                acc[i] = part if acc[i] is None else acc[i] + part
+        # combine slice columns: [B, Cpad] -> [B, R] with the baked weights
+        def combine(a):
+            a = a[:, :R * N_SLICES].reshape(B, R, N_SLICES)
+            return jnp.einsum("brs,rs->br", a, pm.wts)
+        Y0, Ym, Y2 = combine(acc[0]), combine(acc[1]), combine(acc[2])
     else:
         raise ValueError(f"unknown impl {impl!r}")
 
