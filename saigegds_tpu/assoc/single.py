@@ -212,9 +212,14 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
     converged = col("converged")
 
     # phase 2: SPA refinement over the flagged subset, in compact batches
+    # grouped by nonzero-count bucket so rare variants run the compacted
+    # CGF even when the flagged set mixes in common ones
     if spa_G:
         Gs = np.concatenate(spa_G, axis=0)
         rows = np.concatenate(spa_rows)
+        if spa_compact and len(rows) > 1:
+            order = np.argsort(_spa_nnz(Gs), kind="stable")
+            Gs, rows = Gs[order], rows[order]
         for s in range(0, len(rows), SPA_BATCH):
             Gi = Gs[s : s + SPA_BATCH]
             cap = _spa_cap(Gi) if spa_compact else 0
@@ -241,6 +246,18 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
         tab["p.norm"] = pval_noadj
         tab["converged"] = converged.astype(bool)
     return pd.DataFrame(tab)
+
+
+def _spa_nnz(Gi: np.ndarray) -> np.ndarray:
+    """Per-variant nonzero count after imputation + flip (for bucketing)."""
+    isnan = np.isnan(Gi)
+    num = (~isnan).sum(axis=1)
+    ac = np.where(isnan, 0.0, Gi).sum(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        af = ac / (2 * num)
+        g = np.where(isnan, (ac / np.maximum(num, 1))[:, None], Gi)
+    g = np.where((af > 0.5)[:, None], 2.0 - g, g)
+    return np.nan_to_num(g != 0).sum(axis=1)
 
 
 def _spa_cap(Gi: np.ndarray) -> int:
