@@ -57,6 +57,9 @@ def assoc_spa(gdsfile, modobj: Union[NullModel, str],
         spa_pval=config.spa_pval,
     )
     binary = model.trait_type == "binary"
+    if verbose:
+        print(f"SPA association scan ({model.trait_type} trait): "
+              f"{seq.n_variants} variants x {model.n_samples} samples")
 
     # packed fast path: integer genotype node -> the int8 codes are the
     # only [B, N] operand (ops/score_packed.py)
@@ -85,8 +88,13 @@ def assoc_spa(gdsfile, modobj: Union[NullModel, str],
         "alt": alt[idx],
     })
     df = pd.concat([meta, df], axis=1)
+    if verbose:
+        print(f"    tested {len(df)} variants "
+              f"(filters dropped {seq.n_variants - len(df)})")
     if res_savefn:
         save_assoc(df, res_savefn)
+        if verbose:
+            print(f"    saved to {res_savefn}")
     return df
 
 

@@ -68,3 +68,20 @@ def test_phase_timer(capsys):
         pass
     out = capsys.readouterr().out
     assert "[unit] start" in out and "[unit] done" in out
+
+
+def test_profile_trace(tmp_path):
+    import jax.numpy as jnp
+    with st.profile_trace(str(tmp_path / "trace")):
+        (jnp.ones(16) * 2).block_until_ready()
+    import os
+    assert any(os.scandir(tmp_path / "trace"))
+
+
+def test_assoc_verbose(capsys):
+    from saigegds_tpu.config import ScanConfig
+    st.assoc_spa("/root/reference/inst/extdata/grm1k_10k_snp.gds",
+                 "/root/reference/inst/unitTests/saige_model.rds",
+                 ScanConfig(mac=4), verbose=True)
+    out = capsys.readouterr().out
+    assert "SPA association scan" in out and "tested" in out
