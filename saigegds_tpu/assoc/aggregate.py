@@ -304,7 +304,6 @@ class _AcatVBatch:
                 g = _burden_collapse(ds, wb)
                 summac = g.sum() * n_snp
                 if summac >= cfg.summac and summac > 0:
-                    key = (uid, w)
                     burden_keys[w] = len(self.burdens)
                     self.burdens.append(g)
         self.units.append(dict(uid=uid, idx=idx, maf=maf, mac=mac,

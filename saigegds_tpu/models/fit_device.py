@@ -59,7 +59,6 @@ def fit_glmm_binary_device(op, y, X, tau_init, eta_init, U,
     Rademacher probes; tau_init [2]; eta_init [N].
     """
     N, K = X.shape
-    R = U.shape[1]
 
     def get_coeff(tau, eta, alpha0):
         """Inner IRLS to coefficient rel-tol 0.1 (get_coeff, :766-813)."""

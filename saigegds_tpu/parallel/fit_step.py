@@ -70,7 +70,6 @@ def glmm_fit_step_binary(std_geno, diag_grm, y, X, tau, eta, U,
     W = mu2
 
     K = X.shape[1]
-    R = U.shape[1]
     B = jnp.concatenate([Y[:, None], X, U], axis=1)
     sol, _, _ = pcg_solve(std_geno, diag_grm, W, tau0, B, tol_pcg, maxiter_pcg)
     Si_Y, Si_X, Si_U = sol[:, 0], sol[:, 1:1 + K], sol[:, 1 + K:]
@@ -81,10 +80,7 @@ def glmm_fit_step_binary(std_geno, diag_grm, y, X, tau, eta, U,
     mu1 = jax.nn.sigmoid(eta1)
 
     # -- AI score (get_AI_score, src/saige_fitnull.cpp:816-857) --
-    def proj(v):  # P v = Sigma^-1 v - Si_X cov X' Sigma^-1 v, given Sigma^-1 v
-        return v - Si_X @ (cov @ (Si_X.T @ v))
-
-    PY = proj_Y = Si_Y - Si_X @ (cov @ (Si_X.T @ Y))
+    PY = Si_Y - Si_X @ (cov @ (Si_X.T @ Y))
     APY = (std_geno.T @ (std_geno @ PY)) / M
     YPAPY = PY @ APY
 
