@@ -90,10 +90,14 @@ def _encode_column(arr: np.ndarray):
     return "dFloat64", a.tobytes(), len(a)
 
 
-def _array_node_record(cls: str, n: int, data_bid: int) -> bytes:
+def _array_node_record(cls: str, dims, data_bid: int) -> bytes:
+    if isinstance(dims, int):
+        dims = (dims,)
     props = bytearray()
-    props += _P_NDIM + struct.pack("<H", 1)
-    props += _P_DIMS + bytes([4]) + struct.pack("<I", n)
+    props += _P_NDIM + struct.pack("<H", len(dims))
+    props += _P_DIMS + bytes([4 * len(dims)])
+    for d in dims:
+        props += struct.pack("<I", d)
     props += _P_DATABLK + struct.pack("<I", data_bid)
     body = bytearray()
     body += struct.pack("<H", 3)              # nprops
@@ -104,13 +108,15 @@ def _array_node_record(cls: str, n: int, data_bid: int) -> bytes:
 
 
 def _folder_node_record(children: List[tuple], attrs: Dict[str, str]) -> bytes:
-    """children: [(name, bid)]"""
+    """children: [(name, bid)] or [(name, bid, is_folder)]"""
     ents = bytearray()
-    for name, bid in children:
+    for child in children:
+        name, bid = child[0], child[1]
+        is_folder = child[2] if len(child) > 2 else False
         nb = name.encode("utf-8")
         p = bytearray()
         p += _P_EID + struct.pack("<I", bid)
-        p += _P_EFLAG + struct.pack("<I", 0)
+        p += _P_EFLAG + struct.pack("<I", 0x2 if is_folder else 0)
         p += _P_ENAME + bytes([len(nb)]) + nb
         ents += _u48(len(p) + 8) + struct.pack("<H", 3) + p
     props = bytearray()
@@ -161,3 +167,95 @@ def save_assoc_gds(df, path: str, file_format: str = "SAIGE_OUTPUT"):
     """Save an association result DataFrame as a SAIGE_OUTPUT GDS."""
     cols = {k: df[k].to_numpy() for k in df.columns}
     write_gds_table(path, cols, file_format=file_format)
+
+
+# ---------------------------------------------------------------------------
+# SeqArray-compatible genotype files (the VCF/matrix -> GDS converter story)
+
+
+def _pack_bit2(values: np.ndarray) -> bytes:
+    """Pack 2-bit codes little-endian within each byte (dBit2 layout)."""
+    v = np.asarray(values, np.uint8).ravel()
+    pad = (-len(v)) % 4
+    if pad:
+        v = np.concatenate([v, np.zeros(pad, np.uint8)])
+    v = v.reshape(-1, 4)
+    return (v[:, 0] | (v[:, 1] << 2) | (v[:, 2] << 4) | (v[:, 3] << 6)) \
+        .astype(np.uint8).tobytes()
+
+
+def write_seqarray_gds(path: str, codes: np.ndarray, sample_id=None,
+                       variant_id=None, position=None, chromosome=None,
+                       allele=None, rs_id=None):
+    """Write an int8 dosage-code matrix as a SeqArray-style genotype GDS.
+
+    codes: [M, N] with 0/1/2 ALT dosage and 3 = missing.  This is the
+    inverse of our reader's genotype path — a one-time converter so any
+    matrix source (VCF parsers, simulators) can produce framework input
+    (SURVEY.md §7 "hard parts": ship a converter + neutral format).
+    """
+    codes = np.asarray(codes, np.int8)
+    M, N = codes.shape
+    sample_id = np.arange(1, N + 1, dtype=np.int32) if sample_id is None \
+        else np.asarray(sample_id)
+    variant_id = np.arange(1, M + 1, dtype=np.int32) if variant_id is None \
+        else np.asarray(variant_id)
+    position = np.arange(1, M + 1, dtype=np.int32) if position is None \
+        else np.asarray(position, np.int32)
+    chromosome = np.asarray(["1"] * M, object) if chromosome is None \
+        else np.asarray(chromosome, object)
+    allele = np.asarray(["A,G"] * M, object) if allele is None \
+        else np.asarray(allele, object)
+
+    # per-genotype allele pair: 0->(0,0) 1->(0,1) 2->(1,1) 3->(3,3)
+    a1 = np.select([codes == 0, codes == 1, codes == 2], [0, 0, 1], 3)
+    a2 = np.select([codes == 0, codes == 1, codes == 2], [0, 1, 1], 3)
+    alleles = np.stack([a1, a2], axis=2).astype(np.uint8)   # [M, N, 2]
+
+    blocks: Dict[int, bytes] = {}
+    next_bid = [2]
+
+    def add_array(cls, dims, payload):
+        nb, db = next_bid[0], next_bid[0] + 1
+        next_bid[0] += 2
+        blocks[nb] = _array_node_record(cls, dims, db)
+        blocks[db] = payload
+        return nb
+
+    def add_col(arr):
+        cls, payload, n = _encode_column(np.asarray(arr))
+        return add_array(cls, n, payload)
+
+    def add_folder(children, attrs=None):
+        nb = next_bid[0]
+        next_bid[0] += 1
+        blocks[nb] = _folder_node_record(children, attrs or {})
+        return nb
+
+    geno_data = add_array("dBit2", (M, N, 2), _pack_bit2(alleles))
+    geno = add_folder([("data", geno_data, False)])
+    root_children = [
+        ("sample.id", add_col(sample_id), False),
+        ("variant.id", add_col(variant_id), False),
+        ("position", add_col(position), False),
+        ("chromosome", add_col(chromosome), False),
+        ("allele", add_col(allele), False),
+        ("genotype", geno, True),
+    ]
+    if rs_id is not None:
+        ann = add_folder([("id", add_col(np.asarray(rs_id, object)), False)])
+        root_children.append(("annotation", ann, True))
+    blocks[1] = _folder_node_record(
+        root_children, {"FileFormat": "SEQ_ARRAY", "FileVersion": "v1.0"})
+
+    with open(path, "wb") as f:
+        f.write(GDS_MAGIC)
+        f.write(struct.pack("<H", 0x0100))
+        f.write(b"\x00" * 4)
+        for bid, content in sorted(blocks.items()):
+            size = 22 + len(content)
+            f.write((size | (1 << 47)).to_bytes(6, "little"))
+            f.write(_u48(0))
+            f.write(struct.pack("<I", bid))
+            f.write(_u48(len(content)))
+            f.write(content)

@@ -111,3 +111,54 @@ def test_load_pval_rejects_non_output_gds():
     import saigegds_tpu as st
     with pytest.raises(ValueError, match="SAIGE_OUTPUT"):
         st.load_pval("/root/reference/inst/extdata/assoc_100snp.gds")
+
+
+def test_seqarray_writer_roundtrip(tmp_path):
+    """numpy codes -> SeqArray GDS -> SeqData reads back identically."""
+    from saigegds_tpu.io.gds_write import write_seqarray_gds
+    from saigegds_tpu.io.seqarray import SeqData
+
+    rng = np.random.default_rng(9)
+    M, N = 137, 211
+    codes = rng.integers(0, 3, size=(M, N)).astype(np.int8)
+    codes[rng.random((M, N)) < 0.03] = 3
+    fn = str(tmp_path / "synth.gds")
+    write_seqarray_gds(fn, codes,
+                       chromosome=np.asarray(["1"] * 100 + ["2"] * 37, object),
+                       rs_id=[f"rs{i}" for i in range(M)])
+    seq = SeqData(fn)
+    assert seq.n_variants == M and seq.n_samples == N
+    assert seq.has_genotype()
+    back = seq.code_matrix()
+    np.testing.assert_array_equal(back, codes)
+    assert list(seq.chromosome[:3]) == ["1", "1", "1"]
+    assert seq.rs_id[5] == "rs5"
+    ref, alt = seq.ref_alt
+    assert ref[0] == "A" and alt[0] == "G"
+
+
+def test_synthetic_end_to_end_fit_scan(tmp_path):
+    """Reference-independent integration: simulate -> write gds -> fit -> scan."""
+    import pandas as pd
+    import saigegds_tpu as st
+    from saigegds_tpu.config import NullModelConfig, ScanConfig
+    from saigegds_tpu.io.gds_write import write_seqarray_gds
+
+    rng = np.random.default_rng(3)
+    M, N = 600, 400
+    af = rng.uniform(0.1, 0.5, size=M)
+    codes = rng.binomial(2, af[:, None], size=(M, N)).astype(np.int8)
+    fn = str(tmp_path / "sim.gds")
+    write_seqarray_gds(fn, codes)
+    x1 = rng.normal(size=N)
+    eta = -1.0 + 0.5 * x1
+    y = (rng.random(N) < 1 / (1 + np.exp(-eta))).astype(int)
+    pheno = pd.DataFrame({"sample.id": np.arange(1, N + 1),
+                          "y": y, "x1": x1})
+    model = st.fit_null_glmm("y ~ x1", pheno, fn,
+                             NullModelConfig(trait_type="binary", maf=0.01))
+    assert model.converged
+    df = st.assoc_spa(fn, model, ScanConfig(mac=4))
+    assert len(df) > 500
+    # null simulation: p-values roughly uniform
+    assert 0.2 < (df["pval"] < 0.5).mean() < 0.8
