@@ -1,0 +1,127 @@
+"""Command-line interface: fit / scan / aggregate / merge / info.
+
+The reference is an R library; for production TPU deployment a CLI makes
+the workflow schedulable (one shard per host, merge at the end):
+
+    python -m saigegds_tpu fit --formula "y ~ x1 + x2" --pheno pheno.tsv \\
+        --gds grm.gds --out model.npz [--packed] [--stream]
+    python -m saigegds_tpu scan --gds imputed.gds --model model.npz \\
+        --out assoc.gds [--mac 10] [--shard i/n]
+    python -m saigegds_tpu burden|acat-v|acat-o --gds ... --model ... \\
+        --win-size 10000 --win-shift 5000 --out out.gds
+    python -m saigegds_tpu merge --prefix out --out merged.parquet
+    python -m saigegds_tpu info
+"""
+
+import argparse
+import sys
+
+
+def _read_pheno(path):
+    import pandas as pd
+    sep = "," if path.endswith(".csv") or path.endswith(".csv.gz") else "\t"
+    return pd.read_csv(path, sep=sep)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="saigegds_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("fit", help="fit the null GLMM (seqFitNullGLMM_SPA)")
+    p.add_argument("--formula", required=True)
+    p.add_argument("--pheno", required=True)
+    p.add_argument("--gds", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--trait", default="binary",
+                   choices=["binary", "quantitative"])
+    p.add_argument("--packed", action="store_true",
+                   help="bf16-exact packed GRM operator")
+    p.add_argument("--stream", action="store_true",
+                   help="out-of-core streamed ingestion (implies --packed)")
+    p.add_argument("--maf", type=float, default=0.005)
+    p.add_argument("--missing-rate", type=float, default=0.01)
+    p.add_argument("--seed", type=int, default=200)
+
+    for name, hlp in (("scan", "single-variant score+SPA scan"),
+                      ("burden", "burden tests over sliding windows"),
+                      ("acat-v", "ACAT-V tests"), ("acat-o", "ACAT-O tests")):
+        q = sub.add_parser(name, help=hlp)
+        q.add_argument("--gds", required=True)
+        q.add_argument("--model", required=True)
+        q.add_argument("--out", required=True)
+        if name == "scan":
+            q.add_argument("--mac", type=float, default=10.0)
+            q.add_argument("--maf", type=float, default=float("nan"))
+            q.add_argument("--shard", default="",
+                           help="i/n: scan the i-th of n variant ranges")
+        else:
+            q.add_argument("--win-size", type=int, default=10000)
+            q.add_argument("--win-shift", type=int, default=5000)
+
+    p = sub.add_parser("merge", help="row-bind result shards")
+    p.add_argument("--prefix", required=True)
+    p.add_argument("--out", required=True)
+
+    sub.add_parser("info", help="device/backend report")
+
+    args = ap.parse_args(argv)
+
+    import saigegds_tpu as st
+    from saigegds_tpu.config import AggregateConfig, NullModelConfig, ScanConfig
+
+    if args.cmd == "info":
+        print(st.device_info())
+        return 0
+
+    if args.cmd == "fit":
+        pheno = _read_pheno(args.pheno)
+        cfg = NullModelConfig(
+            trait_type=args.trait, maf=args.maf,
+            missing_rate=args.missing_rate, seed=args.seed,
+            grm_impl="packed" if (args.packed or args.stream) else "dense",
+            stream_geno=args.stream)
+        model = st.fit_null_glmm(args.formula, pheno, args.gds, cfg,
+                                 model_savefn=args.out, verbose=True)
+        print(model)
+        return 0
+
+    if args.cmd == "scan":
+        kwargs = {}
+        if args.shard:
+            i, n = (int(x) for x in args.shard.split("/"))
+            from saigegds_tpu.io.seqarray import SeqData
+            from saigegds_tpu.parallel.distributed import host_variant_range
+            import numpy as np
+            seq = SeqData(args.gds)
+            lo, hi = host_variant_range(seq.n_variants, i, n)
+            mask = np.zeros(seq.n_variants, bool)
+            mask[lo:hi] = True
+            kwargs["variant_mask"] = mask
+        st.assoc_spa(args.gds, args.model,
+                     ScanConfig(mac=args.mac, maf=args.maf),
+                     res_savefn=args.out, verbose=True, **kwargs)
+        return 0
+
+    if args.cmd == "merge":
+        from saigegds_tpu.parallel.distributed import merge_shards
+        df = merge_shards(args.prefix)
+        from saigegds_tpu.assoc.single import save_assoc
+        save_assoc(df, args.out)
+        print(f"merged {len(df)} rows -> {args.out}")
+        return 0
+
+    # aggregate commands
+    from saigegds_tpu.assoc.aggregate import sliding_windows
+    from saigegds_tpu.io.seqarray import SeqData
+    seq = SeqData(args.gds)
+    units = sliding_windows(seq, win_size=args.win_size,
+                            win_shift=args.win_shift)
+    fn = {"burden": st.assoc_burden, "acat-v": st.assoc_acat_v,
+          "acat-o": st.assoc_acat_o}[args.cmd]
+    tab = fn(seq, args.model, units, AggregateConfig(), res_savefn=args.out)
+    print(f"{args.cmd}: {len(tab)} units -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

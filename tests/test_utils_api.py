@@ -85,3 +85,19 @@ def test_assoc_verbose(capsys):
                  ScanConfig(mac=4), verbose=True)
     out = capsys.readouterr().out
     assert "SPA association scan" in out and "tested" in out
+
+
+def test_cli_info_and_fit(tmp_path, capsys):
+    from saigegds_tpu.__main__ import main
+    assert main(["info"]) == 0
+    out = str(tmp_path / "m.npz")
+    assert main(["fit", "--formula", "y ~ x1 + x2",
+                 "--pheno", "/root/reference/inst/extdata/pheno.txt.gz",
+                 "--gds", "/root/reference/inst/extdata/grm1k_10k_snp.gds",
+                 "--out", out, "--packed"]) == 0
+    assert main(["scan", "--gds",
+                 "/root/reference/inst/extdata/grm1k_10k_snp.gds",
+                 "--model", out, "--mac", "4",
+                 "--out", str(tmp_path / "a.parquet")]) == 0
+    text = capsys.readouterr().out
+    assert "tested" in text
