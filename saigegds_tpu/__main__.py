@@ -62,6 +62,10 @@ def main(argv=None):
     p.add_argument("--prefix", required=True)
     p.add_argument("--out", required=True)
 
+    p = sub.add_parser("vcf2gds", help="convert a VCF to a genotype GDS")
+    p.add_argument("--vcf", required=True)
+    p.add_argument("--out", required=True)
+
     sub.add_parser("info", help="device/backend report")
 
     args = ap.parse_args(argv)
@@ -71,6 +75,12 @@ def main(argv=None):
 
     if args.cmd == "info":
         print(st.device_info())
+        return 0
+
+    if args.cmd == "vcf2gds":
+        from saigegds_tpu.io.vcf import vcf_to_gds
+        n = vcf_to_gds(args.vcf, args.out)
+        print(f"wrote {n} variants -> {args.out}")
         return 0
 
     if args.cmd == "fit":

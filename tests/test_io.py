@@ -162,3 +162,27 @@ def test_synthetic_end_to_end_fit_scan(tmp_path):
     assert len(df) > 500
     # null simulation: p-values roughly uniform
     assert 0.2 < (df["pval"] < 0.5).mean() < 0.8
+
+
+def test_vcf_to_gds(tmp_path):
+    """Minimal VCF -> GDS conversion round-trips GT codes."""
+    from saigegds_tpu.io.vcf import vcf_to_gds
+    from saigegds_tpu.io.seqarray import SeqData
+
+    vcf = tmp_path / "t.vcf"
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3",
+        "1\t100\trs1\tA\tG\t.\tPASS\t.\tGT\t0/0\t0/1\t1/1",
+        "1\t200\trs2\tC\tT\t.\tPASS\t.\tGT:DP\t0|1:10\t./.:5\t1|1:9",
+        "1\t300\trs3\tG\tA,C\t.\tPASS\t.\tGT\t0/0\t0/0\t0/0",   # multi-allelic
+        "2\t400\trs4\tT\tC\t.\tPASS\t.\tGT\t1/1\t0/0\t.",
+    ]) + "\n")
+    n = vcf_to_gds(str(vcf), str(tmp_path / "t.gds"))
+    assert n == 3   # rs3 skipped
+    seq = SeqData(str(tmp_path / "t.gds"))
+    codes = seq.code_matrix()
+    np.testing.assert_array_equal(codes, [[0, 1, 2], [1, 3, 2], [2, 0, 3]])
+    assert list(seq.sample_id) == ["S1", "S2", "S3"]
+    assert seq.rs_id[1] == "rs2"
+    assert list(seq.position) == [100, 200, 400]
