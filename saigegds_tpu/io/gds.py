@@ -369,6 +369,64 @@ class GDSFile:
             raise NotImplementedError(f"GDS pipe codec {pipe!r}")
         return raw
 
+    def frame_index(self, node: GDSNode):
+        """[(raw_pos, decompressed_start)] for LZMA_ra frames, or None.
+
+        Built once per node by decompressing each frame header-to-end (the
+        _ra container stores no plaintext sizes we parse, so sizes come
+        from one indexing pass); enables random access without inflating
+        the whole node.
+        """
+        props = node._props
+        cache = props.get("_frame_index")
+        if cache is not None:
+            return cache
+        pipe = props.get("pipe_name", "")
+        if not pipe.upper().startswith("LZMA") or "data_block" not in props:
+            return None
+        raw = self._blocks[props["data_block"]]
+        index = []
+        pos = raw.find(XZ_MAGIC)
+        out_off = 0
+        while pos >= 0:
+            index.append((pos, out_off))
+            nxt = raw.find(XZ_MAGIC, pos + 1)
+            dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+            try:
+                out_off += len(dec.decompress(raw[pos:]))
+            except lzma.LZMAError:
+                if nxt < 0:
+                    break
+            pos = nxt
+        props["_frame_index"] = index
+        return index
+
+    def read_node_bytes(self, node: GDSNode, start: int, stop: int) -> bytes:
+        """Random-access byte range of a node's decompressed payload.
+
+        Uses the frame index to inflate only the covering LZMA frames;
+        falls back to a full inflate for other codecs.
+        """
+        index = self.frame_index(node)
+        if not index:
+            return self._raw_stream(node)[start:stop]
+        raw = self._blocks[node._props["data_block"]]
+        # first frame whose decompressed start is <= start
+        import bisect
+        starts = [d for _, d in index]
+        f0 = max(bisect.bisect_right(starts, start) - 1, 0)
+        out = bytearray()
+        off = index[f0][1]
+        for fi in range(f0, len(index)):
+            if off >= stop:
+                break
+            dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+            data = dec.decompress(raw[index[fi][0]:])
+            out += data
+            off += len(data)
+        lo = start - index[f0][1]
+        return bytes(out[lo : lo + (stop - start)])
+
     def stream_node_bytes(self, node: GDSNode, chunk_hint: int = 1 << 22):
         """Yield the node's decompressed payload incrementally.
 

@@ -164,6 +164,23 @@ class SeqData:
             if len(idx):
                 yield idx, codes
 
+    def code_rows(self, variants: np.ndarray) -> np.ndarray:
+        """Random-access int8 code rows [len(variants), N] via the LZMA
+        frame index (no full-matrix inflate)."""
+        from . import native
+
+        node = self._geno_node
+        M, N, ploidy = node.dims
+        bpv = N * ploidy * 2
+        out = np.empty((len(variants), N), np.int8)
+        for i, v in enumerate(np.asarray(variants, np.int64)):
+            bit0 = int(v) * bpv
+            b0, b1 = bit0 // 8, -(-(bit0 + bpv) // 8)
+            span = self.gds.read_node_bytes(node, b0, b1)
+            off = (bit0 - b0 * 8) // 2
+            out[i] = native.bit2_dosage_codes_off(span, off, N, ploidy)
+        return out
+
     def dosage_block(self, start: int, stop: int, dsnode: str = "") -> np.ndarray:
         """[stop-start, N] float64 ALT dosages with NaN for missing."""
         name = self.dosage_node_name(dsnode)

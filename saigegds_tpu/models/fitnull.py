@@ -451,14 +451,19 @@ def calc_var_ratio(grm: GRMOperator, codes: np.ndarray, fit0: GlmFit,
 class _MarkerRows(dict):
     """Cached genotype rows for the variance-ratio markers (streamed fits).
 
-    Keys are 0-based local indices into the GRM variant set; missing keys
-    mean the adaptive marker escalation outran the harvest cache."""
+    Keys are 0-based local indices into the GRM variant set; misses beyond
+    the harvest cache fall back to random-access frame reads (``loader``)."""
 
-    def __init__(self, cache_k: int):
+    def __init__(self, cache_k: int, loader=None):
         super().__init__()
         self.cache_k = cache_k
+        self.loader = loader
 
     def __missing__(self, key):
+        if self.loader is not None:
+            row = self.loader(key)
+            self[key] = row
+            return row
         raise RuntimeError(
             f"variance-ratio escalation needed marker row {key} beyond the "
             f"streamed cache of {self.cache_k}; refit with stream_geno=False "
@@ -586,9 +591,15 @@ def fit_null_glmm(formula: str, data, gdsfile,
         marker_order = rng.sample_int(n_var, n_var)
         cache_k = min(n_var, max(600, cfg.num_marker * 20))
         want_rows = set(int(i) - 1 for i in marker_order[:cache_k])
-        marker_rows = _MarkerRows(cache_k)
+        local_to_global = np.flatnonzero(vmask)[selmask]
+
+        def _load_row(local_idx):
+            row = seq.code_rows(local_to_global[local_idx:local_idx + 1])[0]
+            return np.ascontiguousarray(row[samp_mask])
+
+        marker_rows = _MarkerRows(cache_k, loader=_load_row)
         full_sel = np.zeros(seq.n_variants, bool)
-        full_sel[np.flatnonzero(vmask)[selmask]] = True
+        full_sel[local_to_global] = True
 
         def blocks():
             local0 = 0

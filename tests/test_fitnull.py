@@ -89,3 +89,16 @@ def test_fit_binary_streamed_golden(pheno):
                                       stream_geno=True))
     ref = NullModel.load("/root/reference/inst/unitTests/saige_model.rds")
     _compare(m, ref)
+
+
+def test_marker_rows_loader_fallback():
+    """Streamed-fit marker cache misses fall back to random-access reads."""
+    from saigegds_tpu.models.fitnull import _MarkerRows
+
+    calls = []
+    mr = _MarkerRows(2, loader=lambda k: calls.append(k) or np.full(4, k))
+    mr[0] = np.zeros(4)
+    np.testing.assert_array_equal(mr[7], np.full(4, 7))   # miss -> loader
+    assert calls == [7]
+    np.testing.assert_array_equal(mr[7], np.full(4, 7))   # now cached
+    assert calls == [7]

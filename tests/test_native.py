@@ -100,3 +100,14 @@ def test_streamed_with_mask():
                           seq.iter_code_blocks(512, variant_mask=mask,
                                                streamed=True)], axis=0)
     np.testing.assert_array_equal(got, want)
+
+
+def test_random_access_code_rows():
+    """Frame-index random access == full decode."""
+    from saigegds_tpu.io.seqarray import SeqData
+
+    seq = SeqData("/root/reference/inst/extdata/grm1k_10k_snp.gds")
+    want = seq.code_matrix()
+    idx = np.array([0, 1, 777, 5000, 9999])
+    got = seq.code_rows(idx)
+    np.testing.assert_array_equal(got, want[idx])
