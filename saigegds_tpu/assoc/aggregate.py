@@ -197,9 +197,16 @@ def _prepare(gdsfile, modobj, config: AggregateConfig):
 
 
 def _unit_dosage(seq: SeqData, idx: np.ndarray, dsnode="") -> np.ndarray:
-    """[S, N] dosage rows for the unit's variants."""
+    """[S, N] dosage rows for the unit's variants.
+
+    Genotype-node files go through the int8 code cache (1 B/genotype
+    instead of the f64 dosage cache) and convert just the unit's rows."""
     if len(idx) == 0:
         return np.empty((0, seq.n_samples))
+    if seq.has_genotype() and not dsnode:
+        rows = seq.code_matrix()[idx].astype(np.float64)
+        rows[rows == 3] = np.nan
+        return rows
     lo, hi = int(idx.min()), int(idx.max()) + 1
     blk = seq.dosage_block(lo, hi, dsnode)
     return np.asarray(blk[idx - lo], np.float64)
