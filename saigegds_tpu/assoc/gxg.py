@@ -94,7 +94,7 @@ def gxg_spa(formula: str, data: pd.DataFrame, gds_grm, snp_pair,
     snp_pair: DataFrame whose first two columns are variant ids in
     ``gds_assoc`` (defaults to ``gds_grm``).
     """
-    from ..models.fitnull import _parse_formula, _model_matrix
+    from ..models.fitnull import _parse_formula, _model_matrix, _term_vars
 
     if config.trait_type != "binary":
         raise NotImplementedError(
@@ -107,7 +107,7 @@ def gxg_spa(formula: str, data: pd.DataFrame, gds_grm, snp_pair,
         gds_assoc if isinstance(gds_assoc, SeqData) else SeqData(gds_assoc))
     resp, covs = _parse_formula(formula)
 
-    data = data[[cfg.sample_col] + [resp] + covs].dropna()
+    data = data[[cfg.sample_col] + [resp] + _term_vars(covs)].dropna()
     sid = pd.Index(data[cfg.sample_col].astype(str))
     order = {s: i for i, s in enumerate(sid)}
     keep = [order[s] for s in seq.sample_id.astype(str) if s in order]

@@ -470,28 +470,114 @@ class _MarkerRows(dict):
             f"or a larger num_marker")
 
 
+def _split_top(s: str, sep: str):
+    """Split ``s`` on single-char ``sep`` outside parentheses."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
 def _parse_formula(formula: str):
+    """Parse an R-style formula into (response, term list).
+
+    Supports additive terms, ``a:b`` interactions, ``a*b`` crossing
+    (expanded to main effects + interactions, R's rule), and ``I(expr)``
+    arithmetic terms — the formula features `seqFitNullGLMM_SPA` hands to
+    R's `model.matrix` (reference R/saige_main.r:345-352)."""
     lhs, rhs = formula.split("~")
     resp = lhs.strip()
-    covs = [t.strip() for t in rhs.split("+")]
-    covs = [c for c in covs if c not in ("", "1")]
-    return resp, covs
+    terms = []
+    for t in _split_top(rhs, "+"):
+        t = t.strip()
+        if t in ("", "1"):
+            continue
+        comps = [c.strip() for c in _split_top(t, "*")]
+        if len(comps) == 1:
+            terms.append(t)
+            continue
+        # a*b*c -> all non-empty subsets, smaller interactions first
+        from itertools import combinations
+        for k in range(1, len(comps) + 1):
+            for sub in combinations(comps, k):
+                terms.append(":".join(sub))
+    # dedupe, first appearance wins
+    seen, out = set(), []
+    for t in terms:
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return resp, out
 
 
-def _model_matrix(data, covs):
+def _term_vars(terms):
+    """Base data columns referenced by a term list (for NA-dropping)."""
+    import ast
+    names = []
+    for t in terms:
+        for c in _split_top(t, ":"):
+            c = c.strip()
+            if c.startswith("I(") and c.endswith(")"):
+                tree = ast.parse(c[2:-1], mode="eval")
+                called = {n.func.id for n in ast.walk(tree)
+                          if isinstance(n, ast.Call)
+                          and isinstance(n.func, ast.Name)}
+                for node in ast.walk(tree):
+                    if isinstance(node, ast.Name) and node.id not in called:
+                        names.append(node.id)
+            else:
+                names.append(c)
+    seen, out = set(), []
+    for n in names:
+        if n not in seen:
+            seen.add(n)
+            out.append(n)
+    return out
+
+
+_I_FUNCS = {"log": np.log, "log2": np.log2, "log10": np.log10,
+            "exp": np.exp, "sqrt": np.sqrt, "abs": np.abs}
+
+
+def _component_cols(data, c):
+    """One formula component -> list of (name, float64 column)."""
     import pandas as pd
+    if c.startswith("I(") and c.endswith(")"):
+        env = dict(_I_FUNCS)
+        env.update({k: np.asarray(data[k], np.float64) for k in data.columns
+                    if pd.api.types.is_numeric_dtype(data[k])})
+        val = eval(c[2:-1], {"__builtins__": {}}, env)  # noqa: S307
+        return [(c, np.asarray(val, np.float64))]
+    v = data[c]
+    if not pd.api.types.is_numeric_dtype(v) or str(v.dtype) == "category":
+        dummies = pd.get_dummies(v, prefix=c, drop_first=True)
+        return [(nm, dummies[nm].to_numpy(np.float64))
+                for nm in dummies.columns]
+    return [(c, np.asarray(v, np.float64))]
+
+
+def _model_matrix(data, terms):
     cols = [np.ones(len(data))]
     names = ["(Intercept)"]
-    for c in covs:
-        v = data[c]
-        if v.dtype == object or str(v.dtype) == "category":
-            dummies = pd.get_dummies(v, prefix=c, drop_first=True)
-            for nm in dummies.columns:
-                cols.append(dummies[nm].to_numpy(np.float64))
-                names.append(nm)
-        else:
-            cols.append(np.asarray(v, np.float64))
-            names.append(c)
+    for t in terms:
+        comps = [c.strip() for c in _split_top(t, ":")]
+        blocks = [_component_cols(data, c) for c in comps]
+        prod = blocks[0]
+        for blk in blocks[1:]:
+            prod = [(f"{na}:{nb}", va * vb) for na, va in prod
+                    for nb, vb in blk]
+        for nm, v in prod:
+            cols.append(v)
+            names.append(nm)
     return np.column_stack(cols), names
 
 
@@ -511,7 +597,7 @@ def fit_null_glmm(formula: str, data, gdsfile,
     resp, covs = _parse_formula(formula)
 
     # sample alignment (R/saige_main.r:303-313)
-    data = data[[cfg.sample_col, resp] + covs].dropna()
+    data = data[[cfg.sample_col, resp] + _term_vars(covs)].dropna()
     sid = pd.Index(data[cfg.sample_col].astype(str))
     order = {s: i for i, s in enumerate(sid)}
     keep = [order[s] for s in seq.sample_id.astype(str) if s in order]

@@ -102,3 +102,49 @@ def test_marker_rows_loader_fallback():
     assert calls == [7]
     np.testing.assert_array_equal(mr[7], np.full(4, 7))   # now cached
     assert calls == [7]
+
+
+# ---------------------------------------------------------------------------
+# formula machinery (interactions, crossing, I() arithmetic terms;
+# reference hands these to R's model.matrix, R/saige_main.r:345-352)
+
+
+def test_formula_terms_and_matrix():
+    from saigegds_tpu.models.fitnull import (_parse_formula, _model_matrix,
+                                             _term_vars)
+
+    resp, terms = _parse_formula("y ~ a + b:c + a*d + I(log(e) + 1)")
+    assert resp == "y"
+    assert terms == ["a", "b:c", "d", "a:d", "I(log(e) + 1)"]
+    assert _term_vars(terms) == ["a", "b", "c", "d", "e"]
+
+    df = pd.DataFrame({
+        "a": [1.0, 2.0, 3.0], "b": [0.5, 1.5, 2.5], "c": [2.0, 0.0, 1.0],
+        "d": [1.0, 0.0, 2.0], "e": [1.0, np.e, np.e ** 2]})
+    X, names = _model_matrix(df, terms)
+    assert names == ["(Intercept)", "a", "b:c", "d", "a:d", "I(log(e) + 1)"]
+    np.testing.assert_allclose(X[:, 2], df.b * df.c)
+    np.testing.assert_allclose(X[:, 4], df.a * df.d)
+    np.testing.assert_allclose(X[:, 5], np.log(df.e) + 1)
+
+
+def test_formula_factor_interaction():
+    from saigegds_tpu.models.fitnull import _model_matrix
+
+    df = pd.DataFrame({"g": ["u", "v", "u", "w"], "x": [1.0, 2.0, 3.0, 4.0]})
+    X, names = _model_matrix(df, ["g", "x", "g:x"])
+    assert names == ["(Intercept)", "g_v", "g_w", "x", "g_v:x", "g_w:x"]
+    np.testing.assert_allclose(X[:, 4], (df.g == "v") * df.x)
+    np.testing.assert_allclose(X[:, 5], (df.g == "w") * df.x)
+
+
+def test_fit_with_interaction_formula(pheno):
+    """x1*x2 fit == fit with the product precomputed as a plain column."""
+    ph = pheno.copy()
+    ph["x12"] = ph.x1 * ph.x2
+    cfg = NullModelConfig(trait_type="binary")
+    m1 = fit_null_glmm("y ~ x1 * x2", pheno, GDS, cfg)
+    m2 = fit_null_glmm("y ~ x1 + x2 + x12", ph, GDS, cfg)
+    np.testing.assert_allclose(m1.tau, m2.tau, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(m1.coefficients, m2.coefficients,
+                               rtol=1e-10, atol=1e-12)
