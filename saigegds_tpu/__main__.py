@@ -65,6 +65,10 @@ def main(argv=None):
     p = sub.add_parser("vcf2gds", help="convert a VCF to a genotype GDS")
     p.add_argument("--vcf", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument("--field", default="GT", choices=["GT", "DS"],
+                   help="GT hard calls or DS imputed dosages")
+    p.add_argument("--split-multiallelic", action="store_true",
+                   help="split multi-allelic rows into biallelic records")
 
     sub.add_parser("info", help="device/backend report")
 
@@ -79,7 +83,8 @@ def main(argv=None):
 
     if args.cmd == "vcf2gds":
         from saigegds_tpu.io.vcf import vcf_to_gds
-        n = vcf_to_gds(args.vcf, args.out)
+        n = vcf_to_gds(args.vcf, args.out, field=args.field,
+                       split_multiallelic=args.split_multiallelic)
         print(f"wrote {n} variants -> {args.out}")
         return 0
 

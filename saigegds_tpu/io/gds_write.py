@@ -248,6 +248,71 @@ def write_seqarray_gds(path: str, codes: np.ndarray, sample_id=None,
     blocks[1] = _folder_node_record(
         root_children, {"FileFormat": "SEQ_ARRAY", "FileVersion": "v1.0"})
 
+    _write_blocks(path, blocks)
+
+
+def write_dosage_gds(path: str, dosages: np.ndarray, sample_id=None,
+                     variant_id=None, position=None, chromosome=None,
+                     allele=None, rs_id=None):
+    """Write a float ALT-dosage matrix as a SeqArray-style DS GDS.
+
+    dosages: [M, N] float with NaN = missing, stored under
+    ``annotation/format/DS`` (the reference's imputed-dosage node,
+    R/assoc_single.r:69-85) — no genotype node, so readers auto-detect DS.
+    """
+    ds = np.asarray(dosages, "<f8")
+    M, N = ds.shape
+    sample_id = np.arange(1, N + 1, dtype=np.int32) if sample_id is None \
+        else np.asarray(sample_id)
+    variant_id = np.arange(1, M + 1, dtype=np.int32) if variant_id is None \
+        else np.asarray(variant_id)
+    position = np.arange(1, M + 1, dtype=np.int32) if position is None \
+        else np.asarray(position, np.int32)
+    chromosome = np.asarray(["1"] * M, object) if chromosome is None \
+        else np.asarray(chromosome, object)
+    allele = np.asarray(["A,G"] * M, object) if allele is None \
+        else np.asarray(allele, object)
+
+    blocks: Dict[int, bytes] = {}
+    next_bid = [2]
+
+    def add_array(cls, dims, payload):
+        nb, db = next_bid[0], next_bid[0] + 1
+        next_bid[0] += 2
+        blocks[nb] = _array_node_record(cls, dims, db)
+        blocks[db] = payload
+        return nb
+
+    def add_col(arr):
+        cls, payload, n = _encode_column(np.asarray(arr))
+        return add_array(cls, n, payload)
+
+    def add_folder(children, attrs=None):
+        nb = next_bid[0]
+        next_bid[0] += 1
+        blocks[nb] = _folder_node_record(children, attrs or {})
+        return nb
+
+    ds_data = add_array("dFloat64", (M, N), ds.tobytes())
+    ds_folder = add_folder([("data", ds_data, False)])
+    fmt = add_folder([("DS", ds_folder, True)])
+    ann_children = [("format", fmt, True)]
+    if rs_id is not None:
+        ann_children.insert(0, ("id", add_col(np.asarray(rs_id, object)),
+                                False))
+    ann = add_folder(ann_children)
+    blocks[1] = _folder_node_record([
+        ("sample.id", add_col(sample_id), False),
+        ("variant.id", add_col(variant_id), False),
+        ("position", add_col(position), False),
+        ("chromosome", add_col(chromosome), False),
+        ("allele", add_col(allele), False),
+        ("annotation", ann, True),
+    ], {"FileFormat": "SEQ_ARRAY", "FileVersion": "v1.0"})
+    _write_blocks(path, blocks)
+
+
+def _write_blocks(path: str, blocks: Dict[int, bytes]):
     with open(path, "wb") as f:
         f.write(GDS_MAGIC)
         f.write(struct.pack("<H", 0x0100))

@@ -1,14 +1,19 @@
-"""Minimal VCF -> SeqArray-GDS converter.
+"""VCF -> SeqArray-GDS converter.
 
 The reference delegates VCF ingestion to the SeqArray R package
-(``seqVCF2GDS``); this is the framework-native equivalent for the common
-diploid-GT case: parse ``GT`` fields into 0/1/2/missing ALT-dosage codes
-and emit a genotype GDS via :func:`saigegds_tpu.io.gds_write.write_seqarray_gds`.
+(``seqVCF2GDS``); this is the framework-native equivalent: parse ``GT``
+fields into 0/1/2/missing ALT-dosage codes (or ``DS`` fields into float
+dosages) and emit a genotype (or ``annotation/format/DS``) GDS via
+:mod:`saigegds_tpu.io.gds_write`.
 
-Scope (documented): bi-allelic rows (multi-allelic rows are skipped with a
-count), diploid GT (haploid treated as one allele counted twice is NOT
-assumed — haploid calls count the single allele), ``.`` = missing.
-Supports plain and gzip-compressed files.
+Scope (documented):
+
+- diploid GT (haploid calls count the single allele once), ``.`` = missing;
+- multi-allelic rows: either skipped (``split_multiallelic=False``) or
+  split into one biallelic record per ALT allele, bcftools-norm style —
+  other ALT alleles count as REF for the split record;
+- ``DS`` fields: ``Number=A`` comma lists supported under splitting;
+- plain and gzip/BGZF-compressed files.
 """
 
 from __future__ import annotations
@@ -25,16 +30,9 @@ def _open(path: str):
     return open(path, "rt")
 
 
-def read_vcf_codes(path: str, max_variants: Optional[int] = None):
-    """Parse a VCF into (codes [M, N] int8, meta dict).
-
-    meta: sample_id, variant_id (1..M), position, chromosome, allele
-    ("REF,ALT"), rs_id.
-    """
+def _iter_vcf_rows(path: str):
+    """Yield (samples, parts) for each data row; samples from #CHROM."""
     samples = None
-    rows = []
-    chrom, pos, rsid, allele = [], [], [], []
-    n_multi = 0
     with _open(path) as f:
         for line in f:
             if line.startswith("##"):
@@ -45,36 +43,58 @@ def read_vcf_codes(path: str, max_variants: Optional[int] = None):
             if samples is None:
                 raise ValueError("VCF missing #CHROM header line")
             parts = line.rstrip("\n").split("\t")
-            if len(parts) < 10:
-                continue
-            ref, alt = parts[3], parts[4]
-            if "," in alt:          # multi-allelic: skip (like a strict
-                n_multi += 1        # biallelic-only seqVCF2GDS import)
-                continue
-            fmt = parts[8].split(":")
-            try:
-                gt_i = fmt.index("GT")
-            except ValueError:
-                continue
-            row = np.empty(len(samples), np.int8)
-            for j, cell in enumerate(parts[9:]):
-                gt = cell.split(":")[gt_i] if cell not in (".", "") else "."
-                alleles = gt.replace("|", "/").split("/")
-                ds = 0
-                missing = False
-                for a in alleles:
-                    if a in (".", ""):
-                        missing = True
-                        break
-                    ds += int(a != "0")
-                row[j] = 3 if missing else min(ds, 2)
-            rows.append(row)
+            if len(parts) >= 10:
+                yield samples, parts
+
+
+def _gt_row(parts, gt_i, n_samples, alt_k):
+    """ALT-allele-``alt_k`` dosage codes for one row (3 = missing)."""
+    row = np.empty(n_samples, np.int8)
+    tgt = str(alt_k)
+    for j, cell in enumerate(parts[9:]):
+        gt = cell.split(":")[gt_i] if cell not in (".", "") else "."
+        alleles = gt.replace("|", "/").split("/")
+        ds = 0
+        missing = False
+        for a in alleles:
+            if a in (".", ""):
+                missing = True
+                break
+            ds += int(a == tgt)
+        row[j] = 3 if missing else min(ds, 2)
+    return row
+
+
+def read_vcf_codes(path: str, max_variants: Optional[int] = None,
+                   split_multiallelic: bool = False):
+    """Parse VCF GT fields into (codes [M, N] int8, meta dict).
+
+    meta: sample_id, variant_id (1..M), position, chromosome, allele
+    ("REF,ALT"), rs_id, n_multiallelic_skipped.
+    """
+    samples = None
+    rows = []
+    chrom, pos, rsid, allele = [], [], [], []
+    n_multi = 0
+    for samples, parts in _iter_vcf_rows(path):
+        ref, alt = parts[3], parts[4]
+        alts = alt.split(",")
+        if len(alts) > 1 and not split_multiallelic:
+            n_multi += 1
+            continue
+        fmt = parts[8].split(":")
+        try:
+            gt_i = fmt.index("GT")
+        except ValueError:
+            continue
+        for k, alt_k in enumerate(alts, start=1):
+            rows.append(_gt_row(parts, gt_i, len(samples), k))
             chrom.append(parts[0])
             pos.append(int(parts[1]))
             rsid.append(parts[2])
-            allele.append(f"{ref},{alt}")
-            if max_variants and len(rows) >= max_variants:
-                break
+            allele.append(f"{ref},{alt_k}")
+        if max_variants and len(rows) >= max_variants:
+            break
     codes = np.stack(rows) if rows else np.empty((0, len(samples or [])),
                                                  np.int8)
     meta = dict(sample_id=np.asarray(samples, object),
@@ -87,17 +107,88 @@ def read_vcf_codes(path: str, max_variants: Optional[int] = None):
     return codes, meta
 
 
-def vcf_to_gds(vcf_path: str, gds_path: str,
-               max_variants: Optional[int] = None) -> int:
-    """Convert a VCF to a SeqArray-style genotype GDS; returns n variants."""
-    from .gds_write import write_seqarray_gds
+def read_vcf_dosages(path: str, max_variants: Optional[int] = None,
+                     split_multiallelic: bool = False):
+    """Parse VCF DS fields into (dosages [M, N] float64, meta dict).
 
-    codes, meta = read_vcf_codes(vcf_path, max_variants=max_variants)
-    write_seqarray_gds(gds_path, codes,
-                       sample_id=meta["sample_id"],
-                       variant_id=meta["variant_id"],
-                       position=meta["position"],
-                       chromosome=meta["chromosome"],
-                       allele=meta["allele"],
-                       rs_id=meta["rs_id"])
-    return codes.shape[0]
+    DS is the imputed ALT-dosage FORMAT field (``Number=A``); missing or
+    absent cells become NaN.  Rows without DS in FORMAT are skipped
+    (counted in meta["n_no_ds_skipped"]).
+    """
+    samples = None
+    rows = []
+    chrom, pos, rsid, allele = [], [], [], []
+    n_multi = n_nods = 0
+    for samples, parts in _iter_vcf_rows(path):
+        ref, alt = parts[3], parts[4]
+        alts = alt.split(",")
+        if len(alts) > 1 and not split_multiallelic:
+            n_multi += 1
+            continue
+        fmt = parts[8].split(":")
+        try:
+            ds_i = fmt.index("DS")
+        except ValueError:
+            n_nods += 1
+            continue
+        cells = []
+        for cell in parts[9:]:
+            fields = cell.split(":")
+            cells.append(fields[ds_i] if ds_i < len(fields) else ".")
+        for k, alt_k in enumerate(alts):
+            row = np.empty(len(samples), np.float64)
+            for j, c in enumerate(cells):
+                vals = c.split(",")
+                v = vals[k] if k < len(vals) else "."
+                row[j] = np.nan if v in (".", "") else float(v)
+            rows.append(row)
+            chrom.append(parts[0])
+            pos.append(int(parts[1]))
+            rsid.append(parts[2])
+            allele.append(f"{ref},{alt_k}")
+        if max_variants and len(rows) >= max_variants:
+            break
+    ds = np.stack(rows) if rows else np.empty((0, len(samples or [])))
+    meta = dict(sample_id=np.asarray(samples, object),
+                variant_id=np.arange(1, len(rows) + 1, dtype=np.int32),
+                position=np.asarray(pos, np.int32),
+                chromosome=np.asarray(chrom, object),
+                allele=np.asarray(allele, object),
+                rs_id=np.asarray(rsid, object),
+                n_multiallelic_skipped=n_multi, n_no_ds_skipped=n_nods)
+    return ds, meta
+
+
+def vcf_to_gds(vcf_path: str, gds_path: str,
+               max_variants: Optional[int] = None,
+               field: str = "GT", split_multiallelic: bool = False) -> int:
+    """Convert a VCF to a SeqArray-style GDS; returns n variants written.
+
+    field="GT": 2-bit genotype node (hard calls).
+    field="DS": float dosages under ``annotation/format/DS``.
+    """
+    from .gds_write import write_seqarray_gds, write_dosage_gds
+
+    if field == "GT":
+        codes, meta = read_vcf_codes(vcf_path, max_variants=max_variants,
+                                     split_multiallelic=split_multiallelic)
+        write_seqarray_gds(gds_path, codes,
+                           sample_id=meta["sample_id"],
+                           variant_id=meta["variant_id"],
+                           position=meta["position"],
+                           chromosome=meta["chromosome"],
+                           allele=meta["allele"],
+                           rs_id=meta["rs_id"])
+        return codes.shape[0]
+    if field == "DS":
+        ds, meta = read_vcf_dosages(vcf_path, max_variants=max_variants,
+                                    split_multiallelic=split_multiallelic)
+        write_dosage_gds(gds_path, ds,
+                         sample_id=meta["sample_id"],
+                         variant_id=meta["variant_id"],
+                         position=meta["position"],
+                         chromosome=meta["chromosome"],
+                         allele=meta["allele"],
+                         rs_id=meta["rs_id"])
+        return ds.shape[0]
+    raise ValueError(f"field must be 'GT' or 'DS', got {field!r}")

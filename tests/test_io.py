@@ -186,3 +186,48 @@ def test_vcf_to_gds(tmp_path):
     assert list(seq.sample_id) == ["S1", "S2", "S3"]
     assert seq.rs_id[1] == "rs2"
     assert list(seq.position) == [100, 200, 400]
+
+
+def test_vcf_multiallelic_split(tmp_path):
+    """split_multiallelic: one biallelic record per ALT, bcftools-norm style."""
+    from saigegds_tpu.io.vcf import read_vcf_codes
+
+    vcf = tmp_path / "m.vcf"
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3",
+        "1\t300\trs3\tG\tA,C\t.\tPASS\t.\tGT\t1/2\t0/2\t./.",
+    ]) + "\n")
+    codes, meta = read_vcf_codes(str(vcf), split_multiallelic=True)
+    # allele 1 (A): 1/2->1, 0/2->0; allele 2 (C): 1/2->1, 0/2->1
+    np.testing.assert_array_equal(codes, [[1, 0, 3], [1, 1, 3]])
+    assert list(meta["allele"]) == ["G,A", "G,C"]
+    assert list(meta["position"]) == [300, 300]
+    assert meta["n_multiallelic_skipped"] == 0
+
+
+def test_vcf_ds_to_gds_scan(tmp_path):
+    """DS-field VCF -> annotation/format/DS GDS -> framework scan input."""
+    from saigegds_tpu.io.vcf import vcf_to_gds
+    from saigegds_tpu.io.seqarray import SeqData
+
+    vcf = tmp_path / "d.vcf"
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3",
+        "1\t100\trs1\tA\tG\t.\tPASS\t.\tGT:DS\t0/0:0.1\t0/1:0.9\t1/1:1.8",
+        "1\t200\trs2\tC\tT\t.\tPASS\t.\tGT:DS\t0|1:1.2\t./.:.\t1|1:2.0",
+        "1\t300\trs3\tG\tA,C\t.\tPASS\t.\tGT:DS\t1/2:0.5,1.5\t0/2:0,2\t0/0:0,0",
+    ]) + "\n")
+    n = vcf_to_gds(str(vcf), str(tmp_path / "d.gds"), field="DS",
+                   split_multiallelic=True)
+    assert n == 4
+    seq = SeqData(str(tmp_path / "d.gds"))
+    assert not seq.has_genotype()
+    assert seq.dosage_node_name() == "annotation/format/DS"
+    ds = seq.dosage_block(0, 4)
+    np.testing.assert_allclose(ds[0], [0.1, 0.9, 1.8])
+    np.testing.assert_allclose(ds[1], [1.2, np.nan, 2.0])
+    np.testing.assert_allclose(ds[2], [0.5, 0.0, 0.0])    # rs3 ALT A
+    np.testing.assert_allclose(ds[3], [1.5, 2.0, 0.0])    # rs3 ALT C
+    assert list(seq.rs_id) == ["rs1", "rs2", "rs3", "rs3"]
