@@ -122,10 +122,12 @@ def main():
         return stats.pval, take, pval
 
     keys = jax.random.split(jax.random.PRNGKey(0), N_BLOCKS + 1)
-    jax.block_until_ready(scan_block(keys[-1], pm, model))      # compile
-    t0 = time.perf_counter()
+    warm = scan_block(keys[-1], pm, model)                      # compile
+    float(warm[2][0])   # force execution: block_until_ready alone can
+    t0 = time.perf_counter()                # return early on this backend
     outs = [scan_block(k, pm, model) for k in keys[:N_BLOCKS]]
-    jax.block_until_ready(outs)
+    for o in outs:
+        float(o[2][0])                          # scalar read-back per block
     tpu_vps = N_BLOCKS * BLOCK / (time.perf_counter() - t0)
 
     print(json.dumps({

@@ -35,7 +35,7 @@ from ..ops.acat import beta_weights
 from ..ops.score import ScanParams, score_stats_binary, score_stats_quant, \
     spa_refine_binary
 from ..utils.stats import acat_p
-from .single import _match_samples, _pad_block
+from .single import _match_samples, _pad_block, _spa_cap, _spa_nnz
 
 TEST_BATCH = 256
 
@@ -149,31 +149,60 @@ class _Kernel:
                  ("valid", "af", "mac", "num", "beta", "se", "pval")}
         need_rows, need_G = [], []
         kern = score_stats_binary if self.binary else score_stats_quant
-        for s in range(0, G.shape[0], TEST_BATCH):
-            blk = _pad_block(G[s : s + TEST_BATCH], TEST_BATCH)
-            res = kern(self.scan_model, self.params, blk)
-            m = min(TEST_BATCH, G.shape[0] - s)
+        # phase 1 pipelined: a bounded window of in-flight batches so
+        # device compute overlaps host-side conversion (each np.asarray
+        # forces a sync; the depth bounds [B, N] inputs held on device)
+        from collections import deque
+        window = deque()
+
+        def _drain(s, m, res):
             for k in stats:
                 stats[k].append(np.asarray(getattr(res, k))[:m])
             need = np.asarray(res.need_spa)[:m]
             if self.binary and need.any():
                 need_rows.append(s + np.flatnonzero(need))
                 need_G.append(G[s : s + m][need])
+
+        for s in range(0, G.shape[0], TEST_BATCH):
+            blk = _pad_block(G[s : s + TEST_BATCH], TEST_BATCH)
+            m = min(TEST_BATCH, G.shape[0] - s)
+            window.append((s, m, kern(self.scan_model, self.params, blk)))
+            if len(window) >= 3:
+                _drain(*window.popleft())
+        while window:
+            _drain(*window.popleft())
         out = {k: np.concatenate(v) for k, v in stats.items()}
         out["p.norm"] = out["pval"].copy()
         out["converged"] = np.isfinite(out["pval"])
         if need_rows:
             rows = np.concatenate(need_rows)
             Gs = np.concatenate(need_G, axis=0)
-            for s in range(0, len(rows), TEST_BATCH):
-                blk = _pad_block(Gs[s : s + TEST_BATCH], TEST_BATCH)
-                p, conv, b, e = spa_refine_binary(self.scan_model, blk)
-                m = len(rows[s : s + TEST_BATCH])
-                r = rows[s : s + m]
+            # nnz-bucketed compaction: ACAT-V singles are rare variants,
+            # so the CGF runs over the top-cap nonzero lanes (exact, same
+            # scheme as the single-variant scan's phase 2)
+            if len(rows) > 1:
+                order = np.argsort(_spa_nnz(Gs), kind="stable")
+                Gs, rows = Gs[order], rows[order]
+            pending = deque()
+
+            def _drain_spa():
+                r, (p, conv, b, e) = pending.popleft()
+                m = len(r)
                 out["pval"][r] = np.asarray(p)[:m]
                 out["converged"][r] = np.asarray(conv)[:m]
                 out["beta"][r] = np.asarray(b)[:m]
                 out["se"][r] = np.asarray(e)[:m]
+
+            for s in range(0, len(rows), TEST_BATCH):
+                Gi = Gs[s : s + TEST_BATCH]
+                cap = _spa_cap(Gi)
+                blk = _pad_block(Gi, TEST_BATCH)
+                res = spa_refine_binary(self.scan_model, blk, cap=cap)
+                pending.append((rows[s : s + TEST_BATCH], res))
+                if len(pending) >= 3:
+                    _drain_spa()
+            while pending:
+                _drain_spa()
         # rows failing the filters -> NaN like the reference
         bad = ~out["valid"]
         for k in ("af", "mac", "beta", "se", "pval", "p.norm"):

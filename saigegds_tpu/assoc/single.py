@@ -228,18 +228,29 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
         if spa_compact and len(rows) > 1:
             order = np.argsort(_spa_nnz(Gs), kind="stable")
             Gs, rows = Gs[order], rows[order]
-        for s in range(0, len(rows), SPA_BATCH):
-            Gi = Gs[s : s + SPA_BATCH]
-            cap = _spa_cap(Gi) if spa_compact else 0
-            Gb = _place(_pad_block(Gi, SPA_BATCH))
-            p, conv, b, e = spa_refine_binary(scan_model, Gb,
-                                              mixed=spa_mixed, cap=cap)
-            m = len(rows[s : s + SPA_BATCH])
-            r = rows[s : s + m]
+        # pipelined dispatch (like phase 1): device compute of batch k
+        # overlaps host-side padding/upload of batch k+1; the window depth
+        # bounds in-flight [SPA_BATCH, N] input buffers on device
+        pending = deque()
+
+        def _drain_spa():
+            r, (p, conv, b, e) = pending.popleft()
+            m = len(r)
             pval[r] = np.asarray(p)[:m]
             converged[r] = np.asarray(conv)[:m]
             beta[r] = np.asarray(b)[:m]
             se[r] = np.asarray(e)[:m]
+
+        for s in range(0, len(rows), SPA_BATCH):
+            Gi = Gs[s : s + SPA_BATCH]
+            cap = _spa_cap(Gi) if spa_compact else 0
+            Gb = _place(_pad_block(Gi, SPA_BATCH))
+            res = spa_refine_binary(scan_model, Gb, mixed=spa_mixed, cap=cap)
+            pending.append((rows[s : s + SPA_BATCH], res))
+            if len(pending) >= DEPTH:
+                _drain_spa()
+        while pending:
+            _drain_spa()
 
     tab = {
         "__idx__": idx,
