@@ -97,3 +97,48 @@ def test_quant_packed_matches_dense():
         np.testing.assert_allclose(np.asarray(getattr(got, f))[v],
                                    np.asarray(getattr(want, f))[v],
                                    rtol=1e-10, err_msg=f)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+def test_packed_fuzz_parity(setup, seed):
+    """Random AF/missingness regimes: packed == dense on synthetic blocks.
+
+    Sweeps monomorphic, ultra-rare, common, high-missingness, and
+    all-heterozygous corners that the fixture data does not cover."""
+    _, sm, pm = setup
+    n = sm.mu.shape[0]
+    rng = np.random.default_rng(seed)
+    B = 64
+    af = np.concatenate([
+        np.zeros(8),                       # monomorphic ref
+        np.ones(8),                        # monomorphic alt
+        rng.uniform(0.0005, 0.01, 16),     # ultra-rare
+        rng.uniform(0.3, 0.7, 16),         # common / flip boundary
+        rng.uniform(0.05, 0.3, 16),
+    ])
+    G = rng.binomial(2, af[:, None], size=(B, n)).astype(np.float64)
+    miss = rng.random((B, n)) < rng.uniform(0, 0.15, (B, 1))
+    G[miss] = np.nan
+    G[-1] = 1.0                            # all-het row
+    codes = np.where(np.isnan(G), 3, G).astype(np.int8)
+
+    params = ScanParams(maf=-1.0, mac=1.0, missing=0.2, spa_pval=0.05)
+    want = score_stats_binary(sm, params, jnp.asarray(G))
+    got = score_stats_binary_packed(pm, params, jnp.asarray(codes))
+
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(want.valid))
+    v = np.asarray(want.valid)
+    for f in ("af", "mac", "num"):
+        np.testing.assert_allclose(np.asarray(getattr(got, f))[v],
+                                   np.asarray(getattr(want, f))[v],
+                                   rtol=1e-12, err_msg=f)
+    # effect sizes compare only on non-degenerate lanes: a near-constant
+    # dosage (e.g. the all-het row) leaves g_tilde ~ projection residual,
+    # var ~ 0, and beta = noise/noise in BOTH kernels
+    w = v & (np.abs(np.asarray(want.beta)) < 1e6)
+    assert w.sum() >= v.sum() - 2
+    for f in ("beta", "se", "pval"):
+        np.testing.assert_allclose(np.asarray(getattr(got, f))[w],
+                                   np.asarray(getattr(want, f))[w],
+                                   rtol=1e-9, atol=1e-12, err_msg=f)
