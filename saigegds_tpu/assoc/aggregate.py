@@ -141,14 +141,42 @@ class _Kernel:
     scan_model: object
     params: ScanParams
     binary: bool
+    _packed: object = None
+
+    def _packed_kernel(self):
+        """Lazy packed-model build (one transposed int8 cache per scan)."""
+        if self._packed is None:
+            from ..ops.score_packed import (pack_scan_model,
+                                            score_stats_binary_packed,
+                                            score_stats_quant_packed)
+            pm = pack_scan_model(self.scan_model)
+            pk = score_stats_binary_packed if self.binary \
+                else score_stats_quant_packed
+            self._packed = lambda params, codes: pk(pm, params, codes)
+        return self._packed
 
     def run(self, G: np.ndarray):
         """G [B, N] -> dict of arrays (af, mac, num, beta, se, pval,
-        p.norm, converged); invalid rows are NaN."""
+        p.norm, converged); invalid rows are NaN.
+
+        Blocks whose rows are all integer dosages 0/1/2/NaN (ACAT-V
+        singles straight from the genotype code cache) route through the
+        exact integer-sliced packed kernel — int8 codes are the only
+        [B, N] operand (8x lighter than f64) and the bf16 MXU contraction
+        is exact; fractional burden vectors use the dense f64 kernel."""
         stats = {k: [] for k in
                  ("valid", "af", "mac", "num", "beta", "se", "pval")}
         need_rows, need_G = [], []
-        kern = score_stats_binary if self.binary else score_stats_quant
+        with np.errstate(invalid="ignore"):
+            as_codes = bool(np.all(np.isnan(G) |
+                                   ((G == np.floor(G)) & (G >= 0) & (G <= 2)))) \
+                if G.size else False
+        if as_codes:
+            pk = self._packed_kernel()
+            codes_all = np.where(np.isnan(G), 3, G).astype(np.int8)
+            kern = lambda sm, params, blk: pk(params, blk)
+        else:
+            kern = score_stats_binary if self.binary else score_stats_quant
         # phase 1 pipelined: a bounded window of in-flight batches so
         # device compute overlaps host-side conversion (each np.asarray
         # forces a sync; the depth bounds [B, N] inputs held on device)
@@ -164,7 +192,11 @@ class _Kernel:
                 need_G.append(G[s : s + m][need])
 
         for s in range(0, G.shape[0], TEST_BATCH):
-            blk = _pad_block(G[s : s + TEST_BATCH], TEST_BATCH)
+            if as_codes:
+                blk = _pad_block(codes_all[s : s + TEST_BATCH], TEST_BATCH,
+                                 fill=3)
+            else:
+                blk = _pad_block(G[s : s + TEST_BATCH], TEST_BATCH)
             m = min(TEST_BATCH, G.shape[0] - s)
             window.append((s, m, kern(self.scan_model, self.params, blk)))
             if len(window) >= 3:
