@@ -54,6 +54,10 @@ def main(argv=None):
             q.add_argument("--maf", type=float, default=float("nan"))
             q.add_argument("--shard", default="",
                            help="i/n: scan the i-th of n variant ranges")
+            q.add_argument("--chr", default="",
+                           help="restrict to chromosome(s), comma-separated")
+            q.add_argument("--pos-range", default="",
+                           help="restrict to lo:hi base-pair positions")
         else:
             q.add_argument("--win-size", type=int, default=10000)
             q.add_argument("--win-shift", type=int, default=5000)
@@ -102,15 +106,25 @@ def main(argv=None):
 
     if args.cmd == "scan":
         kwargs = {}
-        if args.shard:
-            i, n = (int(x) for x in args.shard.split("/"))
-            from saigegds_tpu.io.seqarray import SeqData
-            from saigegds_tpu.parallel.distributed import host_variant_range
+        if args.shard or args.chr or args.pos_range:
             import numpy as np
+            from saigegds_tpu.io.seqarray import SeqData
             seq = SeqData(args.gds)
-            lo, hi = host_variant_range(seq.n_variants, i, n)
-            mask = np.zeros(seq.n_variants, bool)
-            mask[lo:hi] = True
+            mask = np.ones(seq.n_variants, bool)
+            if args.shard:
+                from saigegds_tpu.parallel.distributed import \
+                    host_variant_range
+                i, n = (int(x) for x in args.shard.split("/"))
+                lo, hi = host_variant_range(seq.n_variants, i, n)
+                shard = np.zeros(seq.n_variants, bool)
+                shard[lo:hi] = True
+                mask &= shard
+            if args.chr or args.pos_range:
+                mask &= seq.variant_selection(
+                    chromosome=args.chr.split(",") if args.chr else None,
+                    position_range=tuple(
+                        int(x) for x in args.pos_range.split(":"))
+                    if args.pos_range else None)
             kwargs["variant_mask"] = mask
         st.assoc_spa(args.gds, args.model,
                      ScanConfig(mac=args.mac, maf=args.maf),

@@ -58,6 +58,27 @@ class SeqData:
             alt[i] = parts[1] if len(parts) > 1 else ""
         return ref, alt
 
+    def variant_selection(self, chromosome=None, position_range=None,
+                          variant_id=None, rs_id=None) -> np.ndarray:
+        """Boolean variant mask from region/id predicates (ANDed).
+
+        The SeqArray filtering idiom (``seqSetFilterChrom`` /
+        ``seqSetFilter``) the reference workflows use to restrict scans;
+        pass the result as ``variant_mask=`` to the assoc drivers.
+        """
+        mask = np.ones(self.n_variants, bool)
+        if chromosome is not None:
+            chroms = [str(c) for c in np.atleast_1d(chromosome)]
+            mask &= np.isin(self.chromosome.astype(str), chroms)
+        if position_range is not None:
+            lo, hi = position_range
+            mask &= (self.position >= lo) & (self.position <= hi)
+        if variant_id is not None:
+            mask &= np.isin(self.variant_id, np.atleast_1d(variant_id))
+        if rs_id is not None:
+            mask &= np.isin(self.rs_id, np.atleast_1d(rs_id))
+        return mask
+
     # ---- dosage access ----
 
     def has_genotype(self) -> bool:

@@ -101,3 +101,22 @@ def test_cli_info_and_fit(tmp_path, capsys):
                  "--out", str(tmp_path / "a.parquet")]) == 0
     text = capsys.readouterr().out
     assert "tested" in text
+
+
+def test_variant_selection():
+    """SeqData.variant_selection — the seqSetFilter(Chrom) analog."""
+    from saigegds_tpu.io.seqarray import SeqData
+    import numpy as np
+
+    seq = SeqData("/root/reference/inst/extdata/grm1k_10k_snp.gds")
+    m = seq.variant_selection(chromosome="1")
+    assert m.sum() == (seq.chromosome.astype(str) == "1").sum()
+    lo, hi = int(seq.position[100]), int(seq.position[200])
+    m2 = seq.variant_selection(position_range=(lo, hi))
+    assert m2.any()
+    assert np.all((seq.position[m2] >= lo) & (seq.position[m2] <= hi))
+    m3 = seq.variant_selection(variant_id=seq.variant_id[:5])
+    assert m3.sum() == 5
+    # predicates AND together
+    m4 = seq.variant_selection(chromosome="1", position_range=(lo, hi))
+    np.testing.assert_array_equal(m4, m & m2)
