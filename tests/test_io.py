@@ -231,3 +231,17 @@ def test_vcf_ds_to_gds_scan(tmp_path):
     np.testing.assert_allclose(ds[2], [0.5, 0.0, 0.0])    # rs3 ALT A
     np.testing.assert_allclose(ds[3], [1.5, 2.0, 0.0])    # rs3 ALT C
     assert list(seq.rs_id) == ["rs1", "rs2", "rs3", "rs3"]
+
+
+def test_load_vignette_model():
+    """The vignette's independently-pickled 1000-Genomes model loads
+    (v_glmm.rds, vignettes/SAIGEgds.Rmd:119-121) — RDS loader cross-compat
+    beyond the unit-test fixtures."""
+    from saigegds_tpu.models.nullmodel import NullModel
+
+    m = NullModel.load("/root/reference/inst/extdata/v_glmm.rds")
+    assert m.trait_type == "binary"
+    assert m.n_samples == 1092
+    assert np.asarray(m.sample_id)[0] == "HG00096"
+    assert np.isfinite(np.asarray(m.coefficients)).all()
+    assert m.var_ratio is not None and len(m.var_ratio["ratio"]) >= 30
