@@ -97,3 +97,17 @@ def test_scan_ds_dosage_node():
     assert np.isfinite(df["pval"]).all()
     # fractional dosages force the dense f64 kernel (no genotype node)
     assert df["AF.alt"].between(0, 1).all()
+
+
+def test_scan_block_size_invariance():
+    """Results are identical across block sizes (guards the pipelined
+    phase-1 window and the nnz-sorted, bucketed phase-2 batching)."""
+    import pandas as pd
+    import saigegds_tpu as st
+    from saigegds_tpu.config import ScanConfig
+
+    gds = "/root/reference/inst/extdata/grm1k_10k_snp.gds"
+    model = "/root/reference/inst/unitTests/saige_model.rds"
+    a = st.assoc_spa(gds, model, ScanConfig(mac=4, block_size=512))
+    b = st.assoc_spa(gds, model, ScanConfig(mac=4, block_size=4096))
+    pd.testing.assert_frame_equal(a, b)
