@@ -52,15 +52,22 @@ class VariantUnits:
 
 
 def sliding_windows(seq: SeqData, win_size: int = 10000, win_shift: int = 5000,
-                    dup_rm: bool = True) -> VariantUnits:
+                    dup_rm: bool = True, variant_mask=None) -> VariantUnits:
     """Sliding windows over basepair positions per chromosome
-    (the ``seqUnitSlidingWindows`` analog; reference test_SAIGE.R:119)."""
+    (the ``seqUnitSlidingWindows`` analog; reference test_SAIGE.R:119).
+
+    ``variant_mask`` restricts the windows to a variant selection — the
+    SeqArray filter-then-window idiom (``seqSetFilter`` before
+    ``seqUnitSlidingWindows``); build one with
+    :meth:`SeqData.variant_selection`."""
     chrom = np.asarray(seq.chromosome)
     pos = np.asarray(seq.position)
+    keep = np.ones(len(chrom), bool) if variant_mask is None \
+        else np.asarray(variant_mask, bool)
     desp_rows = []
     index = []
-    for ch in pd.unique(chrom):
-        m = chrom == ch
+    for ch in pd.unique(chrom[keep]):
+        m = (chrom == ch) & keep
         p = pos[m]
         idx = np.flatnonzero(m)
         if len(p) == 0:

@@ -83,3 +83,21 @@ def test_single_snp_units_match_single_variant_scan(seq):
     for i in range(3):
         assert v["pval.v1_1"].iloc[i] == pytest.approx(
             df["pval"].iloc[i], rel=1e-9)
+
+
+def test_sliding_windows_variant_mask():
+    """Windows honor a region selection (filter-then-window idiom)."""
+    import numpy as np
+    from saigegds_tpu.assoc.aggregate import sliding_windows
+    from saigegds_tpu.io.seqarray import SeqData
+
+    seq = SeqData("/root/reference/inst/extdata/grm1k_10k_snp.gds")
+    mask = seq.variant_selection(chromosome="1", position_range=(2000, 4000))
+    units = sliding_windows(seq, win_size=200, win_shift=100,
+                            variant_mask=mask)
+    assert len(units) > 0
+    sel = np.concatenate(units.index)
+    assert mask[sel].all()                       # only selected variants
+    assert set(units.desp["chr"]) == {"1"}
+    full = sliding_windows(seq, win_size=200, win_shift=100)
+    assert len(units) < len(full)
