@@ -139,17 +139,18 @@ def _getroot_K1(q, g, mu, mask, NAmu, NAsigma, g_pos, g_neg, skip=None):
 
 
 def _getroot_mixed(q, g, mu, mask, NAmu, NAsigma, g_pos, g_neg):
-    """f32 Newton loop + f64 escalation + 1-step f64 polish.
+    """f32 Newton loop + f64 escalation for failed lanes.
 
     On TPU float64 is software-emulated, and the root loop evaluates the
     CGF over [B, N] every iteration.  The damped Newton iteration runs in
     float32 (the reference's tolerance eps^0.25 ~ 1.2e-4 is far above f32
     precision); lanes that fail in f32 (overflow at extreme roots) rerun
-    in the exact f64 loop; finally every converged root gets one f64
-    Newton step, whose quadratic convergence takes the 1.2e-4-accurate
-    root to ~1e-8 — far inside the mode's documented ~1e-4 agreement tier
-    (a second step only cost another emulated-f64 [B, N] CGF pass).
-    Semantics (converged flags, damping path) match the f64 loop."""
+    in the exact f64 loop.  No polish step is needed: the saddlepoint
+    objective ``tq - K(t)`` is stationary at the root, so a 1.2e-4 root
+    error perturbs ``w`` only to second order (~1e-8) and the p-value via
+    the first-order ``v`` factor by ~1e-4/w^2 — inside the mode's
+    documented ~1e-4 agreement tier.  Semantics (converged flags, damping
+    path) match the f64 loop."""
     f32 = lambda x: x.astype(jnp.float32)
     root32, conv32 = _getroot_K1(f32(q), f32(g), f32(mu), mask,
                                  f32(NAmu), f32(NAsigma),
@@ -162,21 +163,24 @@ def _getroot_mixed(q, g, mu, mask, NAmu, NAsigma, g_pos, g_neg):
                                  g_pos, g_neg, skip=conv32)
     root = jnp.where(need64, root64, root)
     conv = conv32 | (need64 & conv64)
-
-    # one f64 Newton polish step on finite converged roots
-    finite = jnp.isfinite(root) & conv
-    t = jnp.where(finite, root, 0.0)
-    _, K1v, K2v = _cgf_terms(t, g, mu, mask)
-    step = (K1v + NAmu + NAsigma * t - q) / (K2v + NAsigma)
-    t_new = t - step
-    t = jnp.where(finite & jnp.isfinite(t_new), t_new, t)
-    root = jnp.where(finite, t, root)
     return root, conv
 
 
-def _saddle_prob(t, g, mu, mask, NAmu, NAsigma, q):
-    """|one-sided saddlepoint tail probability| for root t (0 if invalid)."""
-    K0, _, K2v = _cgf_terms(t, g, mu, mask)
+def _saddle_prob(t, g, mu, mask, NAmu, NAsigma, q, f32_terms=False):
+    """|one-sided saddlepoint tail probability| for root t (0 if invalid).
+
+    ``f32_terms`` evaluates the elementwise [B, N] CGF terms in float32
+    (the emulated-f64 exp/log passes dominate the cost on TPU); the tail
+    algebra stays f64.  Term error ~1e-6 relative reaches the p-value at
+    ~1e-5 — used by the mixed mode, whose callers fall back to the exact
+    evaluation for any lane this zeroes out."""
+    if f32_terms:
+        f32 = lambda x: x.astype(jnp.float32)
+        K0, _, K2v = _cgf_terms(f32(t), f32(g), f32(mu), mask)
+        K0 = K0.astype(jnp.float64)
+        K2v = K2v.astype(jnp.float64)
+    else:
+        K0, _, K2v = _cgf_terms(t, g, mu, mask)
     K = K0 + NAmu * t + 0.5 * NAsigma * t * t
     k2 = K2v + NAsigma
     w = _sign(t) * jnp.sqrt(jnp.maximum(2.0 * (t * q - K), 0.0))
@@ -229,10 +233,23 @@ def saddle_prob_batch(q, m1, var2, g, mu, mask, cutoff=2.0, mixed=False,
     rootfn = _getroot_mixed if mixed else _getroot_K1
     root1, conv1 = rootfn(q, g, mu, mask, NAmu, NAsigma, g_pos, g_neg)
     root2, conv2 = rootfn(qinv, g, mu, mask, NAmu, NAsigma, g_pos, g_neg)
-    p1 = _saddle_prob(root1, g, mu, mask, NAmu, NAsigma, q)
-    p2 = _saddle_prob(root2, g, mu, mask, NAmu, NAsigma, qinv)
-    spa = p1 + p2
     both_conv = conv1 & conv2
+    p1 = _saddle_prob(root1, g, mu, mask, NAmu, NAsigma, q, f32_terms=mixed)
+    p2 = _saddle_prob(root2, g, mu, mask, NAmu, NAsigma, qinv,
+                      f32_terms=mixed)
+    if mixed:
+        # exact re-evaluation for lanes the f32 terms zeroed out (f32
+        # overflow at extreme roots) so converged-flag semantics match
+        # the exact mode; skipped entirely when no lane needs it
+        bad = ((p1 == 0.0) | (p2 == 0.0)) & both_conv
+
+        def _redo(_):
+            e1 = _saddle_prob(root1, g, mu, mask, NAmu, NAsigma, q)
+            e2 = _saddle_prob(root2, g, mu, mask, NAmu, NAsigma, qinv)
+            return jnp.where(bad, e1, p1), jnp.where(bad, e2, p2)
+
+        p1, p2 = jax.lax.cond(bad.any(), _redo, lambda _: (p1, p2), None)
+    spa = p1 + p2
 
     return _resolve_cutoff(pval_noadj, spa, both_conv, s, var2, cutoff)
 
