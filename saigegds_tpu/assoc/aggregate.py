@@ -79,7 +79,10 @@ def sliding_windows(seq: SeqData, win_size: int = 10000, win_shift: int = 5000,
             end = start + win_size - 1
             sel = idx[(p >= start) & (p <= end)]
             if len(sel) > 0:
-                key = (sel[0], sel[-1], len(sel))
+                # full selection as the dup key (SeqArray compares the whole
+                # unit; first/last/count can collide when positions are
+                # unsorted within a chromosome)
+                key = sel.tobytes()
                 if not (dup_rm and key == prev):
                     desp_rows.append((ch, start, end))
                     index.append(sel)
@@ -253,7 +256,10 @@ class _Kernel:
 def _prepare(gdsfile, modobj, config: AggregateConfig):
     model = NullModel.load(modobj)
     seq = gdsfile if isinstance(gdsfile, SeqData) else SeqData(gdsfile)
-    ii = _match_samples(seq.sample_id, model.sample_id)
+    # sample alignment like the scan (R/assoc_single.r:136-142): cols
+    # restricts/reorders dosage columns to the model's samples, ii gathers
+    # the model arrays into that column order
+    cols, ii = _match_samples(seq.sample_id, model.sample_id)
     scan_model = model.scan_model(sample_index=ii, var_ratio=config.var_ratio)
     params = ScanParams(maf=0.0, mac=0.0, missing=1.0,
                         spa_pval=config.spa_pval)
@@ -261,23 +267,27 @@ def _prepare(gdsfile, modobj, config: AggregateConfig):
     kernel = _Kernel(scan_model=scan_model, params=params, binary=binary)
     wbeta = np.asarray(config.wbeta, dtype=np.float64)  # [W, 2]
     wnames = [f"{b1:g}_{b2:g}" for b1, b2 in wbeta]
-    return seq, model, kernel, wbeta, wnames, binary
+    return seq, model, kernel, wbeta, wnames, binary, cols
 
 
-def _unit_dosage(seq: SeqData, idx: np.ndarray, dsnode="") -> np.ndarray:
-    """[S, N] dosage rows for the unit's variants.
+def _unit_dosage(seq: SeqData, idx: np.ndarray, dsnode="",
+                 cols=None) -> np.ndarray:
+    """[S, N] dosage rows for the unit's variants (columns subset/reordered
+    to the model's samples when ``cols`` is given).
 
     Genotype-node files go through the int8 code cache (1 B/genotype
     instead of the f64 dosage cache) and convert just the unit's rows."""
     if len(idx) == 0:
-        return np.empty((0, seq.n_samples))
+        n = seq.n_samples if cols is None else len(cols)
+        return np.empty((0, n))
     if seq.has_genotype() and not dsnode:
         rows = seq.code_matrix()[idx].astype(np.float64)
         rows[rows == 3] = np.nan
-        return rows
-    lo, hi = int(idx.min()), int(idx.max()) + 1
-    blk = seq.dosage_block(lo, hi, dsnode)
-    return np.asarray(blk[idx - lo], np.float64)
+    else:
+        lo, hi = int(idx.min()), int(idx.max()) + 1
+        blk = seq.dosage_block(lo, hi, dsnode)
+        rows = np.asarray(blk[idx - lo], np.float64)
+    return rows if cols is None else rows[:, cols]
 
 
 def _maf_mac_summary(maf, mac):
@@ -300,7 +310,7 @@ def assoc_burden(gdsfile, modobj, units: VariantUnits,
                  config: AggregateConfig = AggregateConfig(),
                  res_savefn: str = "", verbose: bool = False) -> pd.DataFrame:
     """Burden tests over variant units (seqAssocGLMM_spaBurden)."""
-    seq, model, kernel, wbeta, wnames, binary = _prepare(gdsfile, modobj, config)
+    seq, model, kernel, wbeta, wnames, binary, cols = _prepare(gdsfile, modobj, config)
     U = len(units)
     W = len(wbeta)
 
@@ -308,7 +318,7 @@ def assoc_burden(gdsfile, modobj, units: VariantUnits,
     burden_G = np.zeros((U * W, model.n_samples))
     summac = np.zeros(U * W)
     for u, idx in enumerate(units.index):
-        ds = _unit_dosage(seq, idx)
+        ds = _unit_dosage(seq, idx, cols=cols)
         maf, mac = _maf_mac(ds)
         summaries.append(_maf_mac_summary(maf, mac))
         for w in range(W):
@@ -446,7 +456,7 @@ def assoc_acat_v(gdsfile, modobj, units: VariantUnits,
                  config: AggregateConfig = AggregateConfig(),
                  res_savefn: str = "", verbose: bool = False) -> pd.DataFrame:
     """ACAT-V tests over variant units (seqAssocGLMM_spaACAT_V, binary only)."""
-    seq, model, kernel, wbeta, wnames, binary = _prepare(gdsfile, modobj, config)
+    seq, model, kernel, wbeta, wnames, binary, cols = _prepare(gdsfile, modobj, config)
     if not binary:
         raise NotImplementedError(
             "ACAT-V is binary-only, like the reference "
@@ -454,7 +464,7 @@ def assoc_acat_v(gdsfile, modobj, units: VariantUnits,
     batch = _AcatVBatch(kernel, wbeta, config)
     summaries = []
     for uid, idx in enumerate(units.index):
-        ds = _unit_dosage(seq, idx)
+        ds = _unit_dosage(seq, idx, cols=cols)
         maf, mac = _maf_mac(ds)
         summaries.append(_maf_mac_summary(maf, mac))
         batch.add_unit(uid, idx, ds, maf, mac)
@@ -486,7 +496,7 @@ def assoc_acat_o(gdsfile, modobj, units: VariantUnits,
                  res_savefn: str = "", verbose: bool = False) -> pd.DataFrame:
     """ACAT-O tests (seqAssocGLMM_spaACAT_O, binary only): Cauchy combination
     of the burden and ACAT-V p-values across weight schemes."""
-    seq, model, kernel, wbeta, wnames, binary = _prepare(gdsfile, modobj, config)
+    seq, model, kernel, wbeta, wnames, binary, cols = _prepare(gdsfile, modobj, config)
     if not binary:
         raise NotImplementedError("ACAT-O is binary-only, like the reference")
     W = len(wbeta)
@@ -494,7 +504,7 @@ def assoc_acat_o(gdsfile, modobj, units: VariantUnits,
     summaries = []
     full_burdens, full_keys = [], []   # whole-unit burden per weight scheme
     for uid, idx in enumerate(units.index):
-        ds = _unit_dosage(seq, idx)
+        ds = _unit_dosage(seq, idx, cols=cols)
         maf, mac = _maf_mac(ds)
         summaries.append(_maf_mac_summary(maf, mac))
         batch.add_unit(uid, idx, ds, maf, mac)

@@ -46,8 +46,11 @@ def assoc_spa(gdsfile, modobj: Union[NullModel, str],
     model = NullModel.load(modobj)
     seq = gdsfile if isinstance(gdsfile, SeqData) else SeqData(gdsfile)
 
-    # sample alignment: gds samples -> model samples (R: ii <- match(...))
-    ii = _match_samples(seq.sample_id, model.sample_id)
+    # sample alignment (R/assoc_single.r:136-142): cols restricts genotype
+    # columns to the model's samples (seqSetFilter(sample.id=) analog, GDS
+    # order); ii gathers the model's per-sample arrays to those columns
+    # (ii <- match(sid, modobj$sample.id))
+    cols, ii = _match_samples(seq.sample_id, model.sample_id)
     scan_model = model.scan_model(sample_index=ii, var_ratio=config.var_ratio)
 
     params = ScanParams(
@@ -64,7 +67,7 @@ def assoc_spa(gdsfile, modobj: Union[NullModel, str],
     # packed fast path: integer genotype node -> the int8 codes are the
     # only [B, N] operand (ops/score_packed.py)
     packed = config.use_packed and seq.has_genotype() \
-        and not config.dsnode and ii is None
+        and not config.dsnode and cols is None
     if packed:
         blocks = seq.iter_code_blocks(config.block_size,
                                       variant_mask=variant_mask)
@@ -75,7 +78,7 @@ def assoc_spa(gdsfile, modobj: Union[NullModel, str],
     df = _scan_blocks(scan_model, params, binary, config.block_size,
                       blocks, mesh=mesh, packed=packed,
                       spa_mixed=config.spa_mixed,
-                      spa_compact=config.spa_compact)
+                      spa_compact=config.spa_compact, cols=cols)
     idx = df.pop("__idx__").to_numpy()
 
     ref, alt = seq.ref_alt
@@ -140,7 +143,7 @@ def assoc_spa_user(geno_fn, n_variants: int, modobj: Union[NullModel, str],
 def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
                  mesh=None, packed: bool = False,
                  spa_mixed: bool = False,
-                 spa_compact: bool = True) -> pd.DataFrame:
+                 spa_compact: bool = True, cols=None) -> pd.DataFrame:
     """Shared two-phase scan core: batched score kernel + compact SPA.
 
     With ``mesh``, each padded block is sharded over its variant axis and
@@ -201,6 +204,8 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
             Gp = _place(_pad_block(G, B, fill=3))
         else:
             G = np.asarray(G, np.float64)
+            if cols is not None:
+                G = G[:, cols]
             Gp = _place(_pad_block(G, B))
         window.append((idx, G, kernel(scan_model, params, Gp)))
         if len(window) >= DEPTH:
@@ -294,19 +299,31 @@ def _spa_cap(Gi: np.ndarray) -> int:
     return 0 if cap >= 0.75 * Gi.shape[1] else cap
 
 
-def _match_samples(gds_samples, model_samples) -> Optional[np.ndarray]:
+def _match_samples(gds_samples, model_samples):
+    """Align GDS genotype columns with the model's samples
+    (reference R/assoc_single.r:136-142).
+
+    Returns ``(cols, ii)``: ``cols`` selects the GDS columns belonging to
+    the model's samples, kept in GDS order (the ``seqSetFilter(sample.id=)``
+    analog — extra GDS samples are dropped), and ``ii`` is the model
+    position of each kept column (``ii <- match(sid, modobj$sample.id)``),
+    used to gather the model's per-sample arrays into GDS order.  Both are
+    ``None`` when the orders already coincide.
+    """
     if model_samples is None:
-        return None
+        return None, None
     gds_samples = np.asarray(gds_samples)
     model_samples = np.asarray(model_samples)
     if len(gds_samples) == len(model_samples) and \
             (gds_samples == model_samples).all():
-        return None
-    lookup = {s: i for i, s in enumerate(gds_samples)}
-    ii = np.asarray([lookup[s] for s in model_samples if s in lookup])
-    if len(ii) != len(model_samples):
+        return None, None
+    lookup = {s: i for i, s in enumerate(model_samples)}
+    cols = np.asarray([i for i, s in enumerate(gds_samples) if s in lookup],
+                      dtype=np.int64)
+    if len(cols) != len(model_samples):
         raise ValueError("model samples missing from the GDS file")
-    return ii
+    ii = np.asarray([lookup[gds_samples[c]] for c in cols], dtype=np.int64)
+    return cols, ii
 
 
 def save_assoc(df: pd.DataFrame, path: str, file_format: str = "SAIGE_OUTPUT"):

@@ -167,7 +167,14 @@ class NullModel:
 
     def scan_model(self, sample_index: Optional[np.ndarray] = None,
                    var_ratio: float = float("nan")):
-        """Build the device-side ScanModel (cf. R/assoc_single.r:17-67)."""
+        """Build the device-side ScanModel (cf. R/assoc_single.r:17-67).
+
+        ``sample_index[j]`` is the *model* position of the j-th genotype
+        column the scan will feed in (the reference's
+        ``ii <- match(sid, modobj$sample.id)``); the model's per-sample
+        arrays are gathered into that column order.  Callers must subset
+        genotype blocks to the matching columns (see
+        ``assoc.single._match_samples``)."""
         import jax.numpy as jnp
         from ..ops.score import ScanModel
 
