@@ -77,6 +77,7 @@ def assoc_spa(gdsfile, modobj: Union[NullModel, str],
                                         variant_mask=variant_mask)
     df = _scan_blocks(scan_model, params, binary, config.block_size,
                       blocks, mesh=mesh, packed=packed,
+                      packed_2bit=config.packed_2bit,
                       spa_mixed=config.spa_mixed,
                       spa_compact=config.spa_compact, cols=cols)
     idx = df.pop("__idx__").to_numpy()
@@ -141,7 +142,7 @@ def assoc_spa_user(geno_fn, n_variants: int, modobj: Union[NullModel, str],
 
 
 def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
-                 mesh=None, packed: bool = False,
+                 mesh=None, packed: bool = False, packed_2bit: bool = False,
                  spa_mixed: bool = False,
                  spa_compact: bool = True, cols=None) -> pd.DataFrame:
     """Shared two-phase scan core: batched score kernel + compact SPA.
@@ -156,7 +157,10 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
                                         score_stats_binary_packed,
                                         score_stats_quant_packed)
         pm = pack_scan_model(scan_model)
-        impl = "pallas" if pallas_available() else "xla"
+        if packed_2bit:
+            impl = "pallas2" if pallas_available() else "xla2"
+        else:
+            impl = "pallas" if pallas_available() else "xla"
         pk = score_stats_binary_packed if binary else score_stats_quant_packed
         kernel = lambda _sm, p, codes: pk(pm, p, codes, impl=impl)
     else:
@@ -201,7 +205,11 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
     for idx, G in block_iter:
         if packed:
             G = np.asarray(G, np.int8)
-            Gp = _place(_pad_block(G, B, fill=3))
+            Gblk = _pad_block(G, B, fill=3)
+            if packed_2bit:
+                from ..ops.packed_grm import pack_codes_2bit
+                Gblk = pack_codes_2bit(Gblk)   # uint8 [B, ceil(N/4)]
+            Gp = _place(Gblk)
         else:
             G = np.asarray(G, np.float64)
             if cols is not None:

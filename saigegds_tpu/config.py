@@ -31,10 +31,15 @@ class NullModelConfig:
     # The reference's geno.sparse flag picks its sparse index-list vs dense
     # 2-bit store (R/saige_main.r:399-420); here grm_impl covers that axis:
     # "packed" (bf16-exact integer codes + sparse missing corrections)
-    # subsumes both layouts on TPU.
-    grm_impl: str = "dense"       # "dense" f64 G_std | "packed" bf16-exact MXU
-    stream_geno: bool = False     # out-of-core streamed GRM ingestion
-                                  # (packed only; host holds one block)
+    # subsumes both layouts on TPU; "packed2" keeps the genotypes 2-bit
+    # planar-packed in HBM (0.25 B/genotype, the reference's footprint)
+    # with on-device decode — same exact integer-slice matvec.
+    grm_impl: str = "packed"      # "dense" f64 G_std | "packed" bf16 MXU
+                                  # | "packed2" 2-bit HBM-resident
+    stream_geno: object = "auto"  # out-of-core streamed GRM ingestion
+                                  # (packed/packed2 only; host holds one
+                                  # block).  True | False | "auto" (stream
+                                  # when the int8 matrix would top ~4 GB)
     seed: int = 200
     num_thread: int = 1
 
@@ -47,7 +52,10 @@ class ScanConfig:
     spa_pval: float = 0.05        # run SPA when p_noadj below this
     var_ratio: float = float("nan")  # NaN = mean of model's var.ratio table
     dsnode: str = ""              # "" = auto-detect genotype vs DS
-    use_packed: bool = True       # int8-code fast path for genotype nodes
+    use_packed: bool = True       # integer-code fast path for genotype nodes
+    packed_2bit: bool = True      # ship scan blocks 2-bit planar-packed
+                                  # (0.25 B/genotype host->device + HBM;
+                                  # decode on device; bit-parity with int8)
     spa_compact: bool = True      # gather nonzero lanes before the SPA
                                   # CGF loops (exact; big win for rare vars)
     spa_mixed: bool = False       # f32+polish SPA root-finding (TPU fast

@@ -608,7 +608,12 @@ def fit_null_glmm(formula: str, data, gdsfile,
                         data[cfg.sample_col].astype(str).to_numpy())
     sample_id = seq.sample_id[samp_mask]
 
-    streamed = cfg.grm_impl == "packed" and cfg.stream_geno \
+    stream = cfg.stream_geno
+    if stream == "auto":
+        # stream when the host int8 matrix would top ~4 GB (the scan
+        # drivers use the same threshold, io/seqarray.py)
+        stream = seq.n_variants * seq.n_samples > 4 << 30
+    streamed = cfg.grm_impl in ("packed", "packed2") and stream \
         and seq.has_genotype()
     if streamed:
         # pass 1: streamed per-variant maf/missing for the filter
@@ -698,14 +703,21 @@ def fit_null_glmm(formula: str, data, gdsfile,
                 local0 += blk.shape[0]
                 yield idx, blk
 
-        grm = build_packed_grm_streamed(blocks(), n_samp)
+        if cfg.grm_impl == "packed2":
+            from ..ops.packed_grm import build_packed2_grm_streamed
+            grm = build_packed2_grm_streamed(blocks(), n_samp)
+        else:
+            grm = build_packed_grm_streamed(blocks(), n_samp)
         codes = marker_rows            # row provider for calc_var_ratio
     elif cfg.grm_impl == "packed":
         grm = build_packed_grm(codes)
+    elif cfg.grm_impl == "packed2":
+        from ..ops.packed_grm import build_packed2_grm
+        grm = build_packed2_grm(codes)
     elif cfg.grm_impl == "dense":
         grm = build_grm(codes)
     else:
-        raise ValueError(f"grm_impl must be 'dense' or 'packed', "
+        raise ValueError(f"grm_impl must be 'dense', 'packed' or 'packed2', "
                          f"got {cfg.grm_impl!r}")
     if mesh is not None:
         from ..parallel.mesh import ShardedGrmHandle

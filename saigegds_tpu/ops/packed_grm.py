@@ -227,6 +227,248 @@ def _i8_exact_dot(A_bf16, x, n_slices: int, contract_left: bool):
     return jnp.sum(acc * w, axis=-1)                # [out_rows, R]
 
 
+# ---------------------------------------------------------------------------
+# 2-bit planar device residency (the reference's 4-genotypes/byte store,
+# src/saige_fitnull.cpp:118-230, decoded in its hot loop :480-517 — here the
+# packed bytes live in HBM and are decoded chunk-wise on device)
+# ---------------------------------------------------------------------------
+
+
+class Packed2GRM(NamedTuple):
+    """GRM operator over 2-bit planar-packed genotypes resident in HBM.
+
+    ``packed[m, j]`` bit-pair ``p`` holds the (zeroed-missing) code of
+    sample ``p * N4 + j`` — four contiguous "planes" of the padded sample
+    axis share a byte, so on-device decode is four shift-and-mask slices
+    in natural sample order (no interleaving reshape).  0.25 B/genotype:
+    8x less HBM than the bf16 code store, matching the reference's
+    4-genotypes/byte footprint.  The matvec reuses the exact
+    integer-slice bf16 MXU algebra and is bit-identical to
+    :func:`packed_grm_matvec` (all partial sums are exact integers).
+    """
+
+    packed: jnp.ndarray     # [M, N4] uint8 planar-packed zeroed codes
+    af: jnp.ndarray         # [M] float64
+    inv: jnp.ndarray        # [M] float64
+    diag: jnp.ndarray       # [N] float64 diag(GRM)
+    miss_var: jnp.ndarray   # [nnz_pad] int32
+    miss_samp: jnp.ndarray  # [nnz_pad] int32
+    miss_pad: jnp.ndarray   # [nnz_pad] float64
+    samp_mask: jnp.ndarray  # [N] float64
+    n_variants: int
+    n_samples: int          # true N (the byte width pads to 4*N4 internally)
+
+    def matvec(self, b, precision: str = "exact_i8"):
+        return packed2_grm_matvec(self.packed, self.af, self.inv,
+                                  self.miss_var, self.miss_samp,
+                                  self.miss_pad, self.samp_mask, b)
+
+
+def pack_codes_2bit(codes: np.ndarray) -> np.ndarray:
+    """Planar 2-bit pack: int8/uint8 [M, N] values 0..3 -> uint8 [M, N4].
+
+    Byte column ``j`` holds samples ``j, N4+j, 2*N4+j, 3*N4+j`` in bit
+    pairs 0/2/4/6 (N4 = ceil(N/4); the tail pads with 0), so the decode
+    ``(packed >> 2p) & 3`` yields contiguous natural-order sample planes.
+    """
+    codes = np.asarray(codes)
+    M, N = codes.shape
+    N4 = -(-N // 4)
+    c = np.zeros((M, 4 * N4), np.uint8)
+    c[:, :N] = codes
+    pl = c.reshape(M, 4, N4)
+    return pl[:, 0] | (pl[:, 1] << 2) | (pl[:, 2] << 4) | (pl[:, 3] << 6)
+
+
+def unpack_codes_2bit(packed: np.ndarray, n_samples: int) -> np.ndarray:
+    """Inverse of :func:`pack_codes_2bit` (host-side, for tests/tools)."""
+    M, N4 = packed.shape
+    planes = np.stack([(packed >> (2 * p)) & 3 for p in range(4)], axis=1)
+    return planes.reshape(M, 4 * N4)[:, :n_samples].astype(np.int8)
+
+
+def _variant_moments(codes: np.ndarray):
+    """Per-variant af / inv std / missing pairs from int8 codes [b, N]."""
+    valid = codes < 3
+    n_valid = valid.sum(axis=1)
+    s = np.where(valid, codes, 0).sum(axis=1, dtype=np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        af = s / (2.0 * n_valid)
+        inv = 1.0 / np.sqrt(2.0 * af * (1.0 - af))
+    bad = ~np.isfinite(af) | ~np.isfinite(inv)
+    af = np.where(bad, 0.0, af)
+    inv = np.where(bad, 0.0, inv)
+    std = np.where(valid, (codes - 2.0 * af[:, None]) * inv[:, None], 0.0)
+    diag_part = (std * std).sum(axis=0)
+    mv, ms = np.nonzero(~valid)
+    return af, inv, diag_part, mv, ms, valid
+
+
+def _pad_miss(mv, ms, pad_multiple: int):
+    nnz = len(mv)
+    nnz_pad = max(-(-max(nnz, 1) // pad_multiple) * pad_multiple, pad_multiple)
+    miss_var = np.zeros(nnz_pad, np.int32)
+    miss_samp = np.zeros(nnz_pad, np.int32)
+    miss_pad = np.zeros(nnz_pad, np.float64)
+    miss_var[:nnz] = mv
+    miss_samp[:nnz] = ms
+    miss_pad[:nnz] = 1.0
+    return miss_var, miss_samp, miss_pad
+
+
+def build_packed2_grm(codes: np.ndarray,
+                      pad_multiple: int = 256) -> Packed2GRM:
+    """Build the 2-bit resident operator from int8 codes [M, N] (3=missing).
+
+    Moments (af/inv/diag) and the sparse missing lists are identical to
+    :func:`build_packed_grm`; only the device genotype store differs —
+    0.25 B/genotype, never materializing a bf16 [M, N] array.
+    """
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    M, N = codes.shape
+    af, inv, diag, mv, ms, valid = _variant_moments(codes)
+    miss_var, miss_samp, miss_pad = _pad_miss(mv, ms, pad_multiple)
+    return Packed2GRM(
+        packed=jnp.asarray(pack_codes_2bit(np.where(valid, codes, 0))),
+        af=jnp.asarray(af), inv=jnp.asarray(inv),
+        diag=jnp.asarray(diag / M),
+        miss_var=jnp.asarray(miss_var), miss_samp=jnp.asarray(miss_samp),
+        miss_pad=jnp.asarray(miss_pad),
+        samp_mask=jnp.ones(N, dtype=jnp.float64),
+        n_variants=M, n_samples=N)
+
+
+def build_packed2_grm_streamed(block_iter, n_samples: int,
+                               pad_multiple: int = 256,
+                               device_put=None) -> Packed2GRM:
+    """Streamed 2-bit build: host peak memory is one block; each block is
+    planar-packed on host and placed on device immediately."""
+    put = device_put or (lambda x: jnp.asarray(x))
+    dev_blocks, af_parts, inv_parts = [], [], []
+    diag = np.zeros(n_samples, np.float64)
+    miss_v, miss_s = [], []
+    row0 = 0
+    for _idx, codes in block_iter:
+        codes = np.ascontiguousarray(codes, dtype=np.int8)
+        af, inv, diag_part, mv, ms, valid = _variant_moments(codes)
+        diag += diag_part
+        miss_v.append(mv.astype(np.int64) + row0)
+        miss_s.append(ms.astype(np.int64))
+        af_parts.append(af)
+        inv_parts.append(inv)
+        dev_blocks.append(put(jnp.asarray(
+            pack_codes_2bit(np.where(valid, codes, 0)))))
+        row0 += codes.shape[0]
+    M = row0
+    packed = jnp.concatenate(dev_blocks, axis=0) if len(dev_blocks) > 1 \
+        else dev_blocks[0]
+    mv = np.concatenate(miss_v) if miss_v else np.empty(0, np.int64)
+    ms = np.concatenate(miss_s) if miss_s else np.empty(0, np.int64)
+    miss_var, miss_samp, miss_pad = _pad_miss(mv, ms, pad_multiple)
+    return Packed2GRM(packed=packed,
+                      af=jnp.asarray(np.concatenate(af_parts)),
+                      inv=jnp.asarray(np.concatenate(inv_parts)),
+                      diag=jnp.asarray(diag / M),
+                      miss_var=jnp.asarray(miss_var),
+                      miss_samp=jnp.asarray(miss_samp),
+                      miss_pad=jnp.asarray(miss_pad),
+                      samp_mask=jnp.ones(n_samples, dtype=jnp.float64),
+                      n_variants=M, n_samples=n_samples)
+
+
+def _decode_plane(pc_i32, p):
+    """int32 packed chunk -> bf16 codes of plane p (Mosaic-safe cast path)."""
+    return ((pc_i32 >> (2 * p)) & 3).astype(jnp.float32).astype(jnp.bfloat16)
+
+
+def _chunk_cols(N4: int) -> int:
+    """Byte-column chunk for pass 1: contraction stays <= EXACT_CHUNK and
+    the decoded [M, chunk] bf16 transient stays modest."""
+    return min(16384, max(256, N4))
+
+
+def _chunk_rows(M: int, N4: int) -> int:
+    """Variant chunk for pass 2: contraction <= EXACT_CHUNK and the
+    decoded [chunk, N4] bf16 transient stays under ~1 GB."""
+    cap = max(1, (512 << 20) // max(2 * N4, 1))
+    return min(EXACT_CHUNK, max(256, cap), M)
+
+
+@jax.jit
+def packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
+                       samp_mask, b):
+    """GRM @ b from 2-bit planar-packed codes; bit-identical to
+    ``packed_grm_matvec(..., precision="exact_i8")``.
+
+    Both passes decode per (chunk, plane) into a transient bf16 tile and
+    contract on the MXU; every f32 partial sum is an exact integer
+    (products <= 2*64, contraction <= EXACT_CHUNK), combined exactly in
+    f64, so chunking order cannot change the result.
+    """
+    squeeze = b.ndim == 1
+    B = b[:, None] if squeeze else b
+    M, N4 = packed.shape
+    Npad = 4 * N4
+    N = B.shape[0]
+    R = B.shape[1]
+    S = N_SLICES
+
+    Bp = jnp.pad(B, ((0, Npad - N), (0, 0)))
+    d, scale = _slice_i8(Bp, S)                       # [Npad, R, S]
+    dmat = d.reshape(Npad, R * S).astype(jnp.bfloat16)
+    w = scale[None, :, None] / 64.0 \
+        * (1.0 / 128.0) ** jnp.arange(S, dtype=jnp.float64)[None, None, :]
+
+    # pass 1: cv = Cm @ b, decoding byte-column chunks x 4 planes
+    CJ = _chunk_cols(N4)
+    acc = None
+    for j0 in range(0, N4, CJ):
+        j1 = min(j0 + CJ, N4)
+        pc = packed[:, j0:j1].astype(jnp.int32)
+        for p in range(4):
+            g = _decode_plane(pc, p)                  # [M, j1-j0]
+            part = jnp.dot(g, dmat[p * N4 + j0 : p * N4 + j1],
+                           preferred_element_type=jnp.float32)
+            part = part.astype(jnp.float64)
+            acc = part if acc is None else acc + part
+    cv = jnp.sum(acc.reshape(M, R, S) * w, axis=-1)   # [M, R]
+
+    sum_b = jnp.sum(B, axis=0)
+    corr1 = jax.ops.segment_sum(B[miss_samp] * miss_pad[:, None],
+                                miss_var, num_segments=M)
+    mv = sum_b[None, :] - corr1
+    gv = inv[:, None] * (cv - 2.0 * af[:, None] * mv)  # [M, R]
+
+    # pass 2: out = Cm' w1, decoding variant chunks x 4 planes
+    w1 = inv[:, None] * gv
+    w2 = 2.0 * af[:, None] * inv[:, None] * gv
+    d2, scale2 = _slice_i8(w1, S)                     # [M, R, S]
+    dmat2 = d2.reshape(M, R * S).astype(jnp.bfloat16)
+    w2c = scale2[None, :, None] / 64.0 \
+        * (1.0 / 128.0) ** jnp.arange(S, dtype=jnp.float64)[None, None, :]
+    CM = _chunk_rows(M, N4)
+    accs = [None] * 4
+    for m0 in range(0, M, CM):
+        m1 = min(m0 + CM, M)
+        pc = packed[m0:m1].astype(jnp.int32)
+        dm = dmat2[m0:m1]
+        for p in range(4):
+            g = _decode_plane(pc, p)                  # [mc, N4]
+            part = jax.lax.dot_general(
+                g, dm, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [N4, R*S]
+            part = part.astype(jnp.float64)
+            accs[p] = part if accs[p] is None else accs[p] + part
+    planes = [jnp.sum(a.reshape(N4, R, S) * w2c, axis=-1) for a in accs]
+    out = jnp.concatenate(planes, axis=0)[:N]         # natural order
+
+    corr2 = jax.ops.segment_sum(w2[miss_var] * miss_pad[:, None],
+                                miss_samp, num_segments=N)
+    out = out - samp_mask[:, None] * (jnp.sum(w2, axis=0)[None, :] - corr2)
+    out = out / M
+    return out[:, 0] if squeeze else out
+
+
 @partial(jax.jit, static_argnames=("precision",))
 def packed_grm_matvec(codes, af, inv, miss_var, miss_samp, miss_pad,
                       samp_mask, b, precision: str = "exact_i8"):

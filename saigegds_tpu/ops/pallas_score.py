@@ -94,6 +94,99 @@ def _segment_dot(codes, vs, interpret: bool):
     return jnp.stack([o0[:B], o1[:B], o2[:B]], axis=1)   # [B, 3, C]
 
 
+TNW = 512       # byte-column tile (2048 genotypes/plane-tile) for 2-bit blocks
+SEG4 = 32768    # byte-column segment: 4 planes * 32768 cols = 2^17 samples,
+#                 so f32 accumulation stays exact (128 * 2^17 = 2^24)
+
+
+def _kernel2(packed_ref, vs4_ref, o0_ref, o1_ref, o2_ref):
+    """Fused 2-bit planar decode + indicator contraction (one HBM pass
+    over 0.25 B/genotype packed bytes)."""
+    import jax.experimental.pallas as pl
+
+    c = packed_ref[...].astype(jnp.int32)    # [TB, TNW] (uint8 load)
+    d0 = d1 = d2 = None
+    for p in range(4):
+        t = (c >> (2 * p)) & 3
+        tf = t.astype(jnp.float32)
+        g0 = jnp.where(t == 3, 0.0, tf).astype(jnp.bfloat16)
+        m = (t == 3).astype(jnp.float32).astype(jnp.bfloat16)
+        g2 = (t == 2).astype(jnp.float32).astype(jnp.bfloat16)
+        v = vs4_ref[p]                       # [TNW, C]
+        p0 = jnp.dot(g0, v, preferred_element_type=jnp.float32)
+        p1 = jnp.dot(m, v, preferred_element_type=jnp.float32)
+        p2 = jnp.dot(g2, v, preferred_element_type=jnp.float32)
+        d0 = p0 if d0 is None else d0 + p0
+        d1 = p1 if d1 is None else d1 + p1
+        d2 = p2 if d2 is None else d2 + p2
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        o0_ref[...] = d0
+        o1_ref[...] = d1
+        o2_ref[...] = d2
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        o0_ref[...] += d0
+        o1_ref[...] += d1
+        o2_ref[...] += d2
+
+
+def _segment_dot2(packed, vs4, interpret: bool):
+    """One exact-f32 segment (N4 <= SEG4): [B, N4] x [4, N4, C] -> [B, 3, C]."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N4 = packed.shape
+    C = vs4.shape[2]
+    padB = (-B) % TB
+    padJ = (-N4) % TNW
+    if padB or padJ:
+        packed = jnp.pad(packed, ((0, padB), (0, padJ)))
+    if padJ:
+        vs4 = jnp.pad(vs4, ((0, 0), (0, padJ), (0, 0)))
+    Bp, Jp = packed.shape
+
+    ospec = pl.BlockSpec((TB, C), lambda i, k: (i, 0),
+                         memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((Bp, C), jnp.float32)
+    o0, o1, o2 = pl.pallas_call(
+        _kernel2,
+        grid=(Bp // TB, Jp // TNW),
+        in_specs=[
+            pl.BlockSpec((TB, TNW), lambda i, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, TNW, C), lambda i, k: (0, k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(ospec, ospec, ospec),
+        out_shape=(oshape, oshape, oshape),
+        interpret=interpret,
+    )(packed, vs4)
+    return jnp.stack([o0[:B], o1[:B], o2[:B]], axis=1)   # [B, 3, C]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def indicator_dot_2bit(packed, vs4, interpret: bool = False):
+    """[B, N4] planar 2-bit packed codes x [4, N4, C] plane-split bf16
+    slices -> f64 [B, 3, C] (g0 / missing / hom-ALT contractions).
+
+    The 2-bit analog of :func:`indicator_dot`: HBM reads 0.25 B/genotype
+    (one pass over the packed bytes), decode happens in VMEM.
+    """
+    B, N4 = packed.shape
+    C = vs4.shape[2]
+    if C % 128:
+        raise ValueError(f"C={C} must be a multiple of 128 (pad the slices)")
+    acc = None
+    for s in range(0, N4, SEG4):
+        part = _segment_dot2(packed[:, s:s + SEG4], vs4[:, s:s + SEG4],
+                             interpret).astype(jnp.float64)
+        acc = part if acc is None else acc + part
+    return acc
+
+
 _PALLAS_OK = None
 
 

@@ -55,6 +55,9 @@ class PackedScanModel(NamedTuple):
     var_ratio: float
     n_cov: int             # K
     vs: jnp.ndarray        # [N, Cpad] bf16 sliced V (Pallas kernel operand)
+    vs4: jnp.ndarray       # [4, N4, Cpad] plane-split zero-padded vs for the
+    #                        2-bit planar-packed block path (plane p rows are
+    #                        natural samples p*N4 .. p*N4+N4-1)
     wts: jnp.ndarray       # [2K+3, S] f64 slice combine weights
     # for SPA phase 2 and quantitative stats the dense model is still needed
     dense: ScanModel
@@ -84,6 +87,10 @@ def pack_scan_model(model: ScanModel) -> PackedScanModel:
     Cpad = -(-C // 128) * 128
     vs = jnp.asarray(d).reshape(N, C).astype(jnp.bfloat16)
     vs = jnp.pad(vs, ((0, 0), (0, Cpad - C)))
+    # plane-split copy for 2-bit planar blocks: zero rows at padded samples
+    # kill every contraction term there (the pad code is irrelevant)
+    N4 = -(-N // 4)
+    vs4 = jnp.pad(vs, ((0, 4 * N4 - N), (0, 0))).reshape(4, N4, Cpad)
     wts = np.asarray(scale)[:, None] / 64.0 \
         * (1.0 / 128.0) ** np.arange(N_SLICES)[None, :]
     return PackedScanModel(
@@ -99,6 +106,7 @@ def pack_scan_model(model: ScanModel) -> PackedScanModel:
         var_ratio=model.var_ratio,
         n_cov=K,
         vs=vs,
+        vs4=vs4,
         wts=jnp.asarray(wts),
         dense=model,
     )
@@ -106,8 +114,16 @@ def pack_scan_model(model: ScanModel) -> PackedScanModel:
 
 def _packed_phase1(pm: PackedScanModel, params: ScanParams, codes,
                    impl: str):
-    """Shared contraction + per-variant moment algebra for both traits."""
-    B, N = codes.shape
+    """Shared contraction + per-variant moment algebra for both traits.
+
+    ``codes`` is either int8 [B, N] (3 = missing) or, for the ``*2``
+    impls, planar 2-bit packed uint8 [B, N4] (``pack_codes_2bit`` with
+    missing retained as 3; byte j bit-pair p = sample p*N4+j) — 0.25
+    B/genotype over the host->device link and in HBM.  Padded samples
+    beyond N contribute nothing because their ``vs4`` rows are zero.
+    """
+    B = codes.shape[0]
+    N = pm.V.shape[1]               # true sample count
     K = (pm.V.shape[0] - 3) // 2    # static (from array shape, not the leaf)
     R = pm.V.shape[0]
 
@@ -140,6 +156,39 @@ def _packed_phase1(pm: PackedScanModel, params: ScanParams, codes,
             a = a[:, :R * N_SLICES].reshape(B, R, N_SLICES)
             return jnp.einsum("brs,rs->br", a, pm.wts)
         Y0, Ym, Y2 = combine(acc[0]), combine(acc[1]), combine(acc[2])
+    elif impl == "xla2":
+        # planar 2-bit blocks: decode byte-column chunks x 4 planes into
+        # transient bf16 indicators; per-dot contraction <= 16384 keeps
+        # every f32 partial an exact integer (products <= 2 * 64)
+        N4 = pm.vs4.shape[1]
+        CJ = 16384
+        acc = [None, None, None]
+        for j0 in range(0, N4, CJ):
+            j1 = min(j0 + CJ, N4)
+            pc = codes[:, j0:j1].astype(jnp.int32)
+            for p in range(4):
+                t = (pc >> (2 * p)) & 3
+                tf = t.astype(jnp.float32)
+                g0 = jnp.where(t == 3, 0.0, tf).astype(jnp.bfloat16)
+                mm = (t == 3).astype(jnp.float32).astype(jnp.bfloat16)
+                gg = (t == 2).astype(jnp.float32).astype(jnp.bfloat16)
+                v = pm.vs4[p, j0:j1]
+                for i, ind in enumerate((g0, mm, gg)):
+                    part = jnp.dot(ind, v,
+                                   preferred_element_type=jnp.float32)
+                    part = part.astype(jnp.float64)
+                    acc[i] = part if acc[i] is None else acc[i] + part
+        def combine(a):
+            a = a[:, :R * N_SLICES].reshape(B, R, N_SLICES)
+            return jnp.einsum("brs,rs->br", a, pm.wts)
+        Y0, Ym, Y2 = combine(acc[0]), combine(acc[1]), combine(acc[2])
+    elif impl == "pallas2" or impl == "pallas2_interpret":
+        from .pallas_score import indicator_dot_2bit
+        Y3 = indicator_dot_2bit(codes, pm.vs4,
+                                interpret=(impl == "pallas2_interpret"))
+        Y3 = Y3[:, :, :R * N_SLICES].reshape(B, 3, R, N_SLICES)
+        Y3 = jnp.einsum("bgrs,rs->bgr", Y3, pm.wts)
+        Y0, Ym, Y2 = Y3[:, 0], Y3[:, 1], Y3[:, 2]
     else:
         raise ValueError(f"unknown impl {impl!r}")
 

@@ -57,10 +57,12 @@ def test_fit_quant_golden(pheno):
     _compare(m, ref)
 
 
-def test_fit_binary_packed_grm(pheno):
-    """grm_impl='packed' (bf16-exact MXU operator) reproduces the fixture."""
+@pytest.mark.parametrize("impl", ["dense", "packed2"])
+def test_fit_binary_grm_impls(pheno, impl):
+    """Every GRM operator (dense f64, 2-bit HBM-resident) reproduces the
+    fixture; the default 'packed' is covered by test_fit_binary_golden."""
     m = fit_null_glmm("y ~ x1 + x2", pheno, GDS,
-                      NullModelConfig(trait_type="binary", grm_impl="packed"))
+                      NullModelConfig(trait_type="binary", grm_impl=impl))
     ref = NullModel.load("/root/reference/inst/unitTests/saige_model.rds")
     _compare(m, ref)
 

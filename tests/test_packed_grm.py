@@ -82,3 +82,73 @@ def test_streamed_build_matches(problem):
                                atol=1e-13)
     np.testing.assert_allclose(np.asarray(sg.diag), np.asarray(pg.diag),
                                rtol=1e-12)
+
+
+# ---- 2-bit planar device residency ----
+
+
+def test_pack_unpack_roundtrip():
+    from saigegds_tpu.ops.packed_grm import pack_codes_2bit, unpack_codes_2bit
+    rng = np.random.default_rng(5)
+    for N in (1, 3, 4, 257, 1537):
+        codes = rng.integers(0, 4, size=(7, N)).astype(np.int8)
+        packed = pack_codes_2bit(codes)
+        assert packed.shape == (7, -(-N // 4))
+        np.testing.assert_array_equal(unpack_codes_2bit(packed, N), codes)
+
+
+def test_packed2_matvec_bit_identical(problem):
+    """The 2-bit resident operator equals the bf16 store EXACTLY (both are
+    the same exact-integer-slice algebra, so chunking cannot differ)."""
+    from saigegds_tpu.ops.packed_grm import build_packed2_grm
+
+    codes, _g0, pg = problem
+    p2 = build_packed2_grm(codes)
+    rng = np.random.default_rng(6)
+    b = rng.normal(size=(codes.shape[1], 3)) * np.array([1, 1e5, 1e-5])
+    want = np.asarray(pg.matvec(jnp.asarray(b)))
+    got = np.asarray(p2.matvec(jnp.asarray(b)))
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(np.asarray(p2.diag), np.asarray(pg.diag))
+
+
+def test_packed2_matvec_1d_and_chunking():
+    """Cross chunk boundaries: N4 > chunk via a tiny chunk monkeypatch."""
+    import saigegds_tpu.ops.packed_grm as m
+
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 3, size=(97, 1031)).astype(np.int8)
+    codes[rng.random(codes.shape) < 0.05] = 3
+    pg = m.build_packed_grm(codes)
+    p2 = m.build_packed2_grm(codes)
+    b = rng.normal(size=1031)
+    orig_cols, orig_rows = m._chunk_cols, m._chunk_rows
+    try:
+        m._chunk_cols = lambda N4: 64
+        m._chunk_rows = lambda M, N4: 33
+        got = np.asarray(m.packed2_grm_matvec(
+            p2.packed, p2.af, p2.inv, p2.miss_var, p2.miss_samp,
+            p2.miss_pad, p2.samp_mask, jnp.asarray(b)))
+    finally:
+        m._chunk_cols, m._chunk_rows = orig_cols, orig_rows
+    want = np.asarray(pg.matvec(jnp.asarray(b)))
+    # chunk partials are exact integers; only the final f64 combines can
+    # reassociate, so any chunking agrees to ~1 ULP
+    np.testing.assert_allclose(got, want, atol=1e-13 * np.abs(want).max())
+
+
+def test_packed2_streamed_build(problem):
+    from saigegds_tpu.ops.packed_grm import (build_packed2_grm,
+                                             build_packed2_grm_streamed)
+
+    codes, _g0, _pg = problem
+    def blocks():
+        for s in range(0, codes.shape[0], 89):
+            yield np.arange(s, min(s + 89, codes.shape[0])), codes[s:s + 89]
+    sg = build_packed2_grm_streamed(blocks(), codes.shape[1])
+    p2 = build_packed2_grm(codes)
+    b = np.random.default_rng(8).normal(size=codes.shape[1])
+    np.testing.assert_array_equal(np.asarray(sg.matvec(jnp.asarray(b))),
+                                  np.asarray(p2.matvec(jnp.asarray(b))))
+    np.testing.assert_array_equal(np.asarray(sg.packed),
+                                  np.asarray(p2.packed))

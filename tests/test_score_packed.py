@@ -142,3 +142,53 @@ def test_packed_fuzz_parity(setup, seed):
         np.testing.assert_allclose(np.asarray(getattr(got, f))[w],
                                    np.asarray(getattr(want, f))[w],
                                    rtol=1e-9, atol=1e-12, err_msg=f)
+
+
+@pytest.mark.parametrize("impl", ["xla2", "pallas2_interpret"])
+def test_2bit_impl_matches_int8(setup, impl):
+    """Planar 2-bit packed blocks reproduce the int8 path exactly
+    (same exact-integer contraction; N not divisible by 4 pads)."""
+    from saigegds_tpu.ops.packed_grm import pack_codes_2bit
+
+    seq, sm, pm = setup
+    params = ScanParams(maf=-1.0, mac=4.0, missing=0.1, spa_pval=0.05)
+    G = seq.dosage_block(0, 300)
+    codes = np.where(np.isnan(G), 3, G).astype(np.int8)
+    packed = pack_codes_2bit(codes)
+    assert packed.shape == (300, 250)
+    want = score_stats_binary_packed(pm, params, jnp.asarray(codes))
+    got = score_stats_binary_packed(pm, params, jnp.asarray(packed),
+                                    impl=impl)
+    v = np.asarray(want.valid)
+    np.testing.assert_array_equal(np.asarray(got.valid), v)
+    np.testing.assert_array_equal(np.asarray(got.need_spa),
+                                  np.asarray(want.need_spa))
+    for f in ("af", "mac", "num", "beta", "se", "pval"):
+        np.testing.assert_allclose(np.asarray(getattr(got, f))[v],
+                                   np.asarray(getattr(want, f))[v],
+                                   rtol=1e-12, err_msg=f)
+
+
+def test_2bit_quant_matches(setup):
+    from saigegds_tpu.ops.packed_grm import pack_codes_2bit
+    from saigegds_tpu.ops.score import score_stats_quant
+    from saigegds_tpu.ops.score_packed import score_stats_quant_packed
+
+    model = NullModel.load(
+        "/root/reference/inst/unitTests/saige_model_quant.rds")
+    seq = SeqData("/root/reference/inst/extdata/grm1k_10k_snp.gds")
+    sm = model.scan_model()
+    pmq = pack_scan_model(sm)
+    params = ScanParams(maf=-1.0, mac=4.0, missing=0.1, spa_pval=0.05)
+    G = seq.dosage_block(100, 400)
+    codes = np.where(np.isnan(G), 3, G).astype(np.int8)
+    want = score_stats_quant(sm, params, jnp.asarray(G))
+    got = score_stats_quant_packed(pmq, params,
+                                   jnp.asarray(pack_codes_2bit(codes)),
+                                   impl="xla2")
+    v = np.asarray(want.valid)
+    np.testing.assert_array_equal(np.asarray(got.valid), v)
+    for f in ("beta", "se", "pval"):
+        np.testing.assert_allclose(np.asarray(getattr(got, f))[v],
+                                   np.asarray(getattr(want, f))[v],
+                                   rtol=1e-10, err_msg=f)
