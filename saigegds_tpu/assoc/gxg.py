@@ -88,11 +88,16 @@ def gxg_spa(formula: str, data: pd.DataFrame, gds_grm, snp_pair,
             gds_assoc=None, config: NullModelConfig = NullModelConfig(),
             use_approx_tau: bool = False,
             glm_threshold: Union[bool, float] = False,
-            res_savefn: str = "", verbose: bool = False) -> pd.DataFrame:
+            res_savefn: str = "", verbose: bool = False,
+            variant_id=None) -> pd.DataFrame:
     """GxG interaction scan over SNP pairs (binary traits).
 
     snp_pair: DataFrame whose first two columns are variant ids in
     ``gds_assoc`` (defaults to ``gds_grm``).
+
+    ``variant_id``: explicit GRM SNP panel, replacing the maf/missing
+    filter (the reference's ``variant.id=``, R/saige_interaction.r:46,
+    :237-247).
     """
     from ..models.fitnull import _parse_formula, _model_matrix, _term_vars
 
@@ -117,14 +122,22 @@ def gxg_spa(formula: str, data: pd.DataFrame, gds_grm, snp_pair,
 
     # GRM SNP load + filters (same as the null fit)
     codes = _genotype_codes(seq)[:, samp_mask]
-    valid = codes < 3
-    n_valid = valid.sum(axis=1)
-    ac = np.where(valid, codes, 0).sum(axis=1, dtype=np.int64)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        af = ac / (2.0 * n_valid)
-    maf = np.minimum(af, 1 - af)
-    miss = 1.0 - n_valid / codes.shape[1]
-    vmask = np.isfinite(maf) & (maf >= cfg.maf) & (miss <= cfg.missing_rate)
+    if variant_id is not None:
+        # explicit GRM panel replaces the maf/missing filter
+        # (R/saige_interaction.r:237-247 seqSetFilter(variant.id=))
+        vmask = np.isin(seq.variant_id, np.asarray(variant_id))
+        if not vmask.any():
+            raise ValueError("variant_id matches no variants in the GDS file")
+    else:
+        valid = codes < 3
+        n_valid = valid.sum(axis=1)
+        ac = np.where(valid, codes, 0).sum(axis=1, dtype=np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            af = ac / (2.0 * n_valid)
+        maf = np.minimum(af, 1 - af)
+        miss = 1.0 - n_valid / codes.shape[1]
+        vmask = np.isfinite(maf) & (maf >= cfg.maf) & \
+            (miss <= cfg.missing_rate)
     codes = codes[vmask]
     if cfg.max_num_snp > 0 and codes.shape[0] > cfg.max_num_snp:
         rng = RRandom(cfg.seed)
@@ -133,6 +146,9 @@ def gxg_spa(formula: str, data: pd.DataFrame, gds_grm, snp_pair,
     if cfg.grm_impl == "packed":
         from ..ops.packed_grm import build_packed_grm
         grm = build_packed_grm(codes)
+    elif cfg.grm_impl == "packed2":
+        from ..ops.packed_grm import build_packed2_grm
+        grm = build_packed2_grm(codes)
     else:
         grm = build_grm(codes)
 

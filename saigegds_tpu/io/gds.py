@@ -472,44 +472,15 @@ class GDSFile:
         dims = tuple(node.dims)
         n = int(np.prod(dims)) if dims else 0
         cls = node.cls
-        if cls in ("dInt32", "dUInt32"):
-            dt = "<i4" if cls == "dInt32" else "<u4"
-            return np.frombuffer(data, dtype=dt, count=n).reshape(dims)
-        if cls in ("dInt8", "dUInt8"):
-            dt = np.int8 if cls == "dInt8" else np.uint8
-            return np.frombuffer(data, dtype=dt, count=n).reshape(dims)
-        if cls in ("dInt16", "dUInt16"):
-            dt = "<i2" if cls == "dInt16" else "<u2"
-            return np.frombuffer(data, dtype=dt, count=n).reshape(dims)
-        if cls in ("dInt64", "dUInt64"):
-            dt = "<i8" if cls == "dInt64" else "<u8"
-            return np.frombuffer(data, dtype=dt, count=n).reshape(dims)
-        if cls == "dFloat64":
-            return np.frombuffer(data, dtype="<f8", count=n).reshape(dims)
-        if cls == "dFloat32":
-            return np.frombuffer(data, dtype="<f4", count=n).reshape(dims)
+        fixed = decode_fixed(node, data, n)
+        if fixed is not None:
+            return fixed.reshape(dims)
         if cls == "dBit1":
             bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8),
                                  bitorder="little")
             return bits[:n].reshape(dims)
         if cls == "dBit2":
             return native.unpack_bit2(data, n).reshape(dims)
-        if cls.startswith("dPackedReal"):
-            spec = cls[len("dPackedReal"):]
-            scale = node._props.get("real_scale", 1.0)
-            offset = node._props.get("real_offset", 0.0)
-            width = int("".join(ch for ch in spec if ch.isdigit())) // 8
-            unsigned = spec.endswith("U")
-            dt = {1: "u1", 2: "<u2", 3: None, 4: "<u4"}[width] if unsigned else \
-                 {1: "i1", 2: "<i2", 3: None, 4: "<i4"}[width]
-            if dt is None:
-                raise NotImplementedError(cls)
-            vals = np.frombuffer(data, dtype=dt, count=n).astype(np.float64)
-            na_code = (1 << (8 * width)) - 1 if unsigned else -(1 << (8 * width - 1))
-            raw_ints = np.frombuffer(data, dtype=dt, count=n)
-            out = vals * scale + offset
-            out[raw_ints == na_code] = np.nan
-            return out.reshape(dims)
         if cls in ("dStr8", "dVStr8"):
             # variable-length strings, LEB128 length prefix per element
             return native.vstr8_strings(data, n).reshape(dims)
@@ -528,6 +499,59 @@ class GDSFile:
                 arr[i] = s.rstrip(b"\x00").decode("utf-8", errors="replace")
             return arr.reshape(dims)
         raise NotImplementedError(f"GDS array class {cls!r}")
+
+
+_FIXED_NBYTES = {"dInt8": 1, "dUInt8": 1, "dInt16": 2, "dUInt16": 2,
+                 "dInt32": 4, "dUInt32": 4, "dInt64": 8, "dUInt64": 8,
+                 "dFloat32": 4, "dFloat64": 8}
+_FIXED_DTYPES = {"dInt8": np.int8, "dUInt8": np.uint8,
+                 "dInt16": "<i2", "dUInt16": "<u2",
+                 "dInt32": "<i4", "dUInt32": "<u4",
+                 "dInt64": "<i8", "dUInt64": "<u8",
+                 "dFloat32": "<f4", "dFloat64": "<f8"}
+
+
+def element_nbytes(node: GDSNode):
+    """Bytes per element for fixed-width array classes, else None.
+
+    The basis of random-access block decoding: for these classes a row
+    range of an [M, ...] node is a contiguous byte range of the
+    decompressed payload (served frame-by-frame by ``read_node_bytes``).
+    """
+    cls = node.cls
+    if cls in _FIXED_NBYTES:
+        return _FIXED_NBYTES[cls]
+    if cls.startswith("dPackedReal"):
+        spec = cls[len("dPackedReal"):]
+        width = int("".join(ch for ch in spec if ch.isdigit())) // 8
+        return width if width in (1, 2, 4) else None
+    return None
+
+
+def decode_fixed(node: GDSNode, data: bytes, n: int):
+    """Decode ``n`` fixed-width elements from a decompressed byte slice
+    (1-D result; dPackedReal applies scale/offset and NaNs the NA code).
+    Returns None for classes that are not fixed-width."""
+    cls = node.cls
+    if cls in _FIXED_DTYPES:
+        return np.frombuffer(data, dtype=_FIXED_DTYPES[cls], count=n)
+    if cls.startswith("dPackedReal"):
+        spec = cls[len("dPackedReal"):]
+        scale = node._props.get("real_scale", 1.0)
+        offset = node._props.get("real_offset", 0.0)
+        width = int("".join(ch for ch in spec if ch.isdigit())) // 8
+        unsigned = spec.endswith("U")
+        dt = {1: "u1", 2: "<u2", 3: None, 4: "<u4"}[width] if unsigned else \
+             {1: "i1", 2: "<i2", 3: None, 4: "<i4"}[width]
+        if dt is None:
+            raise NotImplementedError(cls)
+        raw_ints = np.frombuffer(data, dtype=dt, count=n)
+        na_code = (1 << (8 * width)) - 1 if unsigned \
+            else -(1 << (8 * width - 1))
+        out = raw_ints.astype(np.float64) * scale + offset
+        out[raw_ints == na_code] = np.nan
+        return out
+    return None
 
 
 def read_bit2_dosage(node: GDSNode) -> np.ndarray:

@@ -4,8 +4,9 @@ The reference writes association tables to GDS containers with
 ``FileFormat="SAIGE_OUTPUT"`` / ``"SAIGE_OUTPUT_SET"`` (R/assoc_single.r:252,
 R/assoc_aggregate.r:206) and reads them back via ``seqSAIGE_LoadPval``.
 This writer emits the same container layout our reader (``io/gds.py``)
-parses: uncompressed array nodes under a root folder, one block per node.
-Supported column classes: dInt32, dFloat64, dVStr8 (LEB128 strings).
+parses: array nodes under a root folder, one block per node, raw or
+LZMA_ra-compressed (independently-decodable xz frames).  Supported column
+classes: dInt32, dFloat64, dVStr8 (LEB128 strings).
 
 The byte-level property patterns mirror the constants reverse-engineered in
 ``io/gds.py`` (_PROPS) — write what we can read.
@@ -90,17 +91,44 @@ def _encode_column(arr: np.ndarray):
     return "dFloat64", a.tobytes(), len(a)
 
 
-def _array_node_record(cls: str, dims, data_bid: int) -> bytes:
+_P_PIPE = bytes.fromhex("15c4466d")
+_P_PIPESZ = bytes.fromhex("02c9466d50e0512504")
+
+LZMA_FRAME_BYTES = 1 << 20   # ~1 MB plaintext per xz frame (random access)
+
+
+def _compress_lzma_ra(payload: bytes) -> bytes:
+    """LZMA_ra payload: independently-decodable xz frames (the random-
+    access container our reader streams / frame-indexes, io/gds.py)."""
+    import lzma
+    out = bytearray()
+    for s in range(0, len(payload), LZMA_FRAME_BYTES):
+        out += lzma.compress(payload[s : s + LZMA_FRAME_BYTES],
+                             format=lzma.FORMAT_XZ, preset=6)
+    return bytes(out)
+
+
+def _array_node_record(cls: str, dims, data_bid: int,
+                       pipe: str = "", raw_size: int = 0,
+                       cmp_size: int = 0) -> bytes:
     if isinstance(dims, int):
         dims = (dims,)
+    nprops = 3
     props = bytearray()
+    if pipe:
+        pb = pipe.encode("utf-8")
+        props += _P_PIPE + bytes([0x10, len(pb)]) + pb
+        props += _P_PIPESZ + bytes([0x10]) \
+            + int(raw_size).to_bytes(8, "little") \
+            + int(cmp_size).to_bytes(8, "little")
+        nprops += 2
     props += _P_NDIM + struct.pack("<H", len(dims))
     props += _P_DIMS + bytes([4 * len(dims)])
     for d in dims:
         props += struct.pack("<I", d)
     props += _P_DATABLK + struct.pack("<I", data_bid)
     body = bytearray()
-    body += struct.pack("<H", 3)              # nprops
+    body += struct.pack("<H", nprops)
     body += struct.pack("<H", 0x0100)         # class version
     body += _pack7(cls)
     body += props
@@ -134,15 +162,28 @@ def _folder_node_record(children: List[tuple], attrs: Dict[str, str]) -> bytes:
 
 
 def write_gds_table(path: str, columns: Dict[str, np.ndarray],
-                    file_format: str = "SAIGE_OUTPUT"):
-    """Write a flat table as a SAIGE_OUTPUT-style GDS file."""
+                    file_format: str = "SAIGE_OUTPUT",
+                    compress: str = "LZMA"):
+    """Write a flat table as a SAIGE_OUTPUT-style GDS file.
+
+    ``compress="LZMA"`` stores each column as LZMA_ra frames (the
+    reference's ``res.compress`` default, R/assoc_single.r:93); "" or
+    None writes raw payloads.
+    """
     blocks: Dict[int, bytes] = {}
     children = []
     next_bid = 2
     for name, arr in columns.items():
         cls, payload, n = _encode_column(np.asarray(arr))
         data_bid = next_bid + 1
-        blocks[next_bid] = _array_node_record(cls, n, data_bid)
+        if compress and str(compress).upper().startswith("LZMA"):
+            raw = len(payload)
+            payload = _compress_lzma_ra(payload)
+            blocks[next_bid] = _array_node_record(
+                cls, n, data_bid, pipe="LZMA_ra",
+                raw_size=raw, cmp_size=len(payload))
+        else:
+            blocks[next_bid] = _array_node_record(cls, n, data_bid)
         blocks[data_bid] = payload
         children.append((name, next_bid))
         next_bid += 2
@@ -163,10 +204,12 @@ def write_gds_table(path: str, columns: Dict[str, np.ndarray],
             f.write(piece)
 
 
-def save_assoc_gds(df, path: str, file_format: str = "SAIGE_OUTPUT"):
-    """Save an association result DataFrame as a SAIGE_OUTPUT GDS."""
+def save_assoc_gds(df, path: str, file_format: str = "SAIGE_OUTPUT",
+                   compress: str = "LZMA"):
+    """Save an association result DataFrame as a SAIGE_OUTPUT GDS
+    (LZMA_ra-compressed by default, like the reference)."""
     cols = {k: df[k].to_numpy() for k in df.columns}
-    write_gds_table(path, cols, file_format=file_format)
+    write_gds_table(path, cols, file_format=file_format, compress=compress)
 
 
 # ---------------------------------------------------------------------------
@@ -186,7 +229,7 @@ def _pack_bit2(values: np.ndarray) -> bytes:
 
 def write_seqarray_gds(path: str, codes: np.ndarray, sample_id=None,
                        variant_id=None, position=None, chromosome=None,
-                       allele=None, rs_id=None):
+                       allele=None, rs_id=None, compress: str = ""):
     """Write an int8 dosage-code matrix as a SeqArray-style genotype GDS.
 
     codes: [M, N] with 0/1/2 ALT dosage and 3 = missing.  This is the
@@ -218,7 +261,14 @@ def write_seqarray_gds(path: str, codes: np.ndarray, sample_id=None,
     def add_array(cls, dims, payload):
         nb, db = next_bid[0], next_bid[0] + 1
         next_bid[0] += 2
-        blocks[nb] = _array_node_record(cls, dims, db)
+        if compress and str(compress).upper().startswith("LZMA"):
+            raw = len(payload)
+            payload = _compress_lzma_ra(payload)
+            blocks[nb] = _array_node_record(cls, dims, db, pipe="LZMA_ra",
+                                            raw_size=raw,
+                                            cmp_size=len(payload))
+        else:
+            blocks[nb] = _array_node_record(cls, dims, db)
         blocks[db] = payload
         return nb
 
@@ -253,7 +303,7 @@ def write_seqarray_gds(path: str, codes: np.ndarray, sample_id=None,
 
 def write_dosage_gds(path: str, dosages: np.ndarray, sample_id=None,
                      variant_id=None, position=None, chromosome=None,
-                     allele=None, rs_id=None):
+                     allele=None, rs_id=None, compress: str = ""):
     """Write a float ALT-dosage matrix as a SeqArray-style DS GDS.
 
     dosages: [M, N] float with NaN = missing, stored under
@@ -279,7 +329,14 @@ def write_dosage_gds(path: str, dosages: np.ndarray, sample_id=None,
     def add_array(cls, dims, payload):
         nb, db = next_bid[0], next_bid[0] + 1
         next_bid[0] += 2
-        blocks[nb] = _array_node_record(cls, dims, db)
+        if compress and str(compress).upper().startswith("LZMA"):
+            raw = len(payload)
+            payload = _compress_lzma_ra(payload)
+            blocks[nb] = _array_node_record(cls, dims, db, pipe="LZMA_ra",
+                                            raw_size=raw,
+                                            cmp_size=len(payload))
+        else:
+            blocks[nb] = _array_node_record(cls, dims, db)
         blocks[db] = payload
         return nb
 

@@ -202,21 +202,67 @@ class SeqData:
             out[i] = native.bit2_dosage_codes_off(span, off, N, ploidy)
         return out
 
-    def dosage_block(self, start: int, stop: int, dsnode: str = "") -> np.ndarray:
-        """[stop-start, N] float64 ALT dosages with NaN for missing."""
-        name = self.dosage_node_name(dsnode)
-        if name == "$dosage_alt":
-            return self._genotype_matrix()[start:stop]
+    # decoded-f64 size above which DS nodes are not cached whole but
+    # decoded per block via the LZMA frame index / streamed frames
+    DS_CACHE_LIMIT = 1 << 30
+
+    def _resolve_ds(self, name: str):
         node = self.gds.root.get(name)
         if node is not None and node.is_folder:
             node = node.get("data")
-        arr = node.read()
-        return np.asarray(arr[start:stop], dtype=np.float64)
+        return node
+
+    def _ds_row_width(self, node) -> int:
+        dims = tuple(node.dims)
+        return int(np.prod(dims[1:])) if len(dims) > 1 else 1
+
+    def dosage_block(self, start: int, stop: int, dsnode: str = "") -> np.ndarray:
+        """[stop-start, N] float64 ALT dosages with NaN for missing.
+
+        DS/annotation nodes are cached once when small; large fixed-width
+        nodes decode only the covering LZMA frames per block (random
+        access via the frame index) — never a full re-inflate per block.
+        """
+        name = self.dosage_node_name(dsnode)
+        if name == "$dosage_alt":
+            return self._genotype_matrix()[start:stop]
+        node = self._resolve_ds(name)
+        from .gds import decode_fixed, element_nbytes
+        es = element_nbytes(node)
+        dims = tuple(node.dims)
+        total_f64 = int(np.prod(dims)) * 8
+        if es is None or total_f64 <= self.DS_CACHE_LIMIT:
+            if getattr(self, "_ds_cache_name", None) != name:
+                self._ds_cache = node.read()
+                self._ds_cache_name = name
+            return np.asarray(self._ds_cache[start:stop], dtype=np.float64)
+        N = self._ds_row_width(node)
+        data = self.gds.read_node_bytes(node, start * N * es, stop * N * es)
+        blk = decode_fixed(node, data, (stop - start) * N)
+        return np.asarray(blk, dtype=np.float64).reshape(stop - start, N)
 
     def iter_dosage_blocks(self, block_size: int, dsnode: str = "",
-                           variant_mask: Optional[np.ndarray] = None
+                           variant_mask: Optional[np.ndarray] = None,
+                           streamed: Optional[bool] = None
                            ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yield (variant_indices, dosage_block [b, N])."""
+        """Yield (variant_indices, dosage_block [b, N]).
+
+        Large fixed-width DS nodes stream decompressed frames sequentially
+        (one pass over the compressed bytes, like the genotype streaming
+        path); ``streamed=None`` decides by the DS_CACHE_LIMIT threshold.
+        """
+        name = self.dosage_node_name(dsnode)
+        if name != "$dosage_alt":
+            node = self._resolve_ds(name)
+            from .gds import element_nbytes
+            es = element_nbytes(node)
+            total_f64 = int(np.prod(tuple(node.dims))) * 8
+            if streamed is None:
+                streamed = total_f64 > self.DS_CACHE_LIMIT
+            if streamed and es is not None:
+                yield from self._iter_ds_blocks_streamed(
+                    block_size, node, es, variant_mask)
+                return
         idx_all = np.arange(self.n_variants)
         if variant_mask is not None:
             idx_all = idx_all[variant_mask]
@@ -227,3 +273,33 @@ class SeqData:
             lo, hi = int(idx[0]), int(idx[-1]) + 1
             blk = self.dosage_block(lo, hi, dsnode)
             yield idx, blk[idx - lo]
+
+    def _iter_ds_blocks_streamed(self, block_size, node, es, variant_mask):
+        """Sequential one-pass decode of a fixed-width dosage node."""
+        from .gds import decode_fixed
+
+        M = tuple(node.dims)[0]
+        N = self._ds_row_width(node)
+        row_bytes = N * es
+        buf = bytearray()
+        buf_start = 0
+        gen = self.gds.stream_node_bytes(node)
+        for v0 in range(0, M, block_size):
+            v1 = min(v0 + block_size, M)
+            b0, b1 = v0 * row_bytes, v1 * row_bytes
+            while buf_start + len(buf) < b1:
+                try:
+                    buf += next(gen)
+                except StopIteration:
+                    raise ValueError("dosage stream ended early")
+            if b0 > buf_start:
+                del buf[: b0 - buf_start]
+                buf_start = b0
+            blk = decode_fixed(node, bytes(buf[: b1 - b0]), (v1 - v0) * N)
+            blk = np.asarray(blk, np.float64).reshape(v1 - v0, N)
+            idx = np.arange(v0, v1)
+            if variant_mask is not None:
+                keep = variant_mask[v0:v1]
+                idx, blk = idx[keep], blk[keep]
+            if len(idx):
+                yield idx, blk

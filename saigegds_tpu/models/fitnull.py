@@ -584,11 +584,16 @@ def _model_matrix(data, terms):
 def fit_null_glmm(formula: str, data, gdsfile,
                   config: NullModelConfig = NullModelConfig(),
                   model_savefn: str = "", verbose: bool = False,
-                  mesh=None) -> NullModel:
+                  mesh=None, variant_id=None) -> NullModel:
     """Fit the null GLMM (the ``seqFitNullGLMM_SPA`` equivalent).
 
     formula: e.g. ``"y ~ x1 + x2"`` over columns of ``data`` (a pandas
     DataFrame with a sample-id column, reference R/saige_main.r:223).
+
+    ``variant_id``: explicit GRM SNP panel — REPLACES the maf/missing
+    filter, exactly like the reference's ``variant.id=`` argument
+    (R/saige_main.r:314-323); the ``max_num_snp`` down-sample still
+    applies on top.
     """
     import pandas as pd
 
@@ -616,19 +621,20 @@ def fit_null_glmm(formula: str, data, gdsfile,
     streamed = cfg.grm_impl in ("packed", "packed2") and stream \
         and seq.has_genotype()
     if streamed:
-        # pass 1: streamed per-variant maf/missing for the filter
-        maf = np.empty(seq.n_variants)
-        miss = np.empty(seq.n_variants)
-        for idx, blk in seq.iter_code_blocks(8192, streamed=True):
-            blk = blk[:, samp_mask]
-            valid = blk < 3
-            n_valid = valid.sum(axis=1)
-            ac = np.where(valid, blk, 0).sum(axis=1, dtype=np.int64)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                af = ac / (2.0 * n_valid)
-            maf[idx] = np.minimum(af, 1 - af)
-            miss[idx] = 1.0 - n_valid / blk.shape[1]
         codes = None
+        if variant_id is None:
+            # pass 1: streamed per-variant maf/missing for the filter
+            maf = np.empty(seq.n_variants)
+            miss = np.empty(seq.n_variants)
+            for idx, blk in seq.iter_code_blocks(8192, streamed=True):
+                blk = blk[:, samp_mask]
+                valid = blk < 3
+                n_valid = valid.sum(axis=1)
+                ac = np.where(valid, blk, 0).sum(axis=1, dtype=np.int64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    af = ac / (2.0 * n_valid)
+                maf[idx] = np.minimum(af, 1 - af)
+                miss[idx] = 1.0 - n_valid / blk.shape[1]
     else:
         # genotype codes for the selected samples: [M, N] int8, 3 = missing
         codes = _genotype_codes(seq)[:, samp_mask]
@@ -640,9 +646,17 @@ def fit_null_glmm(formula: str, data, gdsfile,
         maf = np.minimum(af, 1 - af)
         miss = 1.0 - n_valid / codes.shape[1]
 
-    # variant filters: maf >= maf, missing.rate <= missing.rate
-    # (seqSetFilterCond, R/saige_main.r:319-320)
-    vmask = np.isfinite(maf) & (maf >= cfg.maf) & (miss <= cfg.missing_rate)
+    if variant_id is not None:
+        # explicit GRM panel: replaces the maf/missing filter
+        # (R/saige_main.r:314-323 seqSetFilter(variant.id=))
+        vmask = np.isin(seq.variant_id, np.asarray(variant_id))
+        if not vmask.any():
+            raise ValueError("variant_id matches no variants in the GDS file")
+    else:
+        # variant filters: maf >= maf, missing.rate <= missing.rate
+        # (seqSetFilterCond, R/saige_main.r:319-320)
+        vmask = np.isfinite(maf) & (maf >= cfg.maf) & \
+            (miss <= cfg.missing_rate)
     variant_id = seq.variant_id[vmask]
     if codes is not None:
         codes = codes[vmask]

@@ -120,7 +120,48 @@ class NullModel:
             variant_id=np.asarray(strip(m["variant.id"])),
         )
 
+    def to_r_object(self) -> RObject:
+        """Build the R-side ``ClassSAIGE_NullModel`` structure (the inverse
+        of :meth:`from_r_object`; layout per R/saige_main.r:616-628)."""
+        K = len(self.coefficients)
+        vr = dict(self.var_ratio)
+        vr_n = len(np.asarray(vr.get("ratio", [])))
+        var_ratio = RObject(
+            {k: np.asarray(v) for k, v in vr.items()},
+            {"class": "data.frame",
+             "row.names": np.asarray([-2147483648, -vr_n], np.int32)})
+        obj_nok = {
+            "y": self.y, "mu": self.mu, "res": self.res, "V": self.V,
+            "X1": self.X1, "XV": self.XV, "XXVX_inv": self.XXVX_inv,
+        }
+        body = {
+            "coefficients": RObject(
+                np.asarray(self.coefficients, np.float64),
+                {"names": np.asarray(self.coef_names, object)}),
+            "tau": RObject(np.asarray(self.tau, np.float64),
+                           {"names": np.asarray(["Sigma_E", "Sigma_G"],
+                                                object)}),
+            "linear.predictors": np.asarray(self.linear_predictors,
+                                            np.float64),
+            "fitted.values": np.asarray(self.fitted_values, np.float64),
+            "residuals": np.asarray(self.residuals, np.float64),
+            "cov": np.asarray(self.cov, np.float64).reshape(K, K),
+            "converged": bool(self.converged),
+            "obj.noK": obj_nok,
+            "var.ratio": var_ratio,
+            "trait.type": str(self.trait_type),
+            "sample.id": self.sample_id,
+            "variant.id": self.variant_id,
+        }
+        return RObject(body, {"class": "ClassSAIGE_NullModel"})
+
     def save(self, path: str):
+        """Save to .npz (ours) or .rds (R-interoperable checkpoint, the
+        reference's contract R/saige_main.r:630-643)."""
+        if path.endswith(".rds"):
+            from ..io.rds_write import write_rds
+            write_rds(path, self.to_r_object())
+            return
         if not path.endswith(".npz"):
             path += ".npz"
         np.savez_compressed(

@@ -150,3 +150,31 @@ def test_fit_with_interaction_formula(pheno):
     np.testing.assert_allclose(m1.tau, m2.tau, rtol=0, atol=1e-12)
     np.testing.assert_allclose(m1.coefficients, m2.coefficients,
                                rtol=1e-10, atol=1e-12)
+
+
+def test_fit_variant_id_panel(pheno):
+    """variant_id= replaces the maf/missing filter (R/saige_main.r:314-323);
+    passing the fixture's own panel reproduces the golden model."""
+    ref = NullModel.load("/root/reference/inst/unitTests/saige_model.rds")
+    m = fit_null_glmm("y ~ x1 + x2", pheno, GDS,
+                      NullModelConfig(trait_type="binary"),
+                      variant_id=ref.variant_id)
+    _compare(m, ref)
+    np.testing.assert_array_equal(m.variant_id, ref.variant_id)
+
+
+def test_fit_variant_id_subset(pheno):
+    """A small explicit panel fits and records exactly those variants."""
+    from saigegds_tpu.io.seqarray import SeqData
+
+    seq = SeqData(GDS)
+    panel = seq.variant_id[10:510]
+    m = fit_null_glmm("y ~ x1 + x2", pheno, GDS,
+                      NullModelConfig(trait_type="binary"),
+                      variant_id=panel)
+    np.testing.assert_array_equal(m.variant_id, panel)
+    assert m.converged
+    with pytest.raises(ValueError, match="matches no variants"):
+        fit_null_glmm("y ~ x1 + x2", pheno, GDS,
+                      NullModelConfig(trait_type="binary"),
+                      variant_id=np.asarray([-1, -2]))

@@ -245,3 +245,113 @@ def test_load_vignette_model():
     assert np.asarray(m.sample_id)[0] == "HG00096"
     assert np.isfinite(np.asarray(m.coefficients)).all()
     assert m.var_ratio is not None and len(m.var_ratio["ratio"]) >= 30
+
+
+def test_ds_block_paths_agree():
+    """DS dosage access: whole-node cache, per-block frame random access,
+    and one-pass streamed iteration must agree exactly."""
+    from saigegds_tpu.io.seqarray import SeqData
+
+    path = "/root/reference/inst/extdata/assoc_100snp.gds"
+    full = SeqData(path).dosage_block(0, 100)
+    assert full.shape == (100, 1000)
+
+    ra_seq = SeqData(path)
+    ra_seq.DS_CACHE_LIMIT = 0          # force the frame-index path
+    ra = np.vstack([ra_seq.dosage_block(s, min(s + 17, 100))
+                    for s in range(0, 100, 17)])
+    np.testing.assert_array_equal(ra, full)
+    assert not hasattr(ra_seq, "_ds_cache")
+
+    st_seq = SeqData(path)
+    got, idx = [], []
+    for i, blk in st_seq.iter_dosage_blocks(13, streamed=True):
+        idx.append(i)
+        got.append(blk)
+    np.testing.assert_array_equal(np.concatenate(idx), np.arange(100))
+    np.testing.assert_array_equal(np.vstack(got), full)
+
+
+def test_ds_streamed_iter_with_mask(tmp_path):
+    """Streamed DS iteration honors variant masks (synthetic DS file)."""
+    from saigegds_tpu.io.gds_write import write_dosage_gds
+    from saigegds_tpu.io.seqarray import SeqData
+
+    rng = np.random.default_rng(0)
+    ds = rng.uniform(0, 2, size=(57, 23))
+    ds[rng.random(ds.shape) < 0.1] = np.nan
+    fn = str(tmp_path / "ds.gds")
+    write_dosage_gds(fn, ds)
+    seq = SeqData(fn)
+    mask = rng.random(57) < 0.5
+    got_i, got_b = [], []
+    for i, blk in seq.iter_dosage_blocks(11, streamed=True,
+                                         variant_mask=mask):
+        got_i.append(i)
+        got_b.append(blk)
+    np.testing.assert_array_equal(np.concatenate(got_i), np.flatnonzero(mask))
+    np.testing.assert_allclose(np.vstack(got_b), ds[mask], rtol=0, atol=1e-6)
+
+
+def test_compressed_gds_table_roundtrip(tmp_path):
+    """LZMA_ra-compressed SAIGE_OUTPUT (the reference's res.compress
+    default) round-trips through our reader and is actually smaller."""
+    import os
+    import pandas as pd
+    from saigegds_tpu.io.gds_write import save_assoc_gds
+    from saigegds_tpu.utils.stats import load_pval
+
+    rng = np.random.default_rng(1)
+    df = pd.DataFrame({
+        "id": np.arange(1, 20001, dtype=np.int32),
+        "chr": np.asarray(["1"] * 20000, object),
+        "pos": np.arange(20000, dtype=np.int32),
+        "pval": rng.uniform(size=20000),
+    })
+    fz = str(tmp_path / "z.gds")
+    fr = str(tmp_path / "r.gds")
+    save_assoc_gds(df, fz, compress="LZMA")
+    save_assoc_gds(df, fr, compress="")
+    assert os.path.getsize(fz) < 0.7 * os.path.getsize(fr)
+    back = load_pval(fz)
+    np.testing.assert_array_equal(back["id"].to_numpy(), df["id"].to_numpy())
+    np.testing.assert_allclose(back["pval"].to_numpy(),
+                               df["pval"].to_numpy(), rtol=0, atol=0)
+
+
+def test_compressed_multiframe_ds_stream(tmp_path, monkeypatch):
+    """A multi-frame LZMA_ra DS node streams block-by-block correctly."""
+    import saigegds_tpu.io.gds_write as gw
+    from saigegds_tpu.io.seqarray import SeqData
+
+    monkeypatch.setattr(gw, "LZMA_FRAME_BYTES", 1 << 14)  # force many frames
+    rng = np.random.default_rng(2)
+    ds = rng.uniform(0, 2, size=(300, 101))
+    ds[rng.random(ds.shape) < 0.05] = np.nan
+    fn = str(tmp_path / "dsz.gds")
+    gw.write_dosage_gds(fn, ds, compress="LZMA")
+    seq = SeqData(fn)
+    # streamed one-pass iteration
+    got = np.vstack([b for _, b in
+                     seq.iter_dosage_blocks(37, streamed=True)])
+    np.testing.assert_allclose(got, ds, rtol=0, atol=1e-6)
+    # random access via the frame index
+    ra = SeqData(fn)
+    ra.DS_CACHE_LIMIT = 0
+    np.testing.assert_allclose(ra.dosage_block(123, 170), ds[123:170],
+                               rtol=0, atol=1e-6)
+
+
+def test_compressed_seqarray_genotype_roundtrip(tmp_path):
+    """LZMA_ra-compressed genotype GDS: code matrix + streamed blocks."""
+    from saigegds_tpu.io.gds_write import write_seqarray_gds
+    from saigegds_tpu.io.seqarray import SeqData
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, size=(400, 57)).astype(np.int8)
+    fn = str(tmp_path / "gz.gds")
+    write_seqarray_gds(fn, codes, compress="LZMA")
+    seq = SeqData(fn)
+    np.testing.assert_array_equal(seq.code_matrix(), codes)
+    got = np.vstack([b for _, b in seq.iter_code_blocks(64, streamed=True)])
+    np.testing.assert_array_equal(got, codes)
