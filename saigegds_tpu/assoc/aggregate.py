@@ -5,7 +5,16 @@ Equivalents of ``seqAssocGLMM_spaBurden`` / ``spaACAT_V`` / ``spaACAT_O``
 Each unit's SNP dosage matrix is reduced to a set of test vectors (weighted
 burden collapses + per-SNP columns for ACAT-V), which all funnel through the
 same batched score+SPA kernels as the single-variant scan — so one device
-program covers every aggregate flavour, and units are processed in blocks.
+program covers every aggregate flavour.
+
+Scale design (unlike the reference's per-process ``seqUnitApply`` loop):
+test vectors STREAM through a bounded device pipeline (`_Kernel.run_stream`)
+— at no point is a [units x samples] matrix materialized — and unit dosages
+come from `_UnitSource`, which random-accesses LZMA frames for big files
+(frame-LRU-cached, so overlapping sliding windows inflate each frame once).
+Multi-host runs shard the unit list (`shard_units`) and concatenate the
+per-host tables, the ``seqUnitApply(parallel=)`` analog
+(R/assoc_aggregate.r:700-708).
 
 Semantics reproduced exactly:
 * per-SNP MAF/MAC from non-missing dosages (``ds_mat_mafmac``, :486-524);
@@ -22,7 +31,8 @@ ACAT-V / ACAT-O are binary-trait only, like the reference (:836-842).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from collections import deque
+from dataclasses import dataclass, field
 from typing import List
 
 import numpy as np
@@ -37,7 +47,7 @@ from ..ops.score import ScanParams, score_stats_binary, score_stats_quant, \
 from ..utils.stats import acat_p
 from .single import _match_samples, _pad_block, _spa_cap, _spa_nnz
 
-TEST_BATCH = 256
+SINGLE_FETCH = 512   # variants per random-access fetch in the singles stream
 
 
 @dataclass
@@ -104,6 +114,24 @@ def units_from_groups(seq: SeqData, groups: dict) -> VariantUnits:
                         index=index)
 
 
+def shard_units(units: VariantUnits, shard: int, n_shards: int
+                ) -> VariantUnits:
+    """Contiguous unit slice for host ``shard`` of ``n_shards``.
+
+    The multi-host analog of ``seqUnitApply(parallel=)``: each host runs
+    an aggregate driver on its slice and the tables are concatenated
+    (``pd.concat`` / ``load_pval([files])``) — per-unit results are
+    independent, so shard+merge equals a single-host run.
+    """
+    if not (0 <= shard < n_shards):
+        raise ValueError(f"shard {shard} outside [0, {n_shards})")
+    U = len(units)
+    bounds = np.linspace(0, U, n_shards + 1).astype(int)
+    lo, hi = bounds[shard], bounds[shard + 1]
+    return VariantUnits(desp=units.desp.iloc[lo:hi].reset_index(drop=True),
+                        index=units.index[lo:hi])
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -144,13 +172,68 @@ def _normalize(w: np.ndarray) -> np.ndarray:
     return w
 
 
+def _maf_mac_summary(maf, mac):
+    def _mean_sd(x):
+        x = x[np.isfinite(x)]
+        if len(x) == 0:
+            return np.nan, np.nan
+        return float(np.mean(x)), float(np.std(x, ddof=1)) if len(x) > 1 else np.nan
+    maf_avg, maf_sd = _mean_sd(maf)
+    mac_avg, mac_sd = _mean_sd(mac)
+    f = lambda x, fn: float(fn(x[np.isfinite(x)])) if np.isfinite(x).any() else np.nan
+    return dict(
+        maf_avg=maf_avg, maf_sd=maf_sd,
+        maf_min=f(maf, np.min), maf_max=f(maf, np.max),
+        mac_avg=mac_avg, mac_sd=mac_sd,
+        mac_min=f(mac, np.min), mac_max=f(mac, np.max))
+
+
+class _UnitSource:
+    """Bounded-memory dosage rows for units, columns aligned to the model.
+
+    Small files use the whole-matrix cache; big ones random-access the
+    LZMA frames (``SeqData.code_rows`` / frame-indexed ``dosage_block``),
+    whose per-frame LRU cache makes overlapping windows touch each
+    compressed frame once.
+    """
+
+    CACHE_LIMIT = 4 << 30
+
+    def __init__(self, seq: SeqData, cols=None, dsnode: str = ""):
+        self.seq, self.cols, self.dsnode = seq, cols, dsnode
+        self.geno = seq.has_genotype() and not dsnode
+        elem = 1 if self.geno else 8
+        self.small = seq.n_variants * seq.n_samples * elem <= self.CACHE_LIMIT
+
+    @property
+    def n_cols(self) -> int:
+        return self.seq.n_samples if self.cols is None else len(self.cols)
+
+    def rows(self, idx) -> np.ndarray:
+        idx = np.asarray(idx)
+        if len(idx) == 0:
+            return np.empty((0, self.n_cols))
+        if self.geno:
+            if self.small:
+                r = self.seq.code_matrix()[idx].astype(np.float64)
+            else:
+                r = self.seq.code_rows(idx).astype(np.float64)
+            r[r == 3] = np.nan
+        else:
+            lo, hi = int(idx.min()), int(idx.max()) + 1
+            blk = self.seq.dosage_block(lo, hi, self.dsnode)
+            r = np.asarray(blk[idx - lo], np.float64)
+        return r if self.cols is None else r[:, self.cols]
+
+
 @dataclass
 class _Kernel:
-    """Shared batched score+SPA runner over accumulated test vectors."""
+    """Streaming batched score+SPA runner over test-vector rows."""
 
     scan_model: object
     params: ScanParams
     binary: bool
+    batch: int = 256
     _packed: object = None
 
     def _packed_kernel(self):
@@ -166,54 +249,81 @@ class _Kernel:
         return self._packed
 
     def run(self, G: np.ndarray):
-        """G [B, N] -> dict of arrays (af, mac, num, beta, se, pval,
-        p.norm, converged); invalid rows are NaN.
+        return self.run_stream(iter([np.asarray(G, np.float64)]))
 
-        Blocks whose rows are all integer dosages 0/1/2/NaN (ACAT-V
-        singles straight from the genotype code cache) route through the
-        exact integer-sliced packed kernel — int8 codes are the only
-        [B, N] operand (8x lighter than f64) and the bf16 MXU contraction
-        is exact; fractional burden vectors use the dense f64 kernel."""
-        stats = {k: [] for k in
+    def run_stream(self, blocks_iter):
+        """Consume an iterator of [k, N] float64 row-arrays -> dict of
+        per-row stat arrays (af, mac, num, beta, se, pval, p.norm,
+        converged, valid); rows failing the filters are NaN.
+
+        Device work is pipelined in ``batch``-row dispatches and host
+        memory holds one in-flight window plus the SPA-flagged rows —
+        never the whole stream.  Batches whose rows are all integer
+        dosages 0/1/2/NaN route through the exact integer-sliced packed
+        kernel (int8 codes are the only [B, N] operand); fractional
+        burden vectors use the dense f64 kernel — per-row results are
+        independent either way.
+        """
+        B = self.batch
+        parts = {k: [] for k in
                  ("valid", "af", "mac", "num", "beta", "se", "pval")}
         need_rows, need_G = [], []
-        with np.errstate(invalid="ignore"):
-            as_codes = bool(np.all(np.isnan(G) |
-                                   ((G == np.floor(G)) & (G >= 0) & (G <= 2)))) \
-                if G.size else False
-        if as_codes:
-            pk = self._packed_kernel()
-            codes_all = np.where(np.isnan(G), 3, G).astype(np.int8)
-            kern = lambda sm, params, blk: pk(params, blk)
-        else:
-            kern = score_stats_binary if self.binary else score_stats_quant
-        # phase 1 pipelined: a bounded window of in-flight batches so
-        # device compute overlaps host-side conversion (each np.asarray
-        # forces a sync; the depth bounds [B, N] inputs held on device)
-        from collections import deque
         window = deque()
+        buf, buf_n, row0 = [], 0, 0
 
-        def _drain(s, m, res):
-            for k in stats:
-                stats[k].append(np.asarray(getattr(res, k))[:m])
+        def _drain():
+            nonlocal parts
+            start, G, res = window.popleft()
+            m = len(G)
+            for k in parts:
+                parts[k].append(np.asarray(getattr(res, k))[:m])
             need = np.asarray(res.need_spa)[:m]
             if self.binary and need.any():
-                need_rows.append(s + np.flatnonzero(need))
-                need_G.append(G[s : s + m][need])
+                need_rows.append(start + np.flatnonzero(need))
+                need_G.append(G[need])
 
-        for s in range(0, G.shape[0], TEST_BATCH):
+        def _dispatch(G, start):
+            with np.errstate(invalid="ignore"):
+                as_codes = bool(np.all(
+                    np.isnan(G) |
+                    ((G == np.floor(G)) & (G >= 0) & (G <= 2)))) if G.size \
+                    else False
             if as_codes:
-                blk = _pad_block(codes_all[s : s + TEST_BATCH], TEST_BATCH,
-                                 fill=3)
+                pk = self._packed_kernel()
+                blk = _pad_block(np.where(np.isnan(G), 3, G).astype(np.int8),
+                                 B, fill=3)
+                res = pk(self.params, blk)
             else:
-                blk = _pad_block(G[s : s + TEST_BATCH], TEST_BATCH)
-            m = min(TEST_BATCH, G.shape[0] - s)
-            window.append((s, m, kern(self.scan_model, self.params, blk)))
+                kern = score_stats_binary if self.binary \
+                    else score_stats_quant
+                res = kern(self.scan_model, self.params, _pad_block(G, B))
+            window.append((start, G, res))
             if len(window) >= 3:
-                _drain(*window.popleft())
+                _drain()
+
+        for rows in blocks_iter:
+            rows = np.asarray(rows, np.float64)
+            if rows.ndim == 1:
+                rows = rows[None, :]
+            pos = 0
+            while pos < len(rows):
+                take = min(B - buf_n, len(rows) - pos)
+                buf.append(rows[pos:pos + take])
+                buf_n += take
+                pos += take
+                if buf_n == B:
+                    _dispatch(np.vstack(buf), row0)
+                    row0 += B
+                    buf, buf_n = [], 0
+        if buf_n:
+            _dispatch(np.vstack(buf), row0)
+            row0 += buf_n
         while window:
-            _drain(*window.popleft())
-        out = {k: np.concatenate(v) for k, v in stats.items()}
+            _drain()
+
+        out = {k: (np.concatenate(v) if v else np.empty(0))
+               for k, v in parts.items()}
+        out["valid"] = out["valid"].astype(bool)
         out["p.norm"] = out["pval"].copy()
         out["converged"] = np.isfinite(out["pval"])
         if need_rows:
@@ -235,12 +345,12 @@ class _Kernel:
                 out["beta"][r] = np.asarray(b)[:m]
                 out["se"][r] = np.asarray(e)[:m]
 
-            for s in range(0, len(rows), TEST_BATCH):
-                Gi = Gs[s : s + TEST_BATCH]
+            for s in range(0, len(rows), B):
+                Gi = Gs[s : s + B]
                 cap = _spa_cap(Gi)
-                blk = _pad_block(Gi, TEST_BATCH)
+                blk = _pad_block(Gi, B)
                 res = spa_refine_binary(self.scan_model, blk, cap=cap)
-                pending.append((rows[s : s + TEST_BATCH], res))
+                pending.append((rows[s : s + B], res))
                 if len(pending) >= 3:
                     _drain_spa()
             while pending:
@@ -264,71 +374,44 @@ def _prepare(gdsfile, modobj, config: AggregateConfig):
     params = ScanParams(maf=0.0, mac=0.0, missing=1.0,
                         spa_pval=config.spa_pval)
     binary = model.trait_type == "binary"
-    kernel = _Kernel(scan_model=scan_model, params=params, binary=binary)
+    kernel = _Kernel(scan_model=scan_model, params=params, binary=binary,
+                     batch=config.block_size)
     wbeta = np.asarray(config.wbeta, dtype=np.float64)  # [W, 2]
     wnames = [f"{b1:g}_{b2:g}" for b1, b2 in wbeta]
-    return seq, model, kernel, wbeta, wnames, binary, cols
-
-
-def _unit_dosage(seq: SeqData, idx: np.ndarray, dsnode="",
-                 cols=None) -> np.ndarray:
-    """[S, N] dosage rows for the unit's variants (columns subset/reordered
-    to the model's samples when ``cols`` is given).
-
-    Genotype-node files go through the int8 code cache (1 B/genotype
-    instead of the f64 dosage cache) and convert just the unit's rows."""
-    if len(idx) == 0:
-        n = seq.n_samples if cols is None else len(cols)
-        return np.empty((0, n))
-    if seq.has_genotype() and not dsnode:
-        rows = seq.code_matrix()[idx].astype(np.float64)
-        rows[rows == 3] = np.nan
-    else:
-        lo, hi = int(idx.min()), int(idx.max()) + 1
-        blk = seq.dosage_block(lo, hi, dsnode)
-        rows = np.asarray(blk[idx - lo], np.float64)
-    return rows if cols is None else rows[:, cols]
-
-
-def _maf_mac_summary(maf, mac):
-    def _mean_sd(x):
-        x = x[np.isfinite(x)]
-        if len(x) == 0:
-            return np.nan, np.nan
-        return float(np.mean(x)), float(np.std(x, ddof=1)) if len(x) > 1 else np.nan
-    maf_avg, maf_sd = _mean_sd(maf)
-    mac_avg, mac_sd = _mean_sd(mac)
-    f = lambda x, fn: float(fn(x[np.isfinite(x)])) if np.isfinite(x).any() else np.nan
-    return dict(
-        maf_avg=maf_avg, maf_sd=maf_sd,
-        maf_min=f(maf, np.min), maf_max=f(maf, np.max),
-        mac_avg=mac_avg, mac_sd=mac_sd,
-        mac_min=f(mac, np.min), mac_max=f(mac, np.max))
+    src = _UnitSource(seq, cols=cols, dsnode=config.dsnode)
+    return seq, model, kernel, wbeta, wnames, binary, src
 
 
 def assoc_burden(gdsfile, modobj, units: VariantUnits,
                  config: AggregateConfig = AggregateConfig(),
                  res_savefn: str = "", verbose: bool = False) -> pd.DataFrame:
-    """Burden tests over variant units (seqAssocGLMM_spaBurden)."""
-    seq, model, kernel, wbeta, wnames, binary, cols = _prepare(gdsfile, modobj, config)
+    """Burden tests over variant units (seqAssocGLMM_spaBurden).
+
+    Streams one unit at a time — host memory is bounded by the device
+    batch, not by [units x samples]."""
+    seq, model, kernel, wbeta, wnames, binary, src = \
+        _prepare(gdsfile, modobj, config)
     U = len(units)
     W = len(wbeta)
 
     summaries = []
-    burden_G = np.zeros((U * W, model.n_samples))
     summac = np.zeros(U * W)
-    for u, idx in enumerate(units.index):
-        ds = _unit_dosage(seq, idx, cols=cols)
-        maf, mac = _maf_mac(ds)
-        summaries.append(_maf_mac_summary(maf, mac))
-        for w in range(W):
-            ws = _normalize(beta_weights(maf, wbeta[w, 0], wbeta[w, 1]))
-            g = _burden_collapse(ds, ws)
-            burden_G[u * W + w] = g
-            summac[u * W + w] = g.sum() * len(idx)
 
+    def burden_stream():
+        for u, idx in enumerate(units.index):
+            ds = src.rows(idx)
+            maf, mac = _maf_mac(ds)
+            summaries.append(_maf_mac_summary(maf, mac))
+            rows = np.empty((W, src.n_cols))
+            for w in range(W):
+                ws = _normalize(beta_weights(maf, wbeta[w, 0], wbeta[w, 1]))
+                g = _burden_collapse(ds, ws)
+                rows[w] = g
+                summac[u * W + w] = g.sum() * len(idx)
+            yield rows
+
+    out = kernel.run_stream(burden_stream())
     ok = (summac >= config.summac) & (summac > 0)
-    out = kernel.run(burden_G)
     for k in ("beta", "se", "pval", "p.norm"):
         out[k][~ok] = np.nan
     out["converged"][~ok] = False
@@ -354,32 +437,53 @@ def assoc_burden(gdsfile, modobj, units: VariantUnits,
     return tab
 
 
-class _AcatVBatch:
-    """Two-phase cross-unit ACAT-V: accumulate every test vector from every
-    unit, run ONE batched device pass, then combine per unit.
+@dataclass
+class _AcatVPlan:
+    """Per-unit ACAT-V bookkeeping collected during the burden stream."""
 
-    Single-variant p-values are deduplicated globally by variant index
-    (overlapping sliding windows share SNPs), which the reference's
-    per-unit loop recomputes (src/saige_main.cpp:900-963) — values are
-    identical, the device work is O(distinct SNPs + mini-burdens) instead
-    of O(units x unit size)."""
+    idx: np.ndarray
+    maf: np.ndarray
+    mac: np.ndarray
+    single_mask: np.ndarray
+    n_burden: int
+    burden_keys: dict = field(default_factory=dict)   # w -> burden row
+    full_keys: dict = field(default_factory=dict)     # w -> full-burden row
 
-    def __init__(self, kernel: _Kernel, wbeta, config):
+
+class _AcatVRunner:
+    """Streaming cross-unit ACAT-V (+ optional ACAT-O full burdens).
+
+    One pass over the units streams every qualifying burden vector
+    straight into the device kernel; single-variant rows are
+    deduplicated globally by variant index (overlapping sliding windows
+    share SNPs — the reference's per-unit loop recomputes them,
+    src/saige_main.cpp:900-963, values identical) and fetched in a
+    second bounded stream.  Nothing [units x samples]-sized exists.
+    """
+
+    def __init__(self, kernel: _Kernel, wbeta, config, src: _UnitSource,
+                 with_full_burden: bool = False):
         self.kernel = kernel
         self.wbeta = wbeta
         self.config = config
-        self.single_rows: dict = {}        # variant idx -> dosage row
-        self.burdens: list = []            # (key, vector)
-        self.units: list = []              # per-unit plan
+        self.src = src
+        self.with_full = with_full_burden
+        self.plans: List[_AcatVPlan] = []
+        self.summaries: List[dict] = []
+        self.n_rows = 0
 
-    def add_unit(self, uid, idx, ds, maf, mac):
+    def _unit_rows(self, idx):
+        """Plan one unit; yield its qualifying burden row-vectors."""
         cfg = self.config
+        ds = self.src.rows(idx)
+        maf, mac = _maf_mac(ds)
+        self.summaries.append(_maf_mac_summary(maf, mac))
         single_mask = mac >= cfg.acatv_mac
         n_snp = ds.shape[0]
         n_burden = int((~single_mask).sum())
-        for j in np.flatnonzero(single_mask):
-            self.single_rows.setdefault(int(idx[j]), ds[j])
-        burden_keys = {}
+        plan = _AcatVPlan(idx=np.asarray(idx), maf=maf, mac=mac,
+                          single_mask=single_mask, n_burden=n_burden)
+        self.plans.append(plan)
         if n_burden > 0:
             for w, (b1, b2) in enumerate(self.wbeta):
                 with np.errstate(invalid="ignore", divide="ignore"):
@@ -389,29 +493,47 @@ class _AcatVBatch:
                 g = _burden_collapse(ds, wb)
                 summac = g.sum() * n_snp
                 if summac >= cfg.summac and summac > 0:
-                    burden_keys[w] = len(self.burdens)
-                    self.burdens.append(g)
-        self.units.append(dict(uid=uid, idx=idx, maf=maf, mac=mac,
-                               single_mask=single_mask, n_burden=n_burden,
-                               burden_keys=burden_keys))
+                    plan.burden_keys[w] = self.n_rows
+                    self.n_rows += 1
+                    yield g
+        if self.with_full:
+            for w, (b1, b2) in enumerate(self.wbeta):
+                ws = _normalize(beta_weights(maf, b1, b2))
+                g = _burden_collapse(ds, ws)
+                summac = g.sum() * len(idx)
+                if summac >= cfg.summac and summac > 0:
+                    plan.full_keys[w] = self.n_rows
+                    self.n_rows += 1
+                    yield g
 
-    def run(self):
-        """-> {uid: (pvals [W], p_med, p_min, p_max, n_single, n_burden)}"""
-        sv_idx = sorted(self.single_rows)
+    def run(self, units: VariantUnits):
+        """-> (results {uid: (pvals [W], p_med, p_min, p_max, n_single,
+        n_burden)}, full_pvals {uid: {w: pval}})"""
+        def burden_stream():
+            for idx in units.index:
+                for g in self._unit_rows(idx):
+                    yield g
+        bres = self.kernel.run_stream(burden_stream())
+        pburden = bres["pval"]
+
+        # dedup'd single-variant tests, fetched in bounded batches
+        sv_idx = sorted({int(i) for plan in self.plans
+                         for i in plan.idx[plan.single_mask]})
         psingle = {}
         if sv_idx:
-            G = np.stack([self.single_rows[i] for i in sv_idx])
-            res = self.kernel.run(G)
-            psingle = dict(zip(sv_idx, res["pval"]))
-        pburden = []
-        if self.burdens:
-            res = self.kernel.run(np.stack(self.burdens))
-            pburden = res["pval"]
+            sv = np.asarray(sv_idx)
+
+            def single_stream():
+                for s in range(0, len(sv), SINGLE_FETCH):
+                    yield self.src.rows(sv[s : s + SINGLE_FETCH])
+            sres = self.kernel.run_stream(single_stream())
+            psingle = dict(zip(sv_idx, sres["pval"]))
 
         out = {}
-        for u in self.units:
-            maf, mac = u["maf"], u["mac"]
-            single_mask, n_burden = u["single_mask"], u["n_burden"]
+        full = {}
+        for uid, plan in enumerate(self.plans):
+            maf, single_mask = plan.maf, plan.single_mask
+            n_burden = plan.n_burden
             out_p, out_med, out_min, out_max = [], [], [], []
             burden_added_w0 = False
             for w, (b1, b2) in enumerate(self.wbeta):
@@ -420,9 +542,9 @@ class _AcatVBatch:
                     p = maf[j]
                     wp.append(float(beta_weights(p, b1, b2)) ** 2
                               * p * (1 - p))
-                    pvals.append(float(psingle[int(u["idx"][j])]))
-                if w in u["burden_keys"]:
-                    pv = float(pburden[u["burden_keys"][w]])
+                    pvals.append(float(psingle[int(plan.idx[j])]))
+                if w in plan.burden_keys:
+                    pv = float(pburden[plan.burden_keys[w]])
                     if np.isfinite(pv):
                         p = float(maf[~single_mask].sum() / n_burden)
                         wp.append(float(beta_weights(p, b1, b2)) ** 2
@@ -447,29 +569,27 @@ class _AcatVBatch:
             # reference reports counts for the first weight scheme only
             # (src/saige_main.cpp:815-819)
             n_single = int(single_mask.sum()) + (1 if burden_added_w0 else 0)
-            out[u["uid"]] = (out_p, out_med, out_min, out_max,
-                             n_single - n_burden, n_burden)
-        return out
+            out[uid] = (out_p, out_med, out_min, out_max,
+                        n_single - n_burden, n_burden)
+            full[uid] = {w: float(pburden[r])
+                         for w, r in plan.full_keys.items()}
+        return out, full
 
 
 def assoc_acat_v(gdsfile, modobj, units: VariantUnits,
                  config: AggregateConfig = AggregateConfig(),
                  res_savefn: str = "", verbose: bool = False) -> pd.DataFrame:
     """ACAT-V tests over variant units (seqAssocGLMM_spaACAT_V, binary only)."""
-    seq, model, kernel, wbeta, wnames, binary, cols = _prepare(gdsfile, modobj, config)
+    seq, model, kernel, wbeta, wnames, binary, src = \
+        _prepare(gdsfile, modobj, config)
     if not binary:
         raise NotImplementedError(
             "ACAT-V is binary-only, like the reference "
             "(src/saige_main.cpp:836-842)")
-    batch = _AcatVBatch(kernel, wbeta, config)
-    summaries = []
-    for uid, idx in enumerate(units.index):
-        ds = _unit_dosage(seq, idx, cols=cols)
-        maf, mac = _maf_mac(ds)
-        summaries.append(_maf_mac_summary(maf, mac))
-        batch.add_unit(uid, idx, ds, maf, mac)
-    results = batch.run()
-    rows = [(summaries[uid],) + results[uid] for uid in range(len(units))]
+    runner = _AcatVRunner(kernel, wbeta, config, src)
+    results, _full = runner.run(units)
+    rows = [(runner.summaries[uid],) + results[uid]
+            for uid in range(len(units))]
 
     W = len(wbeta)
     tab = units.desp.copy()
@@ -496,40 +616,22 @@ def assoc_acat_o(gdsfile, modobj, units: VariantUnits,
                  res_savefn: str = "", verbose: bool = False) -> pd.DataFrame:
     """ACAT-O tests (seqAssocGLMM_spaACAT_O, binary only): Cauchy combination
     of the burden and ACAT-V p-values across weight schemes."""
-    seq, model, kernel, wbeta, wnames, binary, cols = _prepare(gdsfile, modobj, config)
+    seq, model, kernel, wbeta, wnames, binary, src = \
+        _prepare(gdsfile, modobj, config)
     if not binary:
         raise NotImplementedError("ACAT-O is binary-only, like the reference")
     W = len(wbeta)
-    batch = _AcatVBatch(kernel, wbeta, config)
-    summaries = []
-    full_burdens, full_keys = [], []   # whole-unit burden per weight scheme
-    for uid, idx in enumerate(units.index):
-        ds = _unit_dosage(seq, idx, cols=cols)
-        maf, mac = _maf_mac(ds)
-        summaries.append(_maf_mac_summary(maf, mac))
-        batch.add_unit(uid, idx, ds, maf, mac)
-        keys = {}
-        for w in range(W):
-            ws = _normalize(beta_weights(maf, wbeta[w, 0], wbeta[w, 1]))
-            g = _burden_collapse(ds, ws)
-            summac = g.sum() * len(idx)
-            if summac >= config.summac and summac > 0:
-                keys[w] = len(full_burdens)
-                full_burdens.append(g)
-        full_keys.append(keys)
-    pb_all = kernel.run(np.stack(full_burdens))["pval"] if full_burdens \
-        else np.empty(0)
-    results = batch.run()
+    runner = _AcatVRunner(kernel, wbeta, config, src, with_full_burden=True)
+    results, full = runner.run(units)
 
     rows = []
     for uid in range(len(units)):
-        pb = [float(pb_all[full_keys[uid][w]]) if w in full_keys[uid]
-              else np.nan for w in range(W)]
+        pb = [full[uid].get(w, np.nan) for w in range(W)]
         pv = results[uid][0]
         allp = np.asarray(pb + list(pv), float)
         combined = acat_p(allp[np.isfinite(allp)]) if np.isfinite(allp).any() \
             else np.nan
-        rows.append((summaries[uid], combined, pb, pv))
+        rows.append((runner.summaries[uid], combined, pb, pv))
 
     tab = units.desp.copy()
     tab["numvar"] = [len(i) for i in units.index]

@@ -73,4 +73,6 @@ class AggregateConfig:
     acatv_mac: float = 10.0       # ACAT-V MAC threshold for single-variant part
     spa_pval: float = 0.05
     var_ratio: float = float("nan")
-    block_size: int = 64          # units per host step
+    dsnode: str = ""              # "" = auto-detect genotype vs DS
+    block_size: int = 256         # test vectors per device batch (the
+                                  # streaming kernel's dispatch size)

@@ -401,16 +401,36 @@ class GDSFile:
         props["_frame_index"] = index
         return index
 
+    _FRAME_CACHE_SLOTS = 32
+
+    def _inflate_frame(self, node: GDSNode, fi: int) -> bytes:
+        """Inflate one LZMA frame, LRU-cached (overlapping random-access
+        reads — e.g. sliding windows — hit the cache instead of
+        re-inflating)."""
+        cache = self.__dict__.setdefault("_frame_cache", {})
+        key = (id(node), fi)
+        hit = cache.pop(key, None)
+        if hit is not None:
+            cache[key] = hit              # re-insert = most recent
+            return hit
+        raw = self._blocks[node._props["data_block"]]
+        index = node._props["_frame_index"]
+        dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+        data = dec.decompress(raw[index[fi][0]:])
+        cache[key] = data
+        while len(cache) > self._FRAME_CACHE_SLOTS:
+            cache.pop(next(iter(cache)))
+        return data
+
     def read_node_bytes(self, node: GDSNode, start: int, stop: int) -> bytes:
         """Random-access byte range of a node's decompressed payload.
 
-        Uses the frame index to inflate only the covering LZMA frames;
-        falls back to a full inflate for other codecs.
+        Uses the frame index to inflate only the covering LZMA frames
+        (LRU-cached); falls back to a full inflate for other codecs.
         """
         index = self.frame_index(node)
         if not index:
             return self._raw_stream(node)[start:stop]
-        raw = self._blocks[node._props["data_block"]]
         # first frame whose decompressed start is <= start
         import bisect
         starts = [d for _, d in index]
@@ -420,8 +440,7 @@ class GDSFile:
         for fi in range(f0, len(index)):
             if off >= stop:
                 break
-            dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
-            data = dec.decompress(raw[index[fi][0]:])
+            data = self._inflate_frame(node, fi)
             out += data
             off += len(data)
         lo = start - index[f0][1]

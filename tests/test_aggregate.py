@@ -101,3 +101,44 @@ def test_sliding_windows_variant_mask():
     assert set(units.desp["chr"]) == {"1"}
     full = sliding_windows(seq, win_size=200, win_shift=100)
     assert len(units) < len(full)
+
+
+def test_shard_units_merge_equals_single(seq, units, results):
+    """Unit-range sharding + concat == single-host run (the multi-host
+    seqUnitApply(parallel=) analog)."""
+    import pandas as pd
+    from saigegds_tpu.assoc.aggregate import shard_units
+
+    o, _, _ = results
+    parts = [assoc_acat_o(seq, MODEL, shard_units(units, i, 3))
+             for i in range(3)]
+    assert sum(len(p) for p in parts) == len(o)
+    merged = pd.concat(parts, ignore_index=True)
+    for c in ("pval", "pval.b1_1", "pval.v1_25"):
+        _assert_equal_col(merged[c], o[c])
+
+
+def test_unit_source_random_access_mode(seq, units, results):
+    """Forcing the frame-random-access path (big-file mode) gives the
+    same results as the whole-matrix cache."""
+    import saigegds_tpu.assoc.aggregate as agg
+
+    o, _, _ = results
+    orig = agg._UnitSource.CACHE_LIMIT
+    try:
+        agg._UnitSource.CACHE_LIMIT = 0     # everything is "big"
+        o2 = assoc_acat_o(seq, MODEL, units)
+    finally:
+        agg._UnitSource.CACHE_LIMIT = orig
+    for c in ("pval", "pval.b1_1", "pval.v1_1"):
+        _assert_equal_col(o2[c], o[c])
+
+
+def test_kernel_stream_batching_invariance(seq, units, results):
+    """Device batch size must not change burden results."""
+    from saigegds_tpu.config import AggregateConfig
+
+    _, _, b = results
+    b2 = assoc_burden(seq, MODEL, units, AggregateConfig(block_size=17))
+    for c in ("pval.b1_1", "beta.b1_25", "summac.b1_1"):
+        _assert_equal_col(b2[c], b[c])

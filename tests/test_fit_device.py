@@ -75,3 +75,58 @@ def test_quant_device_fit_matches_host():
                                atol=2e-2)
     np.testing.assert_allclose(np.asarray(out.eta),
                                np.asarray(ref.linear_predictors), atol=5e-2)
+
+
+def test_device_fit_trace_escalation_and_host_bound():
+    """Probe-pool CV escalation + host comparison: the device fit's tau
+    must track the host fitter (same stopping semantics) tightly."""
+    from saigegds_tpu.models.fitnull import fit_ai_pcg
+    from saigegds_tpu.models.glm import obj_nok_binary
+
+    ref = NullModel.load("/root/reference/inst/unitTests/saige_model.rds")
+    seq = SeqData(GDS)
+    codes = _genotype_codes(seq)
+    codes = codes[np.isin(seq.variant_id, ref.variant_id)]
+    grm = build_packed_grm(codes)
+    X = np.asarray(ref.X1)
+    y = np.asarray(ref.y)
+    fit0 = glm_binomial(X, y)
+
+    # pool of 60 probes: escalation headroom past the initial 30
+    rng = RRandom(200)
+    U = np.stack([rng.rademacher(len(y)).astype(np.float64)
+                  for _ in range(60)], axis=1)
+
+    host = fit_ai_pcg(grm, fit0, X, np.array([1.0, 0.5]),
+                      NullModelConfig(trait_type="binary"), binary=True)
+    out = fit_glmm_binary_device(grm, jnp.asarray(y), jnp.asarray(X),
+                                 jnp.asarray([1.0, 0.5]),
+                                 jnp.asarray(fit0.linear_predictors),
+                                 jnp.asarray(U), 0.02, 1e-5)
+    assert bool(out.converged)
+    # explicit quantitative bound vs the golden host path: both stop at
+    # the 2% AI-REML rule, so the convergence metric itself is the bound
+    a, b = float(out.tau[1]), float(host.tau[1])
+    assert abs(a - b) / (abs(a) + abs(b) + 0.02) < 0.02, (a, b)
+    np.testing.assert_allclose(np.asarray(out.mu),
+                               np.asarray(host.fitted_values), atol=2e-3)
+
+
+def test_device_fit_tau_retry_on_blowup():
+    """A degenerate tiny problem that blows tau up must exercise the
+    halving retry and still terminate with finite tau."""
+    rng = np.random.default_rng(0)
+    n = 64
+    codes = rng.integers(0, 3, size=(16, n)).astype(np.int8)
+    grm = build_grm(codes)
+    X = np.column_stack([np.ones(n)])
+    y = (rng.random(n) < 0.5).astype(np.float64)
+    eta = np.full(n, np.log(y.mean() / (1 - y.mean())))
+    U = rng.choice([-1.0, 1.0], size=(n, 30))
+    # absurd starting tau forces max(tau) > 1/tol^2 retries
+    out = fit_glmm_binary_device(grm, jnp.asarray(y), jnp.asarray(X),
+                                 jnp.asarray([1.0, 1e7]), jnp.asarray(eta),
+                                 jnp.asarray(U), 0.02, 1e-5)
+    tau = np.asarray(out.tau)
+    assert np.all(np.isfinite(tau)) and np.all(tau >= 0.0)
+    assert tau[1] < 1.0 / 0.02 ** 2
