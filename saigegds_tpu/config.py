@@ -22,6 +22,9 @@ class NullModelConfig:
     tol: float = 0.02             # outer AI-REML convergence tolerance
     maxiter: int = 20             # outer iterations
     nrun: int = 30                # initial number of Hutchinson probes
+    nrun_max: int = 0             # cap on CV-escalated probes (0 = unbounded,
+                                  # the reference's semantics; a finite cap
+                                  # warns and proceeds with the probes so far)
     tol_pcg: float = 1e-5         # PCG residual tolerance
     maxiter_pcg: int = 500        # PCG iteration bound
     num_marker: int = 30          # initial markers for the variance ratio

@@ -17,6 +17,7 @@ src/saige_fitnull.cpp:736-1248 and 1255-1474):
 from __future__ import annotations
 
 import math
+import warnings
 from dataclasses import dataclass
 
 import numpy as np
@@ -27,6 +28,7 @@ from ..ops.grm import GRMOperator, build_grm
 from ..ops.packed_grm import build_packed_grm, build_packed_grm_streamed
 from ..ops.pcg import pcg_solve_op
 from ..utils.rrandom import RRandom
+from ..utils import telemetry
 from .glm import (GlmFit, ObjNoK, glm_binomial, glm_gaussian, obj_nok_binary,
                   obj_nok_quant, qr_transform, rank_norm)
 from .nullmodel import NullModel
@@ -198,7 +200,19 @@ def _get_trace(grm, st: _CoeffState, tau, cfg: NullModelConfig, quant: bool):
         cv0 = _calc_cv(buf0) if quant else 0.0
         if cv <= cfg.trace_cv_cutoff and cv0 <= cfg.trace_cv_cutoff:
             break
+        if cfg.nrun_max and n_runs + 10 > cfg.nrun_max:
+            # the reference escalates unboundedly (src/saige_fitnull.cpp:
+            # 644-663); an optional cap trades trace variance for progress
+            warnings.warn(
+                f"trace CV {max(cv, cv0):.3g} > {cfg.trace_cv_cutoff:.3g} "
+                f"at the nrun_max={cfg.nrun_max} probe cap; proceeding")
+            telemetry.emit("trace_capped", n_runs=n_runs,
+                           cv=max(cv, cv0), cutoff=cfg.trace_cv_cutoff)
+            break
         n_runs += 10
+        # reference: "CV for trace ... escalate nrun" (:661-663)
+        telemetry.emit("trace_escalation", n_runs=n_runs,
+                       cv=max(cv, cv0), cutoff=cfg.trace_cv_cutoff)
     if quant:
         return float(np.mean(buf0)), float(np.mean(buf))
     return float(np.mean(buf))
@@ -327,6 +341,8 @@ def fit_ai_pcg(grm: GRMOperator, fit0: GlmFit, X: np.ndarray, tau: np.ndarray,
     cov = st.cov
     it = 1
     for it in range(1, cfg.maxiter + 1):
+        # reference prints tau + coefficients per iteration (:1027-1031)
+        telemetry.emit("iteration", iter=it, tau=tau, coef=st.alpha)
         if verbose:
             print(f"    Iteration {it}: tau = {tau}, coeff = {alpha}")
         alpha0 = st.alpha
@@ -341,6 +357,8 @@ def fit_ai_pcg(grm: GRMOperator, fit0: GlmFit, X: np.ndarray, tau: np.ndarray,
             if np.max(tau) > tol_inv_2:
                 if itry <= 10:
                     tau0[1] *= 0.5
+                    telemetry.emit("tau_retry", iter=it, itry=itry,
+                                   tau0=tau0)
                     continue
                 raise OverflowError(
                     "Large variance estimate observed in the iterations, "
@@ -433,10 +451,16 @@ def calc_var_ratio(grm: GRMOperator, codes: np.ndarray, fit0: GlmFit,
                 rows["var2"].append(var2)
                 rows["ratio"].append(var1 / var2)
                 num_tested += 1
+                # reference prints each marker's ratio (:1335-1339)
+                telemetry.emit("var_ratio_marker", id=i_snp, maf=af,
+                               mac=ac, var1=var1, var2=var2,
+                               ratio=var1 / var2)
         if num_tested >= num_marker:
             cv = _calc_cv(rows["ratio"])
             if cv > cfg.ratio_cv_cutoff:
                 num_marker += 10
+                telemetry.emit("ratio_escalation", num_marker=num_marker,
+                               cv=cv, cutoff=cfg.ratio_cv_cutoff)
             else:
                 break
         elif snp_pos >= n_rand:
@@ -737,6 +761,23 @@ def fit_null_glmm(formula: str, data, gdsfile,
         from ..parallel.mesh import ShardedGrmHandle
         grm = ShardedGrmHandle(grm, mesh)
 
+    tele = telemetry.collect(verbose=verbose)
+    tele_obj = tele.__enter__()
+    try:
+        model = _fit_dispatch(cfg, grm, codes, y_raw, X_new, X_qrr, X_names,
+                              x_transform, variant_id, sample_id, n_var,
+                              len(data), verbose)
+    finally:
+        tele.__exit__(None, None, None)
+    model.fit_log = tele_obj.events
+    if model_savefn:
+        model.save(model_savefn)
+    return model
+
+
+def _fit_dispatch(cfg, grm, codes, y_raw, X_new, X_qrr, X_names,
+                  x_transform, variant_id, sample_id, n_var, n_data,
+                  verbose) -> NullModel:
     if cfg.trait_type == "binary":
         if set(np.unique(y_raw)) - {0.0, 1.0}:
             raise ValueError("binary trait must be coded 0/1")
@@ -784,7 +825,7 @@ def fit_null_glmm(formula: str, data, gdsfile,
 
     # un-rotate coefficients through qr.R (R/saige_main.r:616-623)
     if x_transform:
-        coef = np.linalg.solve(X_qrr, glmm.coefficients * np.sqrt(len(data)))
+        coef = np.linalg.solve(X_qrr, glmm.coefficients * np.sqrt(n_data))
         coef_names = X_names
     else:
         coef = glmm.coefficients
@@ -806,8 +847,6 @@ def fit_null_glmm(formula: str, data, gdsfile,
         sample_id=sample_id,
         variant_id=variant_id,
     )
-    if model_savefn:
-        model.save(model_savefn)
     return model
 
 

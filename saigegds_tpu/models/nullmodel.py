@@ -41,6 +41,10 @@ class NullModel:
     var_ratio: dict = field(default_factory=dict)
     sample_id: np.ndarray = None
     variant_id: np.ndarray = None
+    # structured convergence telemetry from the fit (iteration taus,
+    # trace-CV escalations, per-marker variance ratios; utils/telemetry.py);
+    # not serialized
+    fit_log: list = None
 
     @property
     def n_samples(self) -> int:

@@ -48,17 +48,24 @@ def pcg_solve(std_geno, diag_grm, w, tau, B, tol, maxiter: int):
 
 
 def _pcg_body(grm_mv, diag_grm, w, tau, B, tol, maxiter: int):
+    """``w`` may be [N] (shared weights) or [N, R] (per-column weights) and
+    ``tau`` [2] (shared) or [2, R] (per-column) — the per-column forms let
+    callers batch systems from DIFFERENT models (e.g. GxG pairs) into one
+    solve sharing the GRM stream; arithmetic per column is identical to a
+    separate solve."""
     N, R = B.shape
-    tau0, tau1 = tau[0], tau[1]
+    tau0, tau1 = tau[0], tau[1]      # scalars or [R]
 
     inv_w = 1.0 / w
+    if inv_w.ndim == 1:
+        inv_w = inv_w[:, None]
 
     def sigma_mv(P):  # [N, R] -> [N, R]
-        return tau0 * inv_w[:, None] * P + tau1 * grm_mv(P)
+        return tau0 * inv_w * P + tau1 * grm_mv(P)
 
-    d = tau0 * inv_w + tau1 * diag_grm
+    d = tau0 * inv_w + tau1 * diag_grm[:, None]
     d = jnp.maximum(d, 1e-4)
-    minv = (1.0 / d)[:, None]
+    minv = jnp.broadcast_to(1.0 / d, B.shape)
 
     r = B
     z = minv * r

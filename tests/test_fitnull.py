@@ -178,3 +178,44 @@ def test_fit_variant_id_subset(pheno):
         fit_null_glmm("y ~ x1 + x2", pheno, GDS,
                       NullModelConfig(trait_type="binary"),
                       variant_id=np.asarray([-1, -2]))
+
+
+def test_fit_telemetry_log(pheno):
+    """Structured convergence telemetry (reference verbose prints,
+    machine-readable): iteration taus, per-marker variance ratios."""
+    m = fit_null_glmm("y ~ x1 + x2", pheno, GDS,
+                      NullModelConfig(trait_type="binary"))
+    log = m.fit_log
+    assert log is not None
+    iters = [e for e in log if e["event"] == "iteration"]
+    assert len(iters) >= 2
+    assert [e["iter"] for e in iters] == list(range(1, len(iters) + 1))
+    # the last logged tau converges to the model's tau within the 2% rule
+    last = np.asarray(iters[-1]["tau"], float)
+    np.testing.assert_allclose(last, np.asarray(m.tau), rtol=0.05)
+    markers = [e for e in log if e["event"] == "var_ratio_marker"]
+    assert len(markers) == len(m.var_ratio["ratio"])
+    np.testing.assert_allclose(sorted(e["ratio"] for e in markers),
+                               sorted(np.asarray(m.var_ratio["ratio"])),
+                               rtol=1e-12)
+
+
+def test_fit_telemetry_escalation(pheno):
+    """A tight trace-CV cutoff must surface escalation events.
+
+    The reference escalates +10 probes unboundedly until the CV passes
+    (src/saige_fitnull.cpp:644-663); an unreachable 1e-6 cutoff would
+    loop forever, so this also exercises the opt-in ``nrun_max`` cap."""
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        m = fit_null_glmm("y ~ x1 + x2", pheno, GDS,
+                          NullModelConfig(trait_type="binary",
+                                          trace_cv_cutoff=1e-6, maxiter=2,
+                                          nrun_max=60))
+    esc = [e for e in m.fit_log if e["event"] == "trace_escalation"]
+    assert [e["n_runs"] for e in esc[:3]] == [40, 50, 60]
+    assert all(e["cv"] > 1e-6 for e in esc)
+    capped = [e for e in m.fit_log if e["event"] == "trace_capped"]
+    assert capped and all(e["n_runs"] == 60 for e in capped)

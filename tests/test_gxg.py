@@ -71,3 +71,72 @@ def test_gxg_glm_threshold_screen(pheno):
     out2 = gxg_spa("y ~ x1 + x2", pheno, GDS, pairs, glm_threshold=1e-30)
     assert not np.isfinite(out2["pval"]).any() or \
         (out2["pval"] == out2["p.glm"]).all()
+
+
+@pytest.fixture(scope="module")
+def pair_df():
+    """Pairs of common SNPs (the serial reference path divides by zero on
+    degenerate all-zero interactions, so pick maf > 0.2 variants)."""
+    from saigegds_tpu.io.seqarray import SeqData
+
+    seq = SeqData(GDS)
+    codes = seq.code_matrix()[:3000].astype(float)
+    codes[codes == 3] = np.nan
+    af = np.nanmean(codes, axis=1) / 2.0
+    maf = np.minimum(af, 1 - af)
+    common = seq.variant_id[:3000][maf > 0.2]
+    rng = np.random.default_rng(5)
+    pick = rng.choice(common, size=16, replace=False)
+    return pd.DataFrame({"snp1": pick[:8], "snp2": pick[8:]})
+
+
+def test_gxg_batched_approx_tau_equals_serial(pheno, pair_df):
+    """pair_batch with use_approx_tau: identical numbers to the serial
+    per-pair loop (one shared per-column-weight PCG + one batched SPA)."""
+    cfg = NullModelConfig(trait_type="binary", max_num_snp=2000)
+    serial = gxg_spa("y ~ x1 + x2", pheno, GDS, pair_df, config=cfg,
+                     use_approx_tau=True)
+    batched = gxg_spa("y ~ x1 + x2", pheno, GDS, pair_df, config=cfg,
+                      use_approx_tau=True, pair_batch=8)
+    assert list(batched.columns) == list(serial.columns)
+    for c in ("beta", "SE", "pval", "p.norm", "tau_G", "maf1", "maf2"):
+        np.testing.assert_allclose(batched[c].to_numpy(),
+                                   serial[c].to_numpy(), rtol=1e-9,
+                                   err_msg=c)
+    np.testing.assert_array_equal(batched["n_nonzero"], serial["n_nonzero"])
+
+
+def test_gxg_batched_glm_screen_equals_serial(pheno, pair_df):
+    cfg = NullModelConfig(trait_type="binary", max_num_snp=2000)
+    serial = gxg_spa("y ~ x1 + x2", pheno, GDS, pair_df, config=cfg,
+                     use_approx_tau=True, glm_threshold=0.5)
+    batched = gxg_spa("y ~ x1 + x2", pheno, GDS, pair_df, config=cfg,
+                      use_approx_tau=True, glm_threshold=0.5, pair_batch=4)
+    assert list(batched.columns) == list(serial.columns)
+    for c in ("p.glm", "p.glm.norm", "pval", "beta"):
+        a = batched[c].to_numpy()
+        s = serial[c].to_numpy()
+        np.testing.assert_array_equal(np.isfinite(a), np.isfinite(s))
+        m = np.isfinite(a)
+        np.testing.assert_allclose(a[m], s[m], rtol=1e-9, err_msg=c)
+
+
+def test_gxg_batched_full_refit_close(pheno, pair_df):
+    """Full per-pair refit: batched (vmapped device fit) tracks the serial
+    host refit within the AI-REML stopping tolerance."""
+    # dense operator: the vmapped device fit's batched f64 dots run on
+    # every backend (packed bf16 vmap needs TPU; CPU takes the per-pair
+    # fallback, covered implicitly)
+    cfg = NullModelConfig(trait_type="binary", max_num_snp=2000,
+                          grm_impl="dense")
+    pairs = pair_df.iloc[:3]
+    serial = gxg_spa("y ~ x1 + x2", pheno, GDS, pairs, config=cfg)
+    batched = gxg_spa("y ~ x1 + x2", pheno, GDS, pairs, config=cfg,
+                      pair_batch=4)
+    for a, s in zip(batched["tau_G"], serial["tau_G"]):
+        # each run stops within tol=0.02 of the optimum, so two
+        # independent runs can differ by up to ~2x tol
+        assert abs(a - s) / (abs(a) + abs(s) + 0.02) < 0.04, (a, s)
+    # p-values respond smoothly to tau near the optimum
+    np.testing.assert_allclose(batched["pval"].to_numpy(),
+                               serial["pval"].to_numpy(), rtol=0.1)
