@@ -195,7 +195,9 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
         need = np.asarray(res.need_spa)[:n][valid]
         if need.any():
             Gf = G[valid][need]
-            if packed:
+            if packed and packed_2bit:
+                pass          # keep int8 codes; phase 2 ships them 2-bit
+            elif packed:
                 Gf = np.where(Gf == 3, np.nan, Gf).astype(np.float64)
             spa_G.append(Gf)
             spa_rows.append(row0 + np.flatnonzero(need))
@@ -257,8 +259,19 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
         for s in range(0, len(rows), SPA_BATCH):
             Gi = Gs[s : s + SPA_BATCH]
             cap = _spa_cap(Gi) if spa_compact else 0
-            Gb = _place(_pad_block(Gi, SPA_BATCH))
-            res = spa_refine_binary(scan_model, Gb, mixed=spa_mixed, cap=cap)
+            if np.issubdtype(Gi.dtype, np.integer):
+                # ship codes 2-bit packed and decode on device: N/4 bytes
+                # per variant instead of 8N (the transfer is the scan's
+                # binding resource at biobank N; BENCH_NOTES.md)
+                from ..ops.packed_grm import pack_codes_2bit
+                Gb = _place(pack_codes_2bit(_pad_block(Gi, SPA_BATCH,
+                                                       fill=3)))
+                res = spa_refine_binary(scan_model, Gb, mixed=spa_mixed,
+                                        cap=cap, packed_n=Gi.shape[1])
+            else:
+                Gb = _place(_pad_block(Gi, SPA_BATCH))
+                res = spa_refine_binary(scan_model, Gb, mixed=spa_mixed,
+                                        cap=cap)
             pending.append((rows[s : s + SPA_BATCH], res))
             if len(pending) >= DEPTH:
                 _drain_spa()
@@ -281,7 +294,24 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
 
 
 def _spa_nnz(Gi: np.ndarray) -> np.ndarray:
-    """Per-variant nonzero count after imputation + flip (for bucketing)."""
+    """Per-variant nonzero count after imputation + flip (for bucketing).
+
+    Accepts f64 dosages (NaN missing) or int8 codes (3 missing); the codes
+    branch computes the identical count from per-variant 0/2/missing tallies
+    without materializing the f64 matrix (flip iff ac > num; an imputed
+    entry is nonzero iff ac != 0, or ac != 2*num when flipped)."""
+    if np.issubdtype(Gi.dtype, np.integer):
+        N = Gi.shape[1]
+        miss = Gi == 3
+        n_miss = miss.sum(axis=1)
+        num = N - n_miss
+        ac = np.where(miss, 0, Gi).sum(axis=1, dtype=np.int64)
+        c0 = (Gi == 0).sum(axis=1)
+        c2 = (Gi == 2).sum(axis=1)
+        flip = ac > num
+        nz_obs = np.where(flip, N - c2, N - c0) - n_miss
+        imp_nz = np.where(flip, ac != 2 * num, ac != 0)
+        return nz_obs + np.where(imp_nz, n_miss, 0)
     isnan = np.isnan(Gi)
     num = (~isnan).sum(axis=1)
     ac = np.where(isnan, 0.0, Gi).sum(axis=1)
@@ -295,14 +325,7 @@ def _spa_nnz(Gi: np.ndarray) -> np.ndarray:
 def _spa_cap(Gi: np.ndarray) -> int:
     """Power-of-two bucket covering the batch's max nonzero count after
     imputation + flip (so compaction is exact); 0 disables compaction."""
-    isnan = np.isnan(Gi)
-    num = (~isnan).sum(axis=1)
-    ac = np.where(isnan, 0.0, Gi).sum(axis=1)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        af = ac / (2 * num)
-        g = np.where(isnan, (ac / np.maximum(num, 1))[:, None], Gi)
-    g = np.where((af > 0.5)[:, None], 2.0 - g, g)
-    nnz_max = int(np.nan_to_num(g != 0).sum(axis=1).max(initial=0))
+    nnz_max = int(_spa_nnz(Gi).max(initial=0))
     cap = 1 << max(10, int(nnz_max - 1).bit_length())
     return 0 if cap >= 0.75 * Gi.shape[1] else cap
 

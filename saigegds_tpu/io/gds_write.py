@@ -108,6 +108,32 @@ def _compress_lzma_ra(payload: bytes) -> bytes:
     return bytes(out)
 
 
+def _compress_zip_ra(payload: bytes, level: int = 1) -> bytes:
+    """ZIP_ra payload: independently-decodable zlib streams (~4 MB plaintext
+    each).  zlib level 1 runs ~10x faster than LZMA — the right container
+    for large genotype matrices written in bulk (our reader inflates the
+    concatenated streams, io/gds.py:_inflate_zip_ra)."""
+    import zlib
+    frame = 1 << 22
+    out = bytearray()
+    for s in range(0, len(payload), frame):
+        out += zlib.compress(payload[s : s + frame], level)
+    return bytes(out)
+
+
+def _compress_payload(compress, payload: bytes):
+    """Apply the requested pipe; returns (pipe_name, compressed_payload)
+    or ("", payload) when compression is off."""
+    if not compress:
+        return "", payload
+    c = str(compress).upper()
+    if c.startswith("LZMA"):
+        return "LZMA_ra", _compress_lzma_ra(payload)
+    if c.startswith("ZIP"):
+        return "ZIP_ra", _compress_zip_ra(payload)
+    raise ValueError(f"unsupported GDS compression {compress!r}")
+
+
 def _array_node_record(cls: str, dims, data_bid: int,
                        pipe: str = "", raw_size: int = 0,
                        cmp_size: int = 0) -> bytes:
@@ -176,12 +202,12 @@ def write_gds_table(path: str, columns: Dict[str, np.ndarray],
     for name, arr in columns.items():
         cls, payload, n = _encode_column(np.asarray(arr))
         data_bid = next_bid + 1
-        if compress and str(compress).upper().startswith("LZMA"):
-            raw = len(payload)
-            payload = _compress_lzma_ra(payload)
+        pipe, payload2 = _compress_payload(compress, payload)
+        if pipe:
             blocks[next_bid] = _array_node_record(
-                cls, n, data_bid, pipe="LZMA_ra",
-                raw_size=raw, cmp_size=len(payload))
+                cls, n, data_bid, pipe=pipe,
+                raw_size=len(payload), cmp_size=len(payload2))
+            payload = payload2
         else:
             blocks[next_bid] = _array_node_record(cls, n, data_bid)
         blocks[data_bid] = payload
@@ -250,10 +276,20 @@ def write_seqarray_gds(path: str, codes: np.ndarray, sample_id=None,
     allele = np.asarray(["A,G"] * M, object) if allele is None \
         else np.asarray(allele, object)
 
-    # per-genotype allele pair: 0->(0,0) 1->(0,1) 2->(1,1) 3->(3,3)
-    a1 = np.select([codes == 0, codes == 1, codes == 2], [0, 0, 1], 3)
-    a2 = np.select([codes == 0, codes == 1, codes == 2], [0, 1, 1], 3)
-    alleles = np.stack([a1, a2], axis=2).astype(np.uint8)   # [M, N, 2]
+    # per-genotype allele pair: 0->(0,0) 1->(0,1) 2->(1,1) 3->(3,3);
+    # as a 4-bit nibble a1 | a2<<2 that is the genotype's dBit2 contribution
+    _nib = np.array([0b0000, 0b0100, 0b0101, 0b1111], np.uint8)
+    if N % 2 == 0:
+        # bytes never straddle variants: pack two genotypes (4 alleles)
+        # per byte directly — no [M, N, 2] materialization (matters at
+        # biobank N where the allele tensor is 2x the code matrix)
+        nib = _nib[codes]
+        geno_payload = (nib[:, 0::2] | (nib[:, 1::2] << 4)).tobytes()
+    else:
+        a1 = np.select([codes == 0, codes == 1, codes == 2], [0, 0, 1], 3)
+        a2 = np.select([codes == 0, codes == 1, codes == 2], [0, 1, 1], 3)
+        alleles = np.stack([a1, a2], axis=2).astype(np.uint8)  # [M, N, 2]
+        geno_payload = _pack_bit2(alleles)
 
     blocks: Dict[int, bytes] = {}
     next_bid = [2]
@@ -261,12 +297,12 @@ def write_seqarray_gds(path: str, codes: np.ndarray, sample_id=None,
     def add_array(cls, dims, payload):
         nb, db = next_bid[0], next_bid[0] + 1
         next_bid[0] += 2
-        if compress and str(compress).upper().startswith("LZMA"):
-            raw = len(payload)
-            payload = _compress_lzma_ra(payload)
-            blocks[nb] = _array_node_record(cls, dims, db, pipe="LZMA_ra",
-                                            raw_size=raw,
-                                            cmp_size=len(payload))
+        pipe, payload2 = _compress_payload(compress, payload)
+        if pipe:
+            blocks[nb] = _array_node_record(cls, dims, db, pipe=pipe,
+                                            raw_size=len(payload),
+                                            cmp_size=len(payload2))
+            payload = payload2
         else:
             blocks[nb] = _array_node_record(cls, dims, db)
         blocks[db] = payload
@@ -282,7 +318,7 @@ def write_seqarray_gds(path: str, codes: np.ndarray, sample_id=None,
         blocks[nb] = _folder_node_record(children, attrs or {})
         return nb
 
-    geno_data = add_array("dBit2", (M, N, 2), _pack_bit2(alleles))
+    geno_data = add_array("dBit2", (M, N, 2), geno_payload)
     geno = add_folder([("data", geno_data, False)])
     root_children = [
         ("sample.id", add_col(sample_id), False),
@@ -329,12 +365,12 @@ def write_dosage_gds(path: str, dosages: np.ndarray, sample_id=None,
     def add_array(cls, dims, payload):
         nb, db = next_bid[0], next_bid[0] + 1
         next_bid[0] += 2
-        if compress and str(compress).upper().startswith("LZMA"):
-            raw = len(payload)
-            payload = _compress_lzma_ra(payload)
-            blocks[nb] = _array_node_record(cls, dims, db, pipe="LZMA_ra",
-                                            raw_size=raw,
-                                            cmp_size=len(payload))
+        pipe, payload2 = _compress_payload(compress, payload)
+        if pipe:
+            blocks[nb] = _array_node_record(cls, dims, db, pipe=pipe,
+                                            raw_size=len(payload),
+                                            cmp_size=len(payload2))
+            payload = payload2
         else:
             blocks[nb] = _array_node_record(cls, dims, db)
         blocks[db] = payload

@@ -118,15 +118,32 @@ def score_stats_binary(model: ScanModel, params: ScanParams, G):
                       pval=pval_noadj, need_spa=need_spa)
 
 
-@partial(jax.jit, static_argnames=("mixed", "cap"))
+def unpack_codes_2bit_f64(packed, n_samples: int):
+    """Device-side inverse of ``ops.packed_grm.pack_codes_2bit``:
+    uint8 [B, N4] planar bytes -> f64 [B, n] dosages with NaN missing.
+
+    Phase-2 SPA batches ship 2-bit packed (N/4 bytes per variant instead
+    of 8N for dense f64 — at biobank N the host->device transfer is the
+    scan's binding resource, see BENCH_NOTES.md rooflines)."""
+    pi = packed.astype(jnp.int32)
+    planes = jnp.concatenate([(pi >> (2 * p)) & 3 for p in range(4)],
+                             axis=1)[:, :n_samples]
+    return jnp.where(planes == 3, jnp.nan, planes.astype(jnp.float64))
+
+
+@partial(jax.jit, static_argnames=("mixed", "cap", "packed_n"))
 def spa_refine_binary(model: ScanModel, G, mixed: bool = False,
-                      cap: int = 0):
+                      cap: int = 0, packed_n: int = 0):
     """Phase-2 SPA refinement for a compact batch of flagged variants.
 
     G: [Bs, N] raw dosages (NaN = missing) of variants that passed filters
-    and had p_noadj <= spa.pval.  Returns (pval, converged, beta).
+    and had p_noadj <= spa.pval — or, with ``packed_n`` = N, planar 2-bit
+    packed uint8 [Bs, ceil(N/4)] codes (decoded on device; bit-identical
+    dosages).  Returns (pval, converged, beta).
     Mirrors src/saige_main.cpp:355-400.
     """
+    if packed_n:
+        G = unpack_codes_2bit_f64(G, packed_n)
     g, af, ac, num, mac, maf, miss, flip = prep_dosage(G)
     g_tilde = _adjusted_genotype(model, g)
     ac2 = jnp.where(flip, 2.0 * num - ac, ac)   # minor allele count

@@ -355,3 +355,29 @@ def test_compressed_seqarray_genotype_roundtrip(tmp_path):
     np.testing.assert_array_equal(seq.code_matrix(), codes)
     got = np.vstack([b for _, b in seq.iter_code_blocks(64, streamed=True)])
     np.testing.assert_array_equal(got, codes)
+
+
+def test_zip_ra_roundtrip(tmp_path):
+    """ZIP_ra-compressed genotype + table GDS (zlib frames ~10x faster to
+    write than LZMA — the bulk-writer container, io/gds_write.py)."""
+    from saigegds_tpu.io.gds import open_gds
+    from saigegds_tpu.io.gds_write import write_gds_table, write_seqarray_gds
+    from saigegds_tpu.io.seqarray import SeqData
+
+    rng = np.random.default_rng(11)
+    for N in (96, 97):        # even N takes the direct nibble-pack path
+        codes = rng.integers(0, 4, size=(300, N)).astype(np.int8)
+        fn = str(tmp_path / f"z{N}.gds")
+        write_seqarray_gds(fn, codes, compress="ZIP_ra")
+        seq = SeqData(fn)
+        np.testing.assert_array_equal(seq.code_matrix(), codes)
+        got = np.vstack([b for _, b in seq.iter_code_blocks(128)])
+        np.testing.assert_array_equal(got, codes)
+
+    ft = str(tmp_path / "t.gds")
+    write_gds_table(ft, {"p": np.linspace(0, 1, 500),
+                         "n": np.arange(500, dtype=np.int32)},
+                    compress="ZIP_ra")
+    f = open_gds(ft)
+    np.testing.assert_allclose(f.root["p"].read(), np.linspace(0, 1, 500))
+    np.testing.assert_array_equal(f.root["n"].read(), np.arange(500))

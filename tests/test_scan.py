@@ -111,3 +111,47 @@ def test_scan_block_size_invariance():
     a = st.assoc_spa(gds, model, ScanConfig(mac=4, block_size=512))
     b = st.assoc_spa(gds, model, ScanConfig(mac=4, block_size=4096))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_spa_packed_phase2_unpack():
+    """Device-side 2-bit unpack is the exact inverse of the host pack, and
+    spa_refine_binary(packed_n=) equals the dense-f64 call bit-for-bit."""
+    import jax.numpy as jnp
+
+    from saigegds_tpu.ops.packed_grm import pack_codes_2bit
+    from saigegds_tpu.ops.score import spa_refine_binary, unpack_codes_2bit_f64
+
+    rng = np.random.default_rng(4)
+    B = 8
+    from saigegds_tpu.models.nullmodel import NullModel
+    model = NullModel.load(
+        "/root/reference/inst/unitTests/saige_model.rds").scan_model()
+    N = int(model.y.shape[0])
+    codes = rng.integers(0, 3, size=(B, N)).astype(np.int8)
+    codes[rng.random((B, N)) < 0.02] = 3
+    packed = pack_codes_2bit(codes)
+    G = np.asarray(unpack_codes_2bit_f64(jnp.asarray(packed), N))
+    exp = np.where(codes == 3, np.nan, codes).astype(np.float64)
+    np.testing.assert_array_equal(G, exp)
+    p1, c1, b1, s1 = spa_refine_binary(model, jnp.asarray(exp))
+    p2, c2, b2, s2 = spa_refine_binary(model, jnp.asarray(packed),
+                                       packed_n=N)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+
+def test_spa_nnz_codes_matches_f64():
+    """The int8-codes nnz/cap shortcut equals the f64 computation."""
+    from saigegds_tpu.assoc.single import _spa_cap, _spa_nnz
+
+    rng = np.random.default_rng(6)
+    for _ in range(5):
+        B, N = 32, 257
+        codes = rng.integers(0, 3, size=(B, N)).astype(np.int8)
+        codes[rng.random((B, N)) < 0.05] = 3
+        # force some flips (af > 0.5) and a monomorphic row
+        codes[:4] = 2 - np.clip(codes[:4], 0, 2)
+        codes[5] = 0
+        f = np.where(codes == 3, np.nan, codes).astype(np.float64)
+        np.testing.assert_array_equal(_spa_nnz(codes), _spa_nnz(f))
+        assert _spa_cap(codes) == _spa_cap(f)
