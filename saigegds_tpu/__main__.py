@@ -4,7 +4,7 @@ The reference is an R library; for production TPU deployment a CLI makes
 the workflow schedulable (one shard per host, merge at the end):
 
     python -m saigegds_tpu fit --formula "y ~ x1 + x2" --pheno pheno.tsv \\
-        --gds grm.gds --out model.npz [--packed] [--stream]
+        --gds grm.gds --out model.npz [--dense] [--stream] [--checkpoint ck]
     python -m saigegds_tpu scan --gds imputed.gds --model model.npz \\
         --out assoc.gds [--mac 10] [--shard i/n]
     python -m saigegds_tpu burden|acat-v|acat-o --gds ... --model ... \\
@@ -34,13 +34,15 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--trait", default="binary",
                    choices=["binary", "quantitative"])
-    p.add_argument("--packed", action="store_true",
-                   help="bf16-exact packed GRM operator")
+    p.add_argument("--dense", action="store_true",
+                   help="dense f64 GRM operator (default: bf16-exact packed)")
     p.add_argument("--stream", action="store_true",
-                   help="out-of-core streamed ingestion (implies --packed)")
+                   help="force out-of-core streamed ingestion (default: auto)")
     p.add_argument("--maf", type=float, default=0.005)
     p.add_argument("--missing-rate", type=float, default=0.01)
     p.add_argument("--seed", type=int, default=200)
+    p.add_argument("--checkpoint", default="",
+                   help="mid-fit checkpoint path prefix (resume on rerun)")
 
     for name, hlp in (("scan", "single-variant score+SPA scan"),
                       ("burden", "burden tests over sliding windows"),
@@ -97,8 +99,9 @@ def main(argv=None):
         cfg = NullModelConfig(
             trait_type=args.trait, maf=args.maf,
             missing_rate=args.missing_rate, seed=args.seed,
-            grm_impl="packed" if (args.packed or args.stream) else "dense",
-            stream_geno=args.stream)
+            checkpoint=args.checkpoint,
+            grm_impl="dense" if args.dense else "packed",
+            stream_geno=True if args.stream else "auto")
         model = st.fit_null_glmm(args.formula, pheno, args.gds, cfg,
                                  model_savefn=args.out, verbose=True)
         print(model)

@@ -11,6 +11,7 @@ Binary traits only, like the reference (quantitative raises, :531-533).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Union
 
 import numpy as np
@@ -306,7 +307,10 @@ def gxg_spa(formula: str, data: pd.DataFrame, gds_grm, snp_pair,
             "quantitative GxG is unimplemented, like the reference "
             "(R/saige_interaction.r:531-533)")
 
-    cfg = config
+    # per-pair refits must not collide on a mid-fit checkpoint; GxG's
+    # resume story is the per-pair incremental result save below
+    cfg = (dataclasses.replace(config, checkpoint="")
+           if config.checkpoint else config)
     seq = gds_grm if isinstance(gds_grm, SeqData) else SeqData(gds_grm)
     seq_assoc = seq if gds_assoc is None else (
         gds_assoc if isinstance(gds_assoc, SeqData) else SeqData(gds_assoc))

@@ -25,6 +25,10 @@ class NullModelConfig:
     nrun_max: int = 0             # cap on CV-escalated probes (0 = unbounded,
                                   # the reference's semantics; a finite cap
                                   # warns and proceeds with the probes so far)
+    checkpoint: str = ""          # mid-fit checkpoint path prefix: the
+                                  # outer AI-REML loop and the variance-
+                                  # ratio pass save resumable state there
+                                  # (exact replay; models/fitnull.py)
     tol_pcg: float = 1e-5         # PCG residual tolerance
     maxiter_pcg: int = 500        # PCG iteration bound
     num_marker: int = 30          # initial markers for the variance ratio

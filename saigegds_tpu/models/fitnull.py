@@ -17,6 +17,7 @@ src/saige_fitnull.cpp:736-1248 and 1255-1474):
 from __future__ import annotations
 
 import math
+import os
 import warnings
 from dataclasses import dataclass
 
@@ -290,6 +291,33 @@ def _fit_tau_quant(grm, st, tau0, cfg):
 # outer drivers (saige_fit_AI_PCG_{binary,quant})
 
 
+def _ck_path(cfg: NullModelConfig, tag: str) -> str:
+    return f"{cfg.checkpoint}.{tag}.npz" if cfg.checkpoint else ""
+
+
+def _ck_save(path: str, **arrs):
+    """Atomic checkpoint write (tmp + rename)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrs)
+    os.replace(tmp, path)
+
+
+def _ck_load(path: str):
+    if path and os.path.exists(path):
+        with np.load(path, allow_pickle=False) as z:
+            return {k: z[k] for k in z.files}
+    return None
+
+
+def clear_checkpoint(cfg: NullModelConfig):
+    """Remove fit/var-ratio checkpoint files (called on completion)."""
+    for tag in ("fit", "vr"):
+        p = _ck_path(cfg, tag)
+        if p and os.path.exists(p):
+            os.remove(p)
+
+
 @dataclass
 class GlmmFit:
     coefficients: np.ndarray
@@ -319,33 +347,67 @@ def fit_ai_pcg(grm: GRMOperator, fit0: GlmFit, X: np.ndarray, tau: np.ndarray,
     tau = np.asarray(tau, np.float64).copy()
     tau0 = tau.copy()
 
-    st = _get_coeff(grm, y, X, tau, family, alpha0, eta0, offset,
-                    cfg.maxiter_pcg, cfg.maxiter, cfg.tol_pcg)
-
-    if no_iteration:
-        return GlmmFit(coefficients=st.alpha, tau=tau,
-                       linear_predictors=st.eta, fitted_values=st.mu,
-                       residuals=y - st.mu, cov=st.cov, converged=True)
-
-    # first moment-based update of tau
-    if binary:
-        YPAPY, trace, _ = _get_ai_score_binary(grm, st, tau, cfg)
-        tau[1] = max(0.0, tau0[1] + tau0[1] ** 2 * (YPAPY - trace) / n)
-    else:
-        (YPAPY, YPA0PY), (trace0, trace1), _ = _get_ai_score_quant(
-            grm, st, tau, cfg)
-        tau[0] = max(0.0, tau0[0] + tau0[0] ** 2 * (YPA0PY - trace0) / n)
-        tau[1] = max(0.0, tau0[1] + tau0[1] ** 2 * (YPAPY - trace1) / n)
-
-    Y = st.Y
-    cov = st.cov
+    # mid-fit checkpoint (exact replay: each iteration is Markov in
+    # (tau, alpha, eta) because _get_trace restarts its R-RNG stream)
+    ckp = _ck_path(cfg, "fit") if not no_iteration else ""
+    state = _ck_load(ckp)
+    if state is not None and (int(state["n"]) != n
+                              or int(state["k"]) != X.shape[1]
+                              or bool(state["binary"]) != binary):
+        warnings.warn(f"ignoring checkpoint {ckp}: model shape mismatch")
+        state = None
+    if state is not None and str(state["phase"]) == "done":
+        telemetry.emit("checkpoint_resume", phase="done")
+        mu_d = state["mu"]
+        return GlmmFit(coefficients=state["alpha"], tau=state["tau"],
+                       linear_predictors=state["eta"], fitted_values=mu_d,
+                       residuals=y - mu_d, cov=state["cov"],
+                       converged=bool(state["converged"]))
+    start_it = 1
+    resume_alpha = None
     it = 1
-    for it in range(1, cfg.maxiter + 1):
+    if state is not None:
+        tau = state["tau"].copy()
+        eta = state["eta"].copy()
+        alpha = resume_alpha = state["alpha"].copy()
+        it = int(state["it"])
+        if bool(state["brk"]):
+            # crashed between convergence and the final solve: skip the
+            # loop, restore the final solve's warm start
+            start_it = cfg.maxiter + 1
+            alpha0 = state["alpha0"].copy()
+            eta0 = state["eta0"].copy()
+        else:
+            start_it = it + 1
+        telemetry.emit("checkpoint_resume", it=it)
+        st = Y = cov = None
+    else:
+        st = _get_coeff(grm, y, X, tau, family, alpha0, eta0, offset,
+                        cfg.maxiter_pcg, cfg.maxiter, cfg.tol_pcg)
+
+        if no_iteration:
+            return GlmmFit(coefficients=st.alpha, tau=tau,
+                           linear_predictors=st.eta, fitted_values=st.mu,
+                           residuals=y - st.mu, cov=st.cov, converged=True)
+
+        # first moment-based update of tau
+        if binary:
+            YPAPY, trace, _ = _get_ai_score_binary(grm, st, tau, cfg)
+            tau[1] = max(0.0, tau0[1] + tau0[1] ** 2 * (YPAPY - trace) / n)
+        else:
+            (YPAPY, YPA0PY), (trace0, trace1), _ = _get_ai_score_quant(
+                grm, st, tau, cfg)
+            tau[0] = max(0.0, tau0[0] + tau0[0] ** 2 * (YPA0PY - trace0) / n)
+            tau[1] = max(0.0, tau0[1] + tau0[1] ** 2 * (YPAPY - trace1) / n)
+
+        Y = st.Y
+        cov = st.cov
+    for it in range(start_it, cfg.maxiter + 1):
+        alpha0 = resume_alpha if st is None else st.alpha
         # reference prints tau + coefficients per iteration (:1027-1031)
-        telemetry.emit("iteration", iter=it, tau=tau, coef=st.alpha)
+        telemetry.emit("iteration", iter=it, tau=tau, coef=alpha0)
         if verbose:
             print(f"    Iteration {it}: tau = {tau}, coeff = {alpha}")
-        alpha0 = st.alpha
         tau0 = tau.copy()
         eta0 = eta.copy()
 
@@ -371,21 +433,28 @@ def fit_ai_pcg(grm: GRMOperator, fit0: GlmFit, X: np.ndarray, tau: np.ndarray,
         Y = st.Y
         mu = st.mu
 
-        if binary:
-            if tau[1] == 0:
-                break
-        else:
-            if tau[0] <= 0:
-                raise OverflowError("Sigma_E = 0, model not converged!")
-        if np.max(np.abs(tau - tau0) / (np.abs(tau) + np.abs(tau0) + cfg.tol)) \
-                < cfg.tol:
+        if not binary and tau[0] <= 0:
+            raise OverflowError("Sigma_E = 0, model not converged!")
+        brk = (binary and tau[1] == 0) or bool(
+            np.max(np.abs(tau - tau0) / (np.abs(tau) + np.abs(tau0)
+                                         + cfg.tol)) < cfg.tol)
+        if ckp:
+            _ck_save(ckp, phase="iter", it=it, brk=brk, n=n, k=X.shape[1],
+                     binary=binary, tau=tau, alpha=alpha, eta=eta,
+                     alpha0=alpha0, eta0=eta0)
+        if brk:
             break
 
     st = _get_coeff(grm, y, X, tau, family, alpha0, eta0, offset,
                     cfg.maxiter_pcg, cfg.maxiter, cfg.tol_pcg)
-    return GlmmFit(coefficients=st.alpha, tau=tau, linear_predictors=st.eta,
-                   fitted_values=st.mu, residuals=y - st.mu, cov=st.cov,
-                   converged=(it <= cfg.maxiter))
+    fit = GlmmFit(coefficients=st.alpha, tau=tau, linear_predictors=st.eta,
+                  fitted_values=st.mu, residuals=y - st.mu, cov=st.cov,
+                  converged=(it <= cfg.maxiter))
+    if ckp:
+        _ck_save(ckp, phase="done", n=n, k=X.shape[1], binary=binary,
+                 tau=tau, alpha=st.alpha, eta=st.eta, mu=st.mu,
+                 cov=st.cov, converged=fit.converged)
+    return fit
 
 
 # ---------------------------------------------------------------------------
@@ -412,6 +481,19 @@ def calc_var_ratio(grm: GRMOperator, codes: np.ndarray, fit0: GlmFit,
     snp_pos = 0
     num_tested = 0
     n_rand = len(marker_order)
+    # resumable marker-chunk checkpoint (replay is exact: the marker order
+    # is fixed and Sigma_iX/xsx_inv above are deterministic)
+    ckp = _ck_path(cfg, "vr")
+    state = _ck_load(ckp)
+    if state is not None and int(state["n_rand"]) != n_rand:
+        warnings.warn(f"ignoring checkpoint {ckp}: marker-set mismatch")
+        state = None
+    if state is not None:
+        rows = {k: list(state["r_" + k]) for k in rows}
+        snp_pos = int(state["snp_pos"])
+        num_tested = int(state["num_tested"])
+        num_marker = int(state["num_marker"])
+        telemetry.emit("checkpoint_resume", phase="vr", snp_pos=snp_pos)
     while snp_pos < n_rand:
         # gather the next chunk of markers passing the MAC filter
         pending = []
@@ -455,6 +537,11 @@ def calc_var_ratio(grm: GRMOperator, codes: np.ndarray, fit0: GlmFit,
                 telemetry.emit("var_ratio_marker", id=i_snp, maf=af,
                                mac=ac, var1=var1, var2=var2,
                                ratio=var1 / var2)
+            if ckp:
+                _ck_save(ckp, n_rand=n_rand, snp_pos=snp_pos,
+                         num_tested=num_tested, num_marker=num_marker,
+                         **{"r_" + k: np.asarray(v)
+                            for k, v in rows.items()})
         if num_tested >= num_marker:
             cv = _calc_cv(rows["ratio"])
             if cv > cfg.ratio_cv_cutoff:
@@ -769,6 +856,7 @@ def fit_null_glmm(formula: str, data, gdsfile,
                               len(data), verbose)
     finally:
         tele.__exit__(None, None, None)
+    clear_checkpoint(cfg)   # fit + var-ratio complete: drop resume state
     model.fit_log = tele_obj.events
     if model_savefn:
         model.save(model_savefn)

@@ -94,7 +94,7 @@ def test_cli_info_and_fit(tmp_path, capsys):
     assert main(["fit", "--formula", "y ~ x1 + x2",
                  "--pheno", "/root/reference/inst/extdata/pheno.txt.gz",
                  "--gds", "/root/reference/inst/extdata/grm1k_10k_snp.gds",
-                 "--out", out, "--packed"]) == 0
+                 "--out", out, "--checkpoint", str(tmp_path / "ck")]) == 0
     assert main(["scan", "--gds",
                  "/root/reference/inst/extdata/grm1k_10k_snp.gds",
                  "--model", out, "--mac", "4",
