@@ -1,27 +1,41 @@
-"""Headline benchmark: score+SPA association-scan throughput (variants/s).
+"""Headline benchmark: END-TO-END association scan over a real GDS file.
 
-The reference's hot serving path is the per-variant score test + saddlepoint
-refinement over millions of variants (src/saige_main.cpp:279-407,
-src/SPATest.cpp).  Here the same statistics run as batched [B, N] kernels on
-the TPU; the baseline is the identical f64 algebra in numpy/BLAS on the host
-CPU — a faithful stand-in for the reference's AVX f64 C++ loops (which are
-memory-bound dense vector ops, like BLAS level-2).
+Measures the same workflow the reference's README claims 5-6x over SAIGE
+for (/root/reference/README.md:14): GDS genotype file -> streamed block
+decode -> 2-bit pack -> host->device upload -> batched score test + SPA
+refinement -> result table.  N = 430,000 samples (UK-Biobank scale,
+BASELINE.md north star); the default, golden-parity exact-f64 SPA tier.
+
+The baseline is the identical f64 algebra + Newton SPA in numpy/BLAS on
+the host CPU, reading the same GDS file — a faithful stand-in for the
+reference's AVX f64 C++ loops (no R in this image).  Multi-block and
+pinned for stability (VERDICT.md round-1 weak #2).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Secondary numbers (mixed-SPA tier, phase breakdown, rooflines) go to
+stderr and BENCH_NOTES.md.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
-N_SAMPLES = 430_000   # UK-Biobank scale (BASELINE.json north star)
-BLOCK = 2048          # packed int8 path: [B, N] codes are only 0.9 GB
-N_BLOCKS = 8          # timed TPU blocks
-BLOCK_CPU = 128
-N_BLOCKS_CPU = 1      # timed CPU blocks (slow)
+N_SAMPLES = int(os.environ.get("BENCH_N", 430_000))   # UK-Biobank scale
+N_VARIANTS = int(os.environ.get("BENCH_V", 4096))     # scan blocks of 1024
+BLOCK = int(os.environ.get("BENCH_B", 1024))
+MISS_RATE = 0.005
 N_COV = 4
-SPA_FRAC = 16         # refine B // SPA_FRAC variants per block (~6%)
+CPU_BLOCK = 64
+CPU_BLOCKS = 2
+GDS_PATH = os.environ.get(
+    "BENCH_GDS", f"/tmp/bench_scan_{N_VARIANTS}x{N_SAMPLES}.gds")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def make_model(n, k, rng):
@@ -32,11 +46,32 @@ def make_model(n, k, rng):
     W = mu * (1 - mu)
     XV = (X * W[:, None]).T
     XXVX_inv = X @ np.linalg.inv(X.T @ (X * W[:, None]))
-    return dict(X=X, y=y, mu=mu, W=W, XV=XV, XXVX_inv=XXVX_inv)
+    return dict(X=X, y=y, mu=mu, W=W, XV=XV, XXVX_inv=XXVX_inv, eta=eta)
+
+
+def build_gds(rng):
+    """Write the benchmark GDS (untimed setup; cached across runs)."""
+    from saigegds_tpu.io.gds_write import write_seqarray_gds
+    if os.path.exists(GDS_PATH) and os.path.getsize(GDS_PATH) > 1 << 20:
+        log(f"setup: reusing {GDS_PATH}")
+        return
+    t0 = time.perf_counter()
+    # allele frequency quantized to byte thresholds (3/256 .. 127/256)
+    thr = rng.integers(3, 128, size=(N_VARIANTS, 1), dtype=np.uint8)
+    r1 = rng.integers(0, 256, size=(N_VARIANTS, N_SAMPLES), dtype=np.uint8)
+    codes = (r1 < thr).astype(np.int8)
+    r1 = rng.integers(0, 256, size=(N_VARIANTS, N_SAMPLES), dtype=np.uint8)
+    codes += (r1 < thr).astype(np.int8)
+    codes[r1 >= (256 - int(256 * MISS_RATE))] = 3     # ~0.4% missing
+    del r1
+    write_seqarray_gds(GDS_PATH, codes, compress="ZIP_ra")
+    sz = os.path.getsize(GDS_PATH) / 1e6
+    log(f"setup: wrote {GDS_PATH} ({N_VARIANTS} x {N_SAMPLES}, {sz:.0f} MB "
+        f"ZIP_ra) in {time.perf_counter() - t0:.1f}s")
 
 
 # ---------------------------------------------------------------------------
-# CPU baseline: same algebra in numpy (reference-class f64 SIMD)
+# CPU baseline: same algebra in numpy f64 (reference-class SIMD), same file
 
 def cpu_scan_block(m, G):
     isnan = np.isnan(G)
@@ -53,11 +88,13 @@ def cpu_scan_block(m, G):
     from scipy.stats import chi2
     pval = chi2.sf(S * S / var, 1)
     # SPA refinement for the flagged fraction: CGF Newton root-find
-    idx = np.argsort(pval)[: G.shape[0] // SPA_FRAC]
+    idx = np.flatnonzero(pval <= 0.05)
+    if len(idx) == 0:
+        idx = np.argsort(pval)[:4]
     mu_, g_ = m["mu"], g_tilde[idx] / np.sqrt(np.maximum(ac[idx], 1))[:, None]
     q = g_ @ m["y"]
     m1 = g_ @ mu_
-    for _ in range(2):                 # two-sided: root-find at q and 2 m1 - q
+    for _ in range(2):                 # two-sided: root-find at q and 2m1 - q
         t = np.zeros(len(idx))
         for _ in range(20):            # Newton iterations (ref does ~5-20)
             e = np.exp(np.clip(g_ * t[:, None], -700, 700))
@@ -69,72 +106,99 @@ def cpu_scan_block(m, G):
     return pval
 
 
+def run_cpu_baseline(m, seq):
+    """Bounded-memory baseline: streamed block decode + f64 scan per block
+    (each timed block includes its own decode, same as the TPU path)."""
+    def to_f64(codes):
+        return np.where(codes == 3, np.nan, codes.astype(np.float64))
+
+    it = seq.iter_code_blocks(CPU_BLOCK, streamed=True)
+    _, codes = next(it)               # warm numpy/scipy paths (untimed)
+    cpu_scan_block(m, to_f64(codes))
+    times = []
+    for _ in range(CPU_BLOCKS):
+        t0 = time.perf_counter()
+        _, codes = next(it)
+        cpu_scan_block(m, to_f64(codes))
+        times.append(time.perf_counter() - t0)
+    vps = CPU_BLOCK / np.mean(times)
+    log(f"cpu baseline: {CPU_BLOCKS} x {CPU_BLOCK} variants, "
+        f"per-block {['%.1fs' % t for t in times]} -> {vps:.2f} v/s")
+    return vps
+
+
 # ---------------------------------------------------------------------------
+
+def make_nullmodel(m):
+    from saigegds_tpu.models.nullmodel import NullModel
+    n, k = m["X"].shape
+    return NullModel(
+        trait_type="binary", coefficients=np.zeros(k),
+        coef_names=[f"x{i}" for i in range(k)],
+        tau=np.array([1.0, 0.5]), linear_predictors=m["eta"],
+        fitted_values=m["mu"], residuals=m["y"] - m["mu"],
+        cov=np.eye(k), converged=True,
+        y=m["y"], mu=m["mu"], res=m["y"] - m["mu"], V=m["W"],
+        X1=m["X"], XV=m["XV"], XXVX_inv=m["XXVX_inv"],
+        var_ratio={"ratio": [0.93]}, sample_id=None)
+
+
+def run_tpu(model, mixed: bool):
+    """One full end-to-end scan pass; fresh SeqData so every pass re-does
+    file decode (the geno cache would otherwise skip it)."""
+    from saigegds_tpu.assoc.single import assoc_spa
+    from saigegds_tpu.config import ScanConfig
+    from saigegds_tpu.io.seqarray import SeqData
+    seq = SeqData(GDS_PATH)
+    cfg = ScanConfig(block_size=BLOCK, spa_mixed=mixed)
+    t0 = time.perf_counter()
+    df = assoc_spa(seq, model, cfg)
+    dt = time.perf_counter() - t0
+    return len(df) / dt, dt, df
+
 
 def main():
     rng = np.random.default_rng(7)
     m = make_model(N_SAMPLES, N_COV, rng)
+    build_gds(rng)
 
-    # ---- CPU baseline ----
-    af_draw = rng.uniform(0.01, 0.5, size=BLOCK_CPU)
-    G_host = rng.binomial(2, af_draw[:, None],
-                          size=(BLOCK_CPU, N_SAMPLES)).astype(np.float64)
-    cpu_scan_block(m, G_host[:128])               # warm caches
-    t0 = time.perf_counter()
-    for _ in range(N_BLOCKS_CPU):
-        cpu_scan_block(m, G_host)
-    cpu_vps = N_BLOCKS_CPU * BLOCK_CPU / (time.perf_counter() - t0)
+    from saigegds_tpu.io.seqarray import SeqData
+    cpu_vps = run_cpu_baseline(m, SeqData(GDS_PATH))
 
-    # ---- TPU path ----
     import jax
     jax.config.update("jax_enable_x64", True)
-    import jax.numpy as jnp
-    from saigegds_tpu.ops.score import ScanModel, ScanParams, spa_refine_binary
-    from saigegds_tpu.ops.score_packed import (pack_scan_model,
-                                               score_stats_binary_packed)
+    model = make_nullmodel(m)
 
-    model = ScanModel(
-        trait_binary=True, tau=jnp.asarray([1.0, 0.5]),
-        y=jnp.asarray(m["y"]), mu=jnp.asarray(m["mu"]),
-        y_mu=jnp.asarray(m["y"] - m["mu"]), mu2=jnp.asarray(m["W"]),
-        XV=jnp.asarray(m["XV"]), XXVX_inv=jnp.asarray(m["XXVX_inv"]),
-        var_ratio=0.93)
-    pm = pack_scan_model(model)
-    params = ScanParams(maf=0.0, mac=4.0, missing=0.1, spa_pval=0.05)
+    # decode-only pass (phase breakdown: the host side of the pipeline)
+    seq = SeqData(GDS_PATH)
+    t0 = time.perf_counter()
+    nbytes = 0
+    for idx, G in seq.iter_code_blocks(BLOCK):
+        nbytes += G.nbytes
+    t_dec = time.perf_counter() - t0
+    log(f"decode-only: {N_VARIANTS} variants in {t_dec:.1f}s "
+        f"({N_VARIANTS / t_dec:.0f} v/s; {nbytes / t_dec / 1e6:.0f} MB/s "
+        f"int8 out)")
 
-    n_spa = BLOCK // SPA_FRAC
+    log("warmup pass (compiles phase-1/2 kernels)...")
+    t0 = time.perf_counter()
+    run_tpu(model, mixed=False)
+    log(f"warmup: {time.perf_counter() - t0:.1f}s")
 
-    @jax.jit
-    def scan_block(key, pm, model):
-        k0, k1, k2 = jax.random.split(key, 3)
-        # allele frequency quantized to 1/256: integer threshold compare
-        thr = jax.random.randint(k0, (BLOCK, 1), 3, 128,
-                                 dtype=jnp.int32).astype(jnp.uint8)
-        r1 = jax.random.bits(k1, (BLOCK, N_SAMPLES), jnp.uint8)
-        r2 = jax.random.bits(k2, (BLOCK, N_SAMPLES), jnp.uint8)
-        codes = ((r1 < thr).astype(jnp.int8) + (r2 < thr).astype(jnp.int8))
-        stats = score_stats_binary_packed(pm, params, codes)
-        # gather the worst p-values into a compact SPA batch (fixed size)
-        order = jnp.argsort(jnp.where(stats.need_spa, stats.pval, jnp.inf))
-        take = order[:n_spa]
-        Gf = codes[take].astype(jnp.float64)
-        pval, conv, beta, se = spa_refine_binary(model, Gf, mixed=True)
-        return stats.pval, take, pval
-
-    keys = jax.random.split(jax.random.PRNGKey(0), N_BLOCKS + 1)
-    warm = scan_block(keys[-1], pm, model)                      # compile
-    float(warm[2][0])   # force execution: block_until_ready alone can
-    t0 = time.perf_counter()                # return early on this backend
-    outs = [scan_block(k, pm, model) for k in keys[:N_BLOCKS]]
-    for o in outs:
-        float(o[2][0])                          # scalar read-back per block
-    tpu_vps = N_BLOCKS * BLOCK / (time.perf_counter() - t0)
+    vps, dt, df = run_tpu(model, mixed=False)
+    up_mb = N_VARIANTS * (N_SAMPLES / 4) / 1e6
+    log(f"end-to-end exact SPA: {N_VARIANTS} variants in {dt:.1f}s -> "
+        f"{vps:.0f} v/s ({up_mb / dt:.0f} MB/s effective on "
+        f"{up_mb:.0f} MB 2-bit upload)")
+    vps_mixed, dt_mixed, _ = run_tpu(model, mixed=True)
+    log(f"end-to-end mixed SPA (opt-in tier): {vps_mixed:.0f} v/s")
 
     print(json.dumps({
-        "metric": f"score+SPA scan throughput, N={N_SAMPLES} samples",
-        "value": round(tpu_vps, 2),
+        "metric": f"end-to-end GDS scan (decode+upload+score+exact SPA), "
+                  f"N={N_SAMPLES} samples",
+        "value": round(vps, 2),
         "unit": "variants/s",
-        "vs_baseline": round(tpu_vps / cpu_vps, 3),
+        "vs_baseline": round(vps / cpu_vps, 3),
     }))
 
 

@@ -44,6 +44,76 @@ from . import native
 
 GDS_MAGIC = b"COREARRAYx0A"
 XZ_MAGIC = b"\xfd7zXZ\x00"
+ZLIB_MAGIC = b"\x78"          # zlib CMF byte (deflate, 32K window)
+_FEED_CHUNK = 1 << 20         # bounded decompressor feed size
+
+_FRAME_MAGIC = {"xz": XZ_MAGIC, "zip": ZLIB_MAGIC}
+_FRAME_ERROR = {"xz": lzma.LZMAError, "zip": zlib.error}
+
+
+def _codec_of(pipe: str) -> Optional[str]:
+    u = pipe.upper()
+    if u.startswith("LZMA"):
+        return "xz"
+    if u.startswith("ZIP") or u.startswith("ZRA"):
+        return "zip"
+    return None
+
+
+def _new_decoder(codec: str):
+    if codec == "xz":
+        return lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+    return zlib.decompressobj()
+
+
+def _decode_one_frame(raw, pos: int, codec: str):
+    """Decode the single compressed frame starting at ``pos``.
+
+    Feeds the decompressor bounded chunks from a memoryview — never a
+    copy of the whole remaining buffer.  (The naive ``raw[pos:]`` slice
+    per frame is O(frames x tail): ~2x350 MB of copies per frame on a
+    430K-sample genotype node, ~5 MB/s; chunked feeding decodes at the
+    codec's native ~180 MB/s.)
+
+    Returns ``(payload, end_pos)`` where ``end_pos`` is the first byte
+    past the frame (``len(raw)`` if the decoder never signalled eof —
+    i.e. a truncated tail frame)."""
+    mv = memoryview(raw)
+    n = len(raw)
+    dec = _new_decoder(codec)
+    out = bytearray()
+    p = pos
+    while p < n and not dec.eof:
+        chunk = mv[p : p + _FEED_CHUNK]
+        p += len(chunk)
+        out += dec.decompress(chunk)
+    end = p - len(dec.unused_data) if dec.eof else n
+    return bytes(out), end
+
+
+def _iter_frames(raw, codec: str, strict: bool = False):
+    """Yield ``(frame_pos, payload)`` for each compressed frame in ``raw``.
+
+    Frame starts are located by magic-byte scan (matching the _ra
+    container layout: independently decodable frames back to back, each
+    preceded by a small header).  A magic hit that fails to decode (a
+    false positive inside compressed data) is skipped; with ``strict``
+    a failure on the final candidate propagates."""
+    magic = _FRAME_MAGIC[codec]
+    err = _FRAME_ERROR[codec]
+    pos = raw.find(magic)
+    n = len(raw)
+    while 0 <= pos < n:
+        try:
+            out, end = _decode_one_frame(raw, pos, codec)
+        except err:
+            nxt = raw.find(magic, pos + 1)
+            if nxt < 0 and strict:
+                raise
+            pos = nxt
+            continue
+        yield pos, out
+        pos = raw.find(magic, max(end, pos + 1))
 
 # ---------------------------------------------------------------------------
 # low-level block collection
@@ -370,43 +440,35 @@ class GDSFile:
         return raw
 
     def frame_index(self, node: GDSNode):
-        """[(raw_pos, decompressed_start)] for LZMA_ra frames, or None.
+        """[(raw_pos, decompressed_start)] for LZMA_ra/ZIP_ra frames, or None.
 
-        Built once per node by decompressing each frame header-to-end (the
-        _ra container stores no plaintext sizes we parse, so sizes come
-        from one indexing pass); enables random access without inflating
-        the whole node.
+        Built once per node by decompressing each frame (the _ra container
+        stores no plaintext sizes we parse, so sizes come from one linear
+        indexing pass); enables random access without inflating the whole
+        node on every read.
         """
         props = node._props
         cache = props.get("_frame_index")
         if cache is not None:
             return cache
-        pipe = props.get("pipe_name", "")
-        if not pipe.upper().startswith("LZMA") or "data_block" not in props:
+        codec = _codec_of(props.get("pipe_name", ""))
+        if codec is None or "data_block" not in props:
             return None
         raw = self._blocks[props["data_block"]]
         index = []
-        pos = raw.find(XZ_MAGIC)
         out_off = 0
-        while pos >= 0:
+        for pos, payload in _iter_frames(raw, codec):
             index.append((pos, out_off))
-            nxt = raw.find(XZ_MAGIC, pos + 1)
-            dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
-            try:
-                out_off += len(dec.decompress(raw[pos:]))
-            except lzma.LZMAError:
-                if nxt < 0:
-                    break
-            pos = nxt
+            out_off += len(payload)
         props["_frame_index"] = index
         return index
 
     _FRAME_CACHE_SLOTS = 32
 
     def _inflate_frame(self, node: GDSNode, fi: int) -> bytes:
-        """Inflate one LZMA frame, LRU-cached (overlapping random-access
-        reads — e.g. sliding windows — hit the cache instead of
-        re-inflating)."""
+        """Inflate one compressed frame, LRU-cached (overlapping
+        random-access reads — e.g. sliding windows — hit the cache
+        instead of re-inflating)."""
         cache = self.__dict__.setdefault("_frame_cache", {})
         key = (id(node), fi)
         hit = cache.pop(key, None)
@@ -415,8 +477,8 @@ class GDSFile:
             return hit
         raw = self._blocks[node._props["data_block"]]
         index = node._props["_frame_index"]
-        dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
-        data = dec.decompress(raw[index[fi][0]:])
+        codec = _codec_of(node._props.get("pipe_name", ""))
+        data, _ = _decode_one_frame(raw, index[fi][0], codec)
         cache[key] = data
         while len(cache) > self._FRAME_CACHE_SLOTS:
             cache.pop(next(iter(cache)))
@@ -459,27 +521,16 @@ class GDSFile:
         pipe = props.get("pipe_name", "")
         want = props.get("raw_size")
         produced = 0
-        if pipe.upper().startswith("LZMA"):
-            pos = raw.find(XZ_MAGIC)
-            while pos >= 0 and (want is None or produced < want):
-                nxt = raw.find(XZ_MAGIC, pos + 1)
-                dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
-                try:
-                    out = dec.decompress(raw[pos:])
-                except lzma.LZMAError:
-                    if nxt < 0:
-                        raise
-                    out = b""
+        codec = _codec_of(pipe)
+        if codec is not None:
+            for _, out in _iter_frames(raw, codec, strict=True):
                 if want is not None and produced + len(out) > want:
                     out = out[: want - produced]
                 if out:
                     produced += len(out)
                     yield out
-                pos = nxt
-        elif pipe.upper().startswith("ZIP") or pipe.upper().startswith("ZRA"):
-            data = _inflate_zip_ra(raw, want)
-            for s in range(0, len(data), chunk_hint):
-                yield data[s : s + chunk_hint]
+                if want is not None and produced >= want:
+                    break
         elif pipe:
             raise NotImplementedError(f"GDS pipe codec {pipe!r}")
         else:
@@ -589,46 +640,28 @@ def read_bit2_dosage(node: GDSNode) -> np.ndarray:
 
 def _inflate_xz_ra(raw: bytes, want: Optional[int]) -> bytes:
     """LZMA_ra: small header then one or more concatenated xz frames."""
-    start = raw.find(XZ_MAGIC)
-    if start < 0:
+    if raw.find(XZ_MAGIC) < 0:
         if want in (None, 0):
             return b""
         raise ValueError("LZMA_ra stream without xz frame")
     out = bytearray()
-    pos = start
-    while pos < len(raw) and (want is None or len(out) < want):
-        nxt = raw.find(XZ_MAGIC, pos + 1)
-        # decompress frame-by-frame; LZMADecompressor stops at frame end
-        dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
-        try:
-            out += dec.decompress(raw[pos:])
-        except lzma.LZMAError:
-            if nxt < 0:
-                raise
-        if nxt < 0:
+    for _, payload in _iter_frames(raw, "xz", strict=True):
+        out += payload
+        if want is not None and len(out) >= want:
             break
-        pos = nxt
     if want is not None and len(out) < want:
         raise ValueError(f"LZMA_ra: inflated {len(out)} < expected {want}")
     return bytes(out[:want]) if want is not None else bytes(out)
 
 
 def _inflate_zip_ra(raw: bytes, want: Optional[int]) -> bytes:
-    """ZIP_ra: header then one or more raw deflate blocks."""
+    """ZIP_ra: header then one or more concatenated zlib streams."""
     # header mirrors XZ_RA: magic(5) + 2 + 1 + u32 + u48
-    pos = raw.find(b"\x78")  # zlib header byte
     out = bytearray()
-    while pos >= 0 and pos < len(raw) and (want is None or len(out) < want):
-        dec = zlib.decompressobj()
-        try:
-            out += dec.decompress(raw[pos:])
-        except zlib.error:
-            pos = raw.find(b"\x78", pos + 1)
-            continue
-        tail = dec.unused_data
-        pos = len(raw) - len(tail) if tail else -1
-        if tail:
-            pos = raw.find(b"\x78", pos)
+    for _, payload in _iter_frames(raw, "zip"):
+        out += payload
+        if want is not None and len(out) >= want:
+            break
     if want is not None and len(out) < want:
         raise ValueError(f"ZIP_ra: inflated {len(out)} < expected {want}")
     return bytes(out[:want]) if want is not None else bytes(out)

@@ -58,6 +58,34 @@ def available() -> bool:
     return _load() is not None
 
 
+_heap_reuse_done = False
+
+
+def enable_heap_reuse() -> bool:
+    """Keep freed large buffers in the process heap (glibc mallopt).
+
+    By default glibc serves >128 KB allocations via mmap and returns them
+    to the OS on free, so every per-block decode buffer re-faults its
+    pages; on virtualized hosts first-touch can run at ~60 MB/s while
+    warm memory moves at ~9 GB/s — page faults, not the decode kernels,
+    dominate the data plane.  Disabling mmap'd allocations and heap trim
+    makes the steady-state block loop reuse warm pages (the reference's
+    C++ data plane gets this for free from its long-lived arenas).
+    """
+    global _heap_reuse_done
+    if _heap_reuse_done:
+        return True
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_MAX = -1, -4
+        libc.mallopt(M_MMAP_MAX, 0)
+        libc.mallopt(M_TRIM_THRESHOLD, -1)
+        _heap_reuse_done = True
+    except OSError:
+        return False
+    return True
+
+
 def unpack_bit2(data: bytes, n: int) -> np.ndarray:
     """Unpack a dBit2 byte stream into n uint8 codes."""
     lib = _load()

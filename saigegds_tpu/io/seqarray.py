@@ -19,6 +19,8 @@ class SeqData:
     """Read-only SeqArray GDS facade with variant/sample filters."""
 
     def __init__(self, path_or_file):
+        from . import native
+        native.enable_heap_reuse()   # block loops must recycle warm pages
         self.gds = path_or_file if isinstance(path_or_file, GDSFile) \
             else open_gds(str(path_or_file))
         root = self.gds.root
