@@ -91,6 +91,65 @@ def _decode_one_frame(raw, pos: int, codec: str):
     return bytes(out), end
 
 
+SGRA_MAGIC = b"SGRA"   # our writer's frame table (io/gds_write.py)
+
+
+def _parse_sgra(raw):
+    """Parse an SGRA frame table -> (codec, raw_size, plain_frame,
+    [(pos, csize)]) or None for foreign payloads.
+
+    Payloads written by gds_write.py carry exact per-frame compressed
+    sizes, so the frame index needs no decoding and frames can be
+    inflated in parallel."""
+    if len(raw) < 24 or raw[:4] != SGRA_MAGIC or raw[4] != 1:
+        return None
+    codec = "zip" if raw[5] == 0 else "xz"
+    nf, plain, raw_size = struct.unpack_from("<IIQ", raw, 8)
+    if len(raw) < 24 + 4 * nf:
+        return None
+    csizes = struct.unpack_from(f"<{nf}I", raw, 24)
+    pos = 24 + 4 * nf
+    entries = []
+    for cs in csizes:
+        entries.append((pos, cs))
+        pos += cs
+    return codec, raw_size, plain, entries
+
+
+def _inflate_frames_parallel(raw, codec: str, entries, window: int = 8):
+    """Yield each frame's payload in order, inflating up to `window`
+    frames concurrently (zlib/lzma release the GIL, so a small thread
+    pool scales decode across host cores)."""
+    import collections
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    mv = memoryview(raw)
+    if codec == "xz":
+        fn = lambda pos, cs: lzma.decompress(mv[pos : pos + cs])  # noqa: E731
+    else:
+        fn = lambda pos, cs: zlib.decompress(mv[pos : pos + cs])  # noqa: E731
+    workers = max(1, min(4, os.cpu_count() or 1, len(entries)))
+    if workers == 1 or len(entries) <= 1:
+        for pos, cs in entries:
+            yield fn(pos, cs)
+        return
+    with ThreadPoolExecutor(workers) as ex:
+        futs = collections.deque()
+        it = iter(entries)
+        for _ in range(window):
+            e = next(it, None)
+            if e is None:
+                break
+            futs.append(ex.submit(fn, *e))
+        while futs:
+            f = futs.popleft()
+            e = next(it, None)
+            if e is not None:
+                futs.append(ex.submit(fn, *e))
+            yield f.result()
+
+
 def _iter_frames(raw, codec: str, strict: bool = False):
     """Yield ``(frame_pos, payload)`` for each compressed frame in ``raw``.
 
@@ -431,6 +490,16 @@ class GDSFile:
         raw = self._blocks[props["data_block"]]
         pipe = props.get("pipe_name", "")
         want = props.get("raw_size")
+        sg = _parse_sgra(raw)
+        if sg is not None:                    # our frame table: parallel
+            codec, raw_size, _, entries = sg
+            out = bytearray()
+            stop = raw_size if want is None else want
+            for payload in _inflate_frames_parallel(raw, codec, entries):
+                out += payload
+                if len(out) >= stop:
+                    break
+            return bytes(out[:stop])
         if pipe.upper().startswith("LZMA"):
             return _inflate_xz_ra(raw, want)
         if pipe.upper().startswith("ZIP") or pipe.upper().startswith("ZRA"):
@@ -455,11 +524,16 @@ class GDSFile:
         if codec is None or "data_block" not in props:
             return None
         raw = self._blocks[props["data_block"]]
-        index = []
-        out_off = 0
-        for pos, payload in _iter_frames(raw, codec):
-            index.append((pos, out_off))
-            out_off += len(payload)
+        sg = _parse_sgra(raw)
+        if sg is not None:                    # exact, no decoding needed
+            _, _, plain, entries = sg
+            index = [(pos, i * plain) for i, (pos, _) in enumerate(entries)]
+        else:
+            index = []
+            out_off = 0
+            for pos, payload in _iter_frames(raw, codec):
+                index.append((pos, out_off))
+                out_off += len(payload)
         props["_frame_index"] = index
         return index
 
@@ -522,8 +596,16 @@ class GDSFile:
         want = props.get("raw_size")
         produced = 0
         codec = _codec_of(pipe)
+        sg = _parse_sgra(raw)
+        if sg is not None:                    # our frame table: parallel
+            codec, raw_size, _, entries = sg
+            if want is None:
+                want = raw_size
         if codec is not None:
-            for _, out in _iter_frames(raw, codec, strict=True):
+            frames = _inflate_frames_parallel(raw, codec, sg[3]) \
+                if sg is not None else \
+                (out for _, out in _iter_frames(raw, codec, strict=True))
+            for out in frames:
                 if want is not None and produced + len(out) > want:
                     out = out[: want - produced]
                 if out:

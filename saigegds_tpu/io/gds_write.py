@@ -95,30 +95,59 @@ _P_PIPE = bytes.fromhex("15c4466d")
 _P_PIPESZ = bytes.fromhex("02c9466d50e0512504")
 
 LZMA_FRAME_BYTES = 1 << 20   # ~1 MB plaintext per xz frame (random access)
+ZIP_FRAME_BYTES = 1 << 22    # ~4 MB plaintext per zlib stream
+
+# Self-describing frame table prepended to _ra payloads we write:
+#   "SGRA" + u8 version + u8 codec(0=zip,1=xz) + u16 pad + u32 nframes
+#   + u32 plain_frame_bytes + u64 raw_size + u32 csizes[nframes]
+# Exact frame boundaries without any decoding -> the reader builds its
+# random-access index for free and inflates frames in parallel (zlib/lzma
+# release the GIL).  Foreign gdsfmt files (no table) fall back to the
+# sequential boundary-discovery path.
+SGRA_MAGIC = b"SGRA"
+
+
+def _frame_table(codec: int, csizes, plain_frame: int,
+                 raw_size: int) -> bytes:
+    head = SGRA_MAGIC + bytes([1, codec, 0, 0])
+    head += struct.pack("<IIQ", len(csizes), plain_frame, raw_size)
+    head += struct.pack(f"<{len(csizes)}I", *csizes)
+    return head
+
+
+def _map_frames(fn, payload: bytes, frame: int):
+    """Compress each plaintext frame, in parallel when large (zlib/lzma
+    release the GIL; frames are independent by construction)."""
+    spans = [payload[s : s + frame]
+             for s in range(0, max(len(payload), 1), frame)]
+    if len(spans) < 2:
+        return [fn(s) for s in spans]
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(min(4, os.cpu_count() or 1)) as ex:
+        return list(ex.map(fn, spans))
 
 
 def _compress_lzma_ra(payload: bytes) -> bytes:
     """LZMA_ra payload: independently-decodable xz frames (the random-
     access container our reader streams / frame-indexes, io/gds.py)."""
     import lzma
-    out = bytearray()
-    for s in range(0, len(payload), LZMA_FRAME_BYTES):
-        out += lzma.compress(payload[s : s + LZMA_FRAME_BYTES],
-                             format=lzma.FORMAT_XZ, preset=6)
-    return bytes(out)
+    frames = _map_frames(
+        lambda s: lzma.compress(s, format=lzma.FORMAT_XZ, preset=6),
+        payload, LZMA_FRAME_BYTES)
+    return _frame_table(1, [len(f) for f in frames], LZMA_FRAME_BYTES,
+                        len(payload)) + b"".join(frames)
 
 
 def _compress_zip_ra(payload: bytes, level: int = 1) -> bytes:
     """ZIP_ra payload: independently-decodable zlib streams (~4 MB plaintext
     each).  zlib level 1 runs ~10x faster than LZMA — the right container
-    for large genotype matrices written in bulk (our reader inflates the
-    concatenated streams, io/gds.py:_inflate_zip_ra)."""
+    for large genotype matrices written in bulk."""
     import zlib
-    frame = 1 << 22
-    out = bytearray()
-    for s in range(0, len(payload), frame):
-        out += zlib.compress(payload[s : s + frame], level)
-    return bytes(out)
+    frames = _map_frames(lambda s: zlib.compress(s, level),
+                         payload, ZIP_FRAME_BYTES)
+    return _frame_table(0, [len(f) for f in frames], ZIP_FRAME_BYTES,
+                        len(payload)) + b"".join(frames)
 
 
 def _compress_payload(compress, payload: bytes):
