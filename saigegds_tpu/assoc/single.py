@@ -25,6 +25,36 @@ from ..ops.score import (ScanParams, score_stats_binary, score_stats_quant,
 SPA_BATCH = 256  # compact SPA refinement batch size
 
 
+def _prefetch_blocks(block_iter, depth: int = 2):
+    """Run the block iterator in a background thread with a bounded queue,
+    so host-side GDS decode of block k+1 overlaps the device compute and
+    upload of block k (decode is zlib/lzma + native kernels — all release
+    the GIL)."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in block_iter:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:               # surface in the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def _pad_block(G: np.ndarray, B: int, fill=np.nan) -> np.ndarray:
     if G.shape[0] == B:
         return G
@@ -181,6 +211,7 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
     from collections import deque
     window = deque()
     DEPTH = 3
+    block_iter = _prefetch_blocks(block_iter)
 
     def _drain_one():
         nonlocal row0

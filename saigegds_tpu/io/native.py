@@ -77,13 +77,56 @@ def enable_heap_reuse() -> bool:
         return True
     try:
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
-        M_TRIM_THRESHOLD, M_MMAP_MAX = -1, -4
+        M_TRIM_THRESHOLD, M_MMAP_MAX, M_ARENA_MAX = -1, -4, -8
         libc.mallopt(M_MMAP_MAX, 0)
         libc.mallopt(M_TRIM_THRESHOLD, -1)
+        # one shared arena: worker-thread allocations (parallel frame
+        # inflate) reuse the same warm heap instead of per-thread mmaps
+        libc.mallopt(M_ARENA_MAX, 1)
         _heap_reuse_done = True
     except OSError:
         return False
     return True
+
+
+_prefault_done = 0
+
+
+def prefault_heap(nbytes: int, background: bool = True) -> None:
+    """Fault in ~nbytes of heap ahead of the first big decode pass.
+
+    First-touch page faults are the data plane's real cold-start cost on
+    virtualized hosts (~60 MB/s single-threaded); they parallelize ~3x
+    across threads, and with enable_heap_reuse() the faulted pages stay
+    in the heap for every later allocation.  Run in the background so the
+    warmup overlaps setup work (e.g. XLA compilation)."""
+    global _prefault_done
+    import threading
+
+    nbytes = int(nbytes)
+    if nbytes <= _prefault_done or not enable_heap_reuse():
+        return
+    want = nbytes - _prefault_done
+    _prefault_done = nbytes
+
+    def work():
+        libc = ctypes.CDLL("libc.so.6")
+        libc.memset.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                ctypes.c_size_t]
+        chunks = [np.empty(want // 4, np.uint8) for _ in range(4)]
+        ts = [threading.Thread(
+                  target=lambda a: libc.memset(
+                      a.ctypes.data_as(ctypes.c_void_p), 0, a.nbytes),
+                  args=(c,), daemon=True) for c in chunks]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+
+    runner = threading.Thread(target=work, daemon=True)
+    runner.start()
+    if not background:
+        runner.join()
 
 
 def unpack_bit2(data: bytes, n: int) -> np.ndarray:

@@ -121,6 +121,9 @@ class SeqData:
                 self._geno_cache = ds
         return self._geno_cache
 
+    def _code_cache_or_none(self):
+        return getattr(self, "_code_cache", None)
+
     def code_matrix(self) -> np.ndarray:
         """Full [M, N] int8 ALT-dosage codes (3 = missing) via the fused
         native 2-bit decode; only for files with a genotype node."""
@@ -135,11 +138,14 @@ class SeqData:
                          ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yield (variant_indices, int8 code block [b, N]).
 
-        ``streamed=True`` decodes LZMA frames incrementally instead of
-        materializing the [M, N] matrix (out-of-core scans); auto when the
-        full matrix would exceed ~4 GB."""
+        ``streamed=True`` decodes compressed frames incrementally instead
+        of materializing the [M, N] matrix; auto above ~256 MB decoded —
+        single-pass consumers (scans) decode into small reused warm
+        buffers, while repeated-access consumers below the threshold get
+        the cached matrix."""
         if streamed is None:
-            streamed = self.n_variants * self.n_samples > 4 << 30
+            streamed = (self.n_variants * self.n_samples > 256 << 20
+                        and self._code_cache_or_none() is None)
         if streamed:
             yield from self._iter_code_blocks_streamed(block_size,
                                                        variant_mask)
