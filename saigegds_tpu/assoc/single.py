@@ -108,6 +108,7 @@ def assoc_spa(gdsfile, modobj: Union[NullModel, str],
     df = _scan_blocks(scan_model, params, binary, config.block_size,
                       blocks, mesh=mesh, packed=packed,
                       packed_2bit=config.packed_2bit,
+                      packed_sparse=config.packed_sparse,
                       spa_mixed=config.spa_mixed,
                       spa_compact=config.spa_compact, cols=cols)
     idx = df.pop("__idx__").to_numpy()
@@ -173,13 +174,19 @@ def assoc_spa_user(geno_fn, n_variants: int, modobj: Union[NullModel, str],
 
 def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
                  mesh=None, packed: bool = False, packed_2bit: bool = False,
-                 spa_mixed: bool = False,
+                 packed_sparse: bool = False, spa_mixed: bool = False,
                  spa_compact: bool = True, cols=None) -> pd.DataFrame:
     """Shared two-phase scan core: batched score kernel + compact SPA.
 
     With ``mesh``, each padded block is sharded over its variant axis and
     the model replicated — embarrassingly parallel, the mesh analog of the
     reference's ``seqParallel(split="by.variant")`` (R/assoc_single.r:202).
+
+    With ``packed_sparse``, rare rows of each packed block (nonzero
+    fraction < 1/8) ship gap-coded at 2 B/nonzero instead of 0.25 B/sample
+    (ops/sparse_codes — the reference's maf<0.05 sparse split,
+    src/saige_main.cpp:299, recast as transport) and common rows ship
+    2-bit planar; both decode on device into the same exact contraction.
     """
     if packed:
         from ..ops.pallas_score import pallas_available
@@ -188,17 +195,18 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
                                         score_stats_quant_packed)
         pm = pack_scan_model(scan_model)
         if packed_2bit:
-            impl = "pallas2" if pallas_available() else "xla2"
+            dense_impl = "pallas2" if pallas_available() else "xla2"
         else:
-            impl = "pallas" if pallas_available() else "xla"
+            dense_impl = "pallas" if pallas_available() else "xla"
         pk = score_stats_binary_packed if binary else score_stats_quant_packed
-        kernel = lambda _sm, p, codes: pk(pm, p, codes, impl=impl)
+        kernel = lambda _sm, p, codes: pk(pm, p, codes, impl=dense_impl)
     else:
         kernel = score_stats_binary if binary else score_stats_quant
     if mesh is not None:
         from ..parallel.mesh import replicate, shard_variant_batch
         scan_model = replicate(mesh, scan_model)
         _place = lambda Gp: shard_variant_batch(mesh, Gp)
+        packed_sparse = False     # entry streams don't shard by variant
     else:
         _place = lambda Gp: Gp
     rows_idx, outs = [], []
@@ -215,40 +223,49 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
 
     def _drain_one():
         nonlocal row0
-        idx, G, res = window.popleft()
+        idx, G, parts = window.popleft()
         n = len(idx)
-        valid = np.asarray(res.valid)[:n]
+        valid = np.empty(n, bool)
+        need = np.empty(n, bool)
+        f = {k: np.empty(n) for k in ("af", "mac", "num",
+                                      "beta", "se", "pval")}
+        for rows, res in parts:
+            m = len(rows)
+            valid[rows] = np.asarray(res.valid)[:m]
+            need[rows] = np.asarray(res.need_spa)[:m]
+            for k in f:
+                f[k][rows] = np.asarray(getattr(res, k))[:m]
         rows_idx.append(idx[valid])
-        out = {k: np.asarray(getattr(res, k))[:n][valid]
-               for k in ("af", "mac", "num", "beta", "se", "pval")}
+        out = {k: v[valid] for k, v in f.items()}
         out["converged"] = np.isfinite(out["pval"])
         out["pval_noadj"] = out["pval"].copy()
-        need = np.asarray(res.need_spa)[:n][valid]
-        if need.any():
-            Gf = G[valid][need]
+        needv = need[valid]
+        if needv.any():
+            Gf = G[valid][needv]
             if packed and packed_2bit:
                 pass          # keep int8 codes; phase 2 ships them 2-bit
             elif packed:
                 Gf = np.where(Gf == 3, np.nan, Gf).astype(np.float64)
             spa_G.append(Gf)
-            spa_rows.append(row0 + np.flatnonzero(need))
+            spa_rows.append(row0 + np.flatnonzero(needv))
         outs.append(out)
         row0 += int(valid.sum())
 
     for idx, G in block_iter:
         if packed:
             G = np.asarray(G, np.int8)
-            Gblk = _pad_block(G, B, fill=3)
-            if packed_2bit:
-                from ..ops.packed_grm import pack_codes_2bit
-                Gblk = pack_codes_2bit(Gblk)   # uint8 [B, ceil(N/4)]
-            Gp = _place(Gblk)
+            parts = [(rows, pk(pm, params, payload, impl=impl))
+                     for rows, payload, impl in
+                     _packed_parts(G, B, dense_impl, packed_2bit,
+                                   packed_sparse, _place)]
         else:
             G = np.asarray(G, np.float64)
             if cols is not None:
                 G = G[:, cols]
             Gp = _place(_pad_block(G, B))
-        window.append((idx, G, kernel(scan_model, params, Gp)))
+            parts = [(np.arange(len(idx)),
+                      kernel(scan_model, params, Gp))]
+        window.append((idx, G, parts))
         if len(window) >= DEPTH:
             _drain_one()
     while window:
@@ -322,6 +339,59 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
         tab["p.norm"] = pval_noadj
         tab["converged"] = converged.astype(bool)
     return pd.DataFrame(tab)
+
+
+def _packed_parts(G: np.ndarray, B: int, dense_impl: str,
+                  packed_2bit: bool, packed_sparse: bool, place):
+    """Split one packed int8 block into transport parts.
+
+    Returns ``[(rows, device_payload, impl), ...]`` where ``rows`` indexes
+    the unpadded block.  Rare rows (ops/sparse_codes.sparse_row_mask) ship
+    as the gap-coded entry stream; the rest ship as before (2-bit planar
+    or int8, padded to ``B`` when the block isn't split so the compiled
+    shape stays unique).  A tiny minority side (< 64 rows) is not worth a
+    second dispatch: the whole block goes the cheaper way.
+    """
+    import jax.numpy as jnp
+
+    n, N = G.shape
+    sp_rows = de_rows = None
+    if packed_sparse and B * N < (1 << 31):  # int32 decode cursor bound
+        from ..ops.sparse_codes import sparse_beats_dense, sparse_row_mask
+        mask = sparse_row_mask(G)
+        ns = int(mask.sum())
+        MIN_SPLIT = 64
+        if ns >= n - MIN_SPLIT and sparse_beats_dense(G):
+            sp_rows, de_rows = np.arange(n), np.empty(0, np.int64)
+        elif ns < MIN_SPLIT:
+            sp_rows, de_rows = np.empty(0, np.int64), np.arange(n)
+        else:
+            sp_rows, de_rows = np.flatnonzero(mask), np.flatnonzero(~mask)
+    if sp_rows is None or not len(sp_rows):
+        Gd = _pad_block(G, B, fill=3)
+        if packed_2bit:
+            from ..ops.packed_grm import pack_codes_2bit
+            Gd = pack_codes_2bit(Gd)       # uint8 [B, ceil(N/4)]
+        return [(np.arange(n), place(Gd), dense_impl)]
+
+    from ..ops.sparse_codes import (bucket_rows, encode_sparse_rows,
+                                    pad_entries)
+    parts = []
+    Bs = bucket_rows(len(sp_rows), B)
+    entries, row_ptr = encode_sparse_rows(G[sp_rows])
+    entries = pad_entries(entries)
+    rp = np.full(Bs + 1, row_ptr[-1], np.int32)   # pad rows are empty
+    rp[: len(row_ptr)] = row_ptr
+    parts.append((sp_rows, (jnp.asarray(entries), jnp.asarray(rp)),
+                  "sparse"))
+    if len(de_rows):
+        Bd = bucket_rows(len(de_rows), B)
+        Gd = _pad_block(G[de_rows], Bd, fill=3)
+        if packed_2bit:
+            from ..ops.packed_grm import pack_codes_2bit
+            Gd = pack_codes_2bit(Gd)
+        parts.append((de_rows, place(Gd), dense_impl))
+    return parts
 
 
 def _spa_nnz(Gi: np.ndarray) -> np.ndarray:

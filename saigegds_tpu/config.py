@@ -63,6 +63,9 @@ class ScanConfig:
     packed_2bit: bool = True      # ship scan blocks 2-bit planar-packed
                                   # (0.25 B/genotype host->device + HBM;
                                   # decode on device; bit-parity with int8)
+    packed_sparse: bool = True    # ship rare rows (nnz < N/8) gap-coded
+                                  # (2 B/nonzero; the reference's sparse
+                                  # store recast as transport, exact)
     spa_compact: bool = True      # gather nonzero lanes before the SPA
                                   # CGF loops (exact; big win for rare vars)
     spa_mixed: bool = False       # f32+polish SPA root-finding (TPU fast

@@ -121,7 +121,18 @@ def _packed_phase1(pm: PackedScanModel, params: ScanParams, codes,
     missing retained as 3; byte j bit-pair p = sample p*N4+j) — 0.25
     B/genotype over the host->device link and in HBM.  Padded samples
     beyond N contribute nothing because their ``vs4`` rows are zero.
+
+    ``impl="sparse"`` takes ``codes`` as the ``(entries, row_ptr)``
+    gap-coded transport of ops/sparse_codes (2 B/nonzero over the link),
+    decodes to the exact int8 block on device, and runs the ``xla``
+    contraction — bit-parity with the dense paths by construction.
     """
+    if impl == "sparse":
+        from .sparse_codes import decode_codes
+        entries, row_ptr = codes
+        codes = decode_codes(entries, row_ptr, row_ptr.shape[0] - 1,
+                             pm.V.shape[1])
+        impl = "xla"
     B = codes.shape[0]
     N = pm.V.shape[1]               # true sample count
     K = (pm.V.shape[0] - 3) // 2    # static (from array shape, not the leaf)
