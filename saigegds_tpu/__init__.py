@@ -18,7 +18,9 @@ jax.config.update("jax_enable_x64", True)
 from .config import NullModelConfig, ScanConfig  # noqa: E402
 from .models.nullmodel import NullModel, fit_null_glmm  # noqa: E402
 from .assoc.single import assoc_spa, assoc_spa_user  # noqa: E402
-from .assoc.aggregate import assoc_burden, assoc_acat_v, assoc_acat_o  # noqa: E402
+from .assoc.aggregate import (assoc_burden, assoc_acat_v,  # noqa: E402
+                              assoc_acat_o, sliding_windows,
+                              units_from_groups)
 from .assoc.gxg import gxg_spa  # noqa: E402
 from .utils.stats import acat_p, acat_p_maf, glmm_heritability, load_pval  # noqa: E402
 from .utils.profiling import device_info, phase_timer, profile_trace  # noqa: E402

@@ -239,13 +239,17 @@ class _Kernel:
     def _packed_kernel(self):
         """Lazy packed-model build (one transposed int8 cache per scan)."""
         if self._packed is None:
+            from ..ops.pallas_score import pallas_available
             from ..ops.score_packed import (pack_scan_model,
                                             score_stats_binary_packed,
                                             score_stats_quant_packed)
             pm = pack_scan_model(self.scan_model)
             pk = score_stats_binary_packed if self.binary \
                 else score_stats_quant_packed
-            self._packed = lambda params, codes: pk(pm, params, codes)
+            impl = "pallas2" if pallas_available() else "xla2"
+            self._packed = (
+                lambda params, codes, impl=impl: pk(pm, params, codes,
+                                                    impl=impl), impl)
         return self._packed
 
     def run(self, G: np.ndarray):
@@ -273,11 +277,17 @@ class _Kernel:
 
         def _drain():
             nonlocal parts
-            start, G, res = window.popleft()
+            start, G, res_parts = window.popleft()
             m = len(G)
+            f = {k: np.empty(m) for k in parts}
+            need = np.empty(m, bool)
+            for rows, res in res_parts:
+                mm = len(rows)
+                need[rows] = np.asarray(res.need_spa)[:mm]
+                for k in f:
+                    f[k][rows] = np.asarray(getattr(res, k))[:mm]
             for k in parts:
-                parts[k].append(np.asarray(getattr(res, k))[:m])
-            need = np.asarray(res.need_spa)[:m]
+                parts[k].append(f[k])
             if self.binary and need.any():
                 need_rows.append(start + np.flatnonzero(need))
                 need_G.append(G[need])
@@ -289,15 +299,22 @@ class _Kernel:
                     ((G == np.floor(G)) & (G >= 0) & (G <= 2)))) if G.size \
                     else False
             if as_codes:
-                pk = self._packed_kernel()
-                blk = _pad_block(np.where(np.isnan(G), 3, G).astype(np.int8),
-                                 B, fill=3)
-                res = pk(self.params, blk)
+                # aggregate units are rare variants: ship them through the
+                # same sparse/2-bit transport split as the scan driver
+                from .single import _packed_parts
+                pk, impl = self._packed_kernel()
+                codes = np.where(np.isnan(G), 3, G).astype(np.int8)
+                res_parts = [
+                    (rows, pk(self.params, payload, impl=im))
+                    for rows, payload, im in
+                    _packed_parts(codes, B, impl, packed_2bit=True,
+                                  packed_sparse=True, place=lambda x: x)]
             else:
                 kern = score_stats_binary if self.binary \
                     else score_stats_quant
                 res = kern(self.scan_model, self.params, _pad_block(G, B))
-            window.append((start, G, res))
+                res_parts = [(np.arange(len(G)), res)]
+            window.append((start, G, res_parts))
             if len(window) >= 3:
                 _drain()
 

@@ -308,12 +308,26 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
             Gi = Gs[s : s + SPA_BATCH]
             cap = _spa_cap(Gi) if spa_compact else 0
             if np.issubdtype(Gi.dtype, np.integer):
-                # ship codes 2-bit packed and decode on device: N/4 bytes
-                # per variant instead of 8N (the transfer is the scan's
-                # binding resource at biobank N; BENCH_NOTES.md)
-                from ..ops.packed_grm import pack_codes_2bit
-                Gb = _place(pack_codes_2bit(_pad_block(Gi, SPA_BATCH,
-                                                       fill=3)))
+                # ship codes 2-bit packed (N/4 bytes per variant instead
+                # of 8N) or, for a rare-variant batch, gap-coded sparse
+                # (2 B/nonzero) — the transfer is the scan's binding
+                # resource at biobank N (BENCH_NOTES.md).  nnz sorting
+                # makes batches homogeneous, so one whole-batch decision
+                # suffices; pad rows are empty (their lanes are discarded)
+                from ..ops.sparse_codes import sparse_beats_dense
+                if packed_sparse and sparse_beats_dense(Gi):
+                    import jax.numpy as jnp
+                    from ..ops.sparse_codes import (encode_sparse_rows,
+                                                    pad_entries)
+                    entries, row_ptr = encode_sparse_rows(Gi)
+                    rp = np.full(SPA_BATCH + 1, row_ptr[-1], np.int32)
+                    rp[: len(row_ptr)] = row_ptr
+                    Gb = (jnp.asarray(pad_entries(entries)),
+                          jnp.asarray(rp))
+                else:
+                    from ..ops.packed_grm import pack_codes_2bit
+                    Gb = _place(pack_codes_2bit(_pad_block(Gi, SPA_BATCH,
+                                                           fill=3)))
                 res = spa_refine_binary(scan_model, Gb, mixed=spa_mixed,
                                         cap=cap, packed_n=Gi.shape[1])
             else:
@@ -341,30 +355,48 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
     return pd.DataFrame(tab)
 
 
+SPLIT_SAVE_BYTES = 4 << 20   # min upload saving to justify a 2nd dispatch
+SPLIT_SAVE_FRAC = 0.25       # ... and it must be >= this fraction of the
+#                              block's 2-bit bytes (dispatch has a fixed
+#                              latency floor — large over the dev tunnel)
+
+
 def _packed_parts(G: np.ndarray, B: int, dense_impl: str,
                   packed_2bit: bool, packed_sparse: bool, place):
     """Split one packed int8 block into transport parts.
 
     Returns ``[(rows, device_payload, impl), ...]`` where ``rows`` indexes
-    the unpadded block.  Rare rows (ops/sparse_codes.sparse_row_mask) ship
-    as the gap-coded entry stream; the rest ship as before (2-bit planar
-    or int8, padded to ``B`` when the block isn't split so the compiled
-    shape stays unique).  A tiny minority side (< 64 rows) is not worth a
-    second dispatch: the whole block goes the cheaper way.
+    the unpadded block.  Rare rows (nonzero fraction < 1/8) ship as the
+    gap-coded entry stream; the rest ship as before (2-bit planar or int8,
+    padded to ``B`` when the block isn't split so the compiled shape stays
+    unique).  Because every dispatch pays a fixed latency floor, the block
+    splits into two parts only when the sparse side's byte saving is
+    substantial (SPLIT_SAVE_BYTES and SPLIT_SAVE_FRAC); otherwise the
+    whole block routes the cheaper way in ONE dispatch — uniformly rare
+    files still get the full sparse win without extra dispatches.
     """
     import jax.numpy as jnp
 
     n, N = G.shape
     sp_rows = de_rows = None
     if packed_sparse and B * N < (1 << 31):  # int32 decode cursor bound
-        from ..ops.sparse_codes import sparse_beats_dense, sparse_row_mask
-        mask = sparse_row_mask(G)
+        from ..ops.sparse_codes import SPARSE_NNZ_FRAC
+        nnz = (G != 0).sum(axis=1)
+        mask = nnz < (N * SPARSE_NNZ_FRAC)
         ns = int(mask.sum())
+        row_bytes = N // 4
+        # whole-block sparse must save >= 50% of the 2-bit bytes: the
+        # device decode costs ~0.2s/block (XLA scatter), so marginal
+        # savings are not worth flipping the transport
+        whole_sparse = 2 * int(nnz.sum()) < (n * row_bytes) // 2
+        saving = ns * row_bytes - 2 * int(nnz[mask].sum())
         MIN_SPLIT = 64
-        if ns >= n - MIN_SPLIT and sparse_beats_dense(G):
-            sp_rows, de_rows = np.arange(n), np.empty(0, np.int64)
-        elif ns < MIN_SPLIT:
-            sp_rows, de_rows = np.empty(0, np.int64), np.arange(n)
+        if min(ns, n - ns) < MIN_SPLIT or \
+                saving < max(SPLIT_SAVE_BYTES, SPLIT_SAVE_FRAC * n * row_bytes):
+            if whole_sparse:
+                sp_rows, de_rows = np.arange(n), np.empty(0, np.int64)
+            else:
+                sp_rows, de_rows = np.empty(0, np.int64), np.arange(n)
         else:
             sp_rows, de_rows = np.flatnonzero(mask), np.flatnonzero(~mask)
     if sp_rows is None or not len(sp_rows):
@@ -377,10 +409,12 @@ def _packed_parts(G: np.ndarray, B: int, dense_impl: str,
     from ..ops.sparse_codes import (bucket_rows, encode_sparse_rows,
                                     pad_entries)
     parts = []
-    Bs = bucket_rows(len(sp_rows), B)
+    # the sparse part's row axis is always B: the entry stream is the only
+    # upload, so padding rows is free and removes a compile-shape axis
+    # (shape variants come only from the entry-length buckets)
     entries, row_ptr = encode_sparse_rows(G[sp_rows])
     entries = pad_entries(entries)
-    rp = np.full(Bs + 1, row_ptr[-1], np.int32)   # pad rows are empty
+    rp = np.full(B + 1, row_ptr[-1], np.int32)    # pad rows are empty
     rp[: len(row_ptr)] = row_ptr
     parts.append((sp_rows, (jnp.asarray(entries), jnp.asarray(rp)),
                   "sparse"))

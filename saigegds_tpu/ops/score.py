@@ -138,11 +138,18 @@ def spa_refine_binary(model: ScanModel, G, mixed: bool = False,
 
     G: [Bs, N] raw dosages (NaN = missing) of variants that passed filters
     and had p_noadj <= spa.pval — or, with ``packed_n`` = N, planar 2-bit
-    packed uint8 [Bs, ceil(N/4)] codes (decoded on device; bit-identical
-    dosages).  Returns (pval, converged, beta).
+    packed uint8 [Bs, ceil(N/4)] codes, or the ``(entries, row_ptr)``
+    gap-coded stream of ops/sparse_codes (both decoded on device;
+    bit-identical dosages).  Returns (pval, converged, beta).
     Mirrors src/saige_main.cpp:355-400.
     """
-    if packed_n:
+    if packed_n and isinstance(G, tuple):
+        from .sparse_codes import decode_codes
+        entries, row_ptr = G
+        codes = decode_codes(entries, row_ptr, row_ptr.shape[0] - 1,
+                             packed_n)
+        G = jnp.where(codes == 3, jnp.nan, codes.astype(jnp.float64))
+    elif packed_n:
         G = unpack_codes_2bit_f64(G, packed_n)
     g, af, ac, num, mac, maf, miss, flip = prep_dosage(G)
     g_tilde = _adjusted_genotype(model, g)

@@ -124,14 +124,50 @@ def test_sparse_impl_matches_int8(setup):
                                       err_msg=f)
 
 
+def test_spa_refine_sparse_payload(setup):
+    """Phase-2 SPA: the gap-coded payload == the 2-bit payload == dense f64
+    (device decode is exact; empty pad rows are discarded lanes)."""
+    from saigegds_tpu.ops.packed_grm import pack_codes_2bit
+    from saigegds_tpu.ops.score import spa_refine_binary
+
+    seq, sm, _ = setup
+    G = seq.dosage_block(0, 200)
+    codes = np.where(np.isnan(G), 3, G).astype(np.int8)
+    # keep rows rare enough that the sparse transport is the natural choice
+    keep = (codes != 0).sum(axis=1) < codes.shape[1] // 8
+    codes = codes[keep][:100]
+    n = codes.shape[1]
+
+    want = spa_refine_binary(sm, jnp.asarray(
+        np.where(codes == 3, np.nan, codes).astype(np.float64)))
+    via2 = spa_refine_binary(sm, jnp.asarray(pack_codes_2bit(codes)),
+                             packed_n=n)
+    entries, row_ptr = encode_sparse_rows(codes)
+    B = 128                                   # pad rows beyond the batch
+    rp = np.full(B + 1, row_ptr[-1], np.int32)
+    rp[: len(row_ptr)] = row_ptr
+    got = spa_refine_binary(sm, (jnp.asarray(pad_entries(entries)),
+                                 jnp.asarray(rp)), packed_n=n)
+    m = codes.shape[0]
+    for i, name in enumerate(("pval", "conv", "beta", "se")):
+        np.testing.assert_array_equal(np.asarray(got[i])[:m],
+                                      np.asarray(via2[i])[:m], err_msg=name)
+        np.testing.assert_array_equal(np.asarray(got[i])[:m],
+                                      np.asarray(want[i])[:m], err_msg=name)
+
+
 @pytest.mark.parametrize("packed_2bit", [False, True])
-def test_scan_split_parity(setup, packed_2bit):
+def test_scan_split_parity(setup, packed_2bit, monkeypatch):
     """End-to-end _scan_blocks: the sparse/dense row split returns the
     identical table as the all-dense transport (mixed rare/common block,
-    both sides above the split minimum)."""
+    both sides above the split minimum; thresholds zeroed so the split
+    engages at test scale)."""
+    import saigegds_tpu.assoc.single as single_mod
     from saigegds_tpu.assoc.single import _scan_blocks
     from saigegds_tpu.ops.score import ScanParams
 
+    monkeypatch.setattr(single_mod, "SPLIT_SAVE_BYTES", 0)
+    monkeypatch.setattr(single_mod, "SPLIT_SAVE_FRAC", 0.0)
     _, sm, _ = setup
     n = sm.y.shape[0]
     rng = np.random.default_rng(7)
@@ -156,3 +192,24 @@ def test_scan_split_parity(setup, packed_2bit):
     for c in ("AF.alt", "mac", "num", "beta", "SE", "pval", "p.norm"):
         np.testing.assert_allclose(got[c].to_numpy(), want[c].to_numpy(),
                                    rtol=1e-12, err_msg=c)
+
+
+@pytest.mark.parametrize("regime", ["rare", "common"])
+def test_packed_parts_whole_block_routing(setup, regime):
+    """Below the split thresholds the block routes whole: one dispatch,
+    sparse payload iff the entry stream is smaller than the 2-bit block."""
+    from saigegds_tpu.assoc.single import _packed_parts
+
+    rng = np.random.default_rng(3)
+    n = 1000
+    af = 0.01 if regime == "rare" else 0.3
+    codes = rng.binomial(2, af, size=(200, n)).astype(np.int8)
+    parts = _packed_parts(codes, 256, "xla2", packed_2bit=True,
+                          packed_sparse=True, place=lambda x: x)
+    assert len(parts) == 1
+    rows, payload, impl = parts[0]
+    np.testing.assert_array_equal(rows, np.arange(200))
+    if regime == "rare":
+        assert impl == "sparse" and isinstance(payload, tuple)
+    else:
+        assert impl == "xla2" and not isinstance(payload, tuple)
