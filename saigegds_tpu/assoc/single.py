@@ -55,6 +55,16 @@ def _prefetch_blocks(block_iter, depth: int = 2):
         yield item
 
 
+def _shrink_f32(G: np.ndarray) -> np.ndarray:
+    """Ship a dosage block f32 when that is lossless (always true for
+    dFloat32/dPackedReal GDS sources): halves the host->device bytes;
+    kernels widen back to f64 on device (ops/score.prep_dosage)."""
+    G32 = G.astype(np.float32)
+    if np.array_equal(G32.astype(np.float64), G, equal_nan=True):
+        return G32
+    return G
+
+
 def _pad_block(G: np.ndarray, B: int, fill=np.nan) -> np.ndarray:
     if G.shape[0] == B:
         return G
@@ -262,7 +272,7 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
             G = np.asarray(G, np.float64)
             if cols is not None:
                 G = G[:, cols]
-            Gp = _place(_pad_block(G, B))
+            Gp = _place(_pad_block(_shrink_f32(G), B))
             parts = [(np.arange(len(idx)),
                       kernel(scan_model, params, Gp))]
         window.append((idx, G, parts))
@@ -331,7 +341,7 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
                 res = spa_refine_binary(scan_model, Gb, mixed=spa_mixed,
                                         cap=cap, packed_n=Gi.shape[1])
             else:
-                Gb = _place(_pad_block(Gi, SPA_BATCH))
+                Gb = _place(_pad_block(_shrink_f32(Gi), SPA_BATCH))
                 res = spa_refine_binary(scan_model, Gb, mixed=spa_mixed,
                                         cap=cap)
             pending.append((rows[s : s + SPA_BATCH], res))

@@ -68,10 +68,15 @@ class ScoreStats(NamedTuple):
 def prep_dosage(G):
     """Per-variant AF/AC/missing + mean imputation + minor-allele flip.
 
-    G: [B, N] raw ALT dosages with NaN for missing.
+    G: [B, N] raw ALT dosages with NaN for missing.  An f32 block is
+    widened here (exact): callers ship f32 over the host->device link
+    when the dosages are exactly f32-representable — always true for
+    dFloat32/dPackedReal GDS source nodes — halving the transport of
+    DS-dosage scans.
     Mirrors ``f64_af_ac_impute`` + flip (src/vectorization.cpp:303-354,
     src/saige_main.cpp:291-299).
     """
+    G = G.astype(jnp.float64)
     isnan = jnp.isnan(G)
     num = jnp.sum(~isnan, axis=1)
     ac = jnp.where(isnan, 0.0, G).sum(axis=1)

@@ -155,3 +155,36 @@ def test_spa_nnz_codes_matches_f64():
         f = np.where(codes == 3, np.nan, codes).astype(np.float64)
         np.testing.assert_array_equal(_spa_nnz(codes), _spa_nnz(f))
         assert _spa_cap(codes) == _spa_cap(f)
+
+
+def test_f32_transport_shrink_lossless():
+    """Dense dosage blocks ship f32 when exactly representable (DS scans:
+    half the transport) and f64 otherwise — results identical either way."""
+    from saigegds_tpu.assoc.single import _shrink_f32
+    from saigegds_tpu.models.nullmodel import NullModel
+    from saigegds_tpu.ops.score import ScanParams, score_stats_binary
+    import jax.numpy as jnp
+
+    model = NullModel.load("/root/reference/inst/unitTests/saige_model.rds")
+    sm = model.scan_model()
+    n = sm.y.shape[0]
+    rng = np.random.default_rng(5)
+    # f32-representable fractional dosages (dFloat32-sourced DS analog)
+    G = rng.uniform(0, 2, size=(64, n)).astype(np.float32) \
+        .astype(np.float64)
+    G[rng.random((64, n)) < 0.02] = np.nan
+    assert _shrink_f32(G).dtype == np.float32
+    # a genuinely f64 value must NOT shrink
+    G64 = G.copy()
+    G64[0, 0] = 0.1234567890123456789
+    assert _shrink_f32(G64).dtype == np.float64
+
+    params = ScanParams(maf=-1.0, mac=4.0, missing=0.1, spa_pval=0.05)
+    want = score_stats_binary(sm, params, jnp.asarray(G))
+    got = score_stats_binary(sm, params, jnp.asarray(_shrink_f32(G)))
+    v = np.asarray(want.valid)
+    np.testing.assert_array_equal(np.asarray(got.valid), v)
+    for f in ("af", "mac", "beta", "se", "pval"):
+        np.testing.assert_array_equal(np.asarray(getattr(got, f))[v],
+                                      np.asarray(getattr(want, f))[v],
+                                      err_msg=f)
