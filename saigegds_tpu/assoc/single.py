@@ -223,13 +223,32 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
     spa_G, spa_rows = [], []  # flagged variants for phase-2 refinement
     row0 = 0
 
-    # dispatch pipeline: keep a small window of in-flight device blocks so
-    # host-side decode of block k+1 overlaps device compute of block k
-    # (the np.asarray conversion in drain forces a sync per block)
+    # dispatch pipeline: payload construction AND the host->device
+    # transfer run in the prefetch worker thread (device_put is
+    # thread-safe), so upload of block k+1 overlaps the main thread's
+    # dispatch + result sync of block k; the window then bounds in-flight
+    # device blocks
+    import jax
     from collections import deque
     window = deque()
     DEPTH = 3
-    block_iter = _prefetch_blocks(block_iter)
+    _put = jax.device_put if mesh is None else _place
+
+    def _prepped(it):
+        for idx, G in it:
+            if packed:
+                G = np.asarray(G, np.int8)
+                pl = _packed_parts(G, B, dense_impl, packed_2bit,
+                                   packed_sparse, _put)
+            else:
+                G = np.asarray(G, np.float64)
+                if cols is not None:
+                    G = G[:, cols]
+                pl = [(np.arange(len(idx)),
+                       _put(_pad_block(_shrink_f32(G), B)), None)]
+            yield idx, G, pl
+
+    block_iter = _prefetch_blocks(_prepped(block_iter))
 
     def _drain_one():
         nonlocal row0
@@ -261,20 +280,11 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
         outs.append(out)
         row0 += int(valid.sum())
 
-    for idx, G in block_iter:
-        if packed:
-            G = np.asarray(G, np.int8)
-            parts = [(rows, pk(pm, params, payload, impl=impl))
-                     for rows, payload, impl in
-                     _packed_parts(G, B, dense_impl, packed_2bit,
-                                   packed_sparse, _place)]
-        else:
-            G = np.asarray(G, np.float64)
-            if cols is not None:
-                G = G[:, cols]
-            Gp = _place(_pad_block(_shrink_f32(G), B))
-            parts = [(np.arange(len(idx)),
-                      kernel(scan_model, params, Gp))]
+    for idx, G, pl in block_iter:
+        parts = [(rows,
+                  pk(pm, params, payload, impl=impl) if impl is not None
+                  else kernel(scan_model, params, payload))
+                 for rows, payload, impl in pl]
         window.append((idx, G, parts))
         if len(window) >= DEPTH:
             _drain_one()
@@ -385,8 +395,6 @@ def _packed_parts(G: np.ndarray, B: int, dense_impl: str,
     whole block routes the cheaper way in ONE dispatch — uniformly rare
     files still get the full sparse win without extra dispatches.
     """
-    import jax.numpy as jnp
-
     n, N = G.shape
     sp_rows = de_rows = None
     if packed_sparse and B * N < (1 << 31):  # int32 decode cursor bound
@@ -426,8 +434,7 @@ def _packed_parts(G: np.ndarray, B: int, dense_impl: str,
     entries = pad_entries(entries)
     rp = np.full(B + 1, row_ptr[-1], np.int32)    # pad rows are empty
     rp[: len(row_ptr)] = row_ptr
-    parts.append((sp_rows, (jnp.asarray(entries), jnp.asarray(rp)),
-                  "sparse"))
+    parts.append((sp_rows, place((entries, rp)), "sparse"))
     if len(de_rows):
         Bd = bucket_rows(len(de_rows), B)
         Gd = _pad_block(G[de_rows], Bd, fill=3)
