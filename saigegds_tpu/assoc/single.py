@@ -324,37 +324,40 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
             beta[r] = np.asarray(b)[:m]
             se[r] = np.asarray(e)[:m]
 
-        for s in range(0, len(rows), SPA_BATCH):
-            Gi = Gs[s : s + SPA_BATCH]
-            cap = _spa_cap(Gi) if spa_compact else 0
-            if np.issubdtype(Gi.dtype, np.integer):
-                # ship codes 2-bit packed (N/4 bytes per variant instead
-                # of 8N) or, for a rare-variant batch, gap-coded sparse
-                # (2 B/nonzero) — the transfer is the scan's binding
-                # resource at biobank N (BENCH_NOTES.md).  nnz sorting
-                # makes batches homogeneous, so one whole-batch decision
-                # suffices; pad rows are empty (their lanes are discarded)
-                from ..ops.sparse_codes import sparse_beats_dense
-                if packed_sparse and sparse_beats_dense(Gi):
-                    import jax.numpy as jnp
-                    from ..ops.sparse_codes import (encode_sparse_rows,
-                                                    pad_entries)
-                    entries, row_ptr = encode_sparse_rows(Gi)
-                    rp = np.full(SPA_BATCH + 1, row_ptr[-1], np.int32)
-                    rp[: len(row_ptr)] = row_ptr
-                    Gb = (jnp.asarray(pad_entries(entries)),
-                          jnp.asarray(rp))
+        def _spa_payloads():
+            # payload build + upload in the prefetch worker, like phase 1
+            for s in range(0, len(rows), SPA_BATCH):
+                Gi = Gs[s : s + SPA_BATCH]
+                cap = _spa_cap(Gi) if spa_compact else 0
+                if np.issubdtype(Gi.dtype, np.integer):
+                    # ship codes 2-bit packed (N/4 bytes per variant
+                    # instead of 8N) or, for a rare-variant batch,
+                    # gap-coded sparse (2 B/nonzero) — the transfer is the
+                    # scan's binding resource at biobank N (BENCH_NOTES).
+                    # nnz sorting makes batches homogeneous, so one
+                    # whole-batch decision suffices; pad rows are empty
+                    # (their lanes are discarded)
+                    from ..ops.sparse_codes import sparse_beats_dense
+                    if packed_sparse and sparse_beats_dense(Gi):
+                        from ..ops.sparse_codes import (encode_sparse_rows,
+                                                        pad_entries)
+                        entries, row_ptr = encode_sparse_rows(Gi)
+                        rp = np.full(SPA_BATCH + 1, row_ptr[-1], np.int32)
+                        rp[: len(row_ptr)] = row_ptr
+                        Gb = _put((pad_entries(entries), rp))
+                    else:
+                        from ..ops.packed_grm import pack_codes_2bit
+                        Gb = _put(pack_codes_2bit(_pad_block(Gi, SPA_BATCH,
+                                                             fill=3)))
+                    yield rows[s : s + SPA_BATCH], Gb, cap, Gi.shape[1]
                 else:
-                    from ..ops.packed_grm import pack_codes_2bit
-                    Gb = _place(pack_codes_2bit(_pad_block(Gi, SPA_BATCH,
-                                                           fill=3)))
-                res = spa_refine_binary(scan_model, Gb, mixed=spa_mixed,
-                                        cap=cap, packed_n=Gi.shape[1])
-            else:
-                Gb = _place(_pad_block(_shrink_f32(Gi), SPA_BATCH))
-                res = spa_refine_binary(scan_model, Gb, mixed=spa_mixed,
-                                        cap=cap)
-            pending.append((rows[s : s + SPA_BATCH], res))
+                    Gb = _put(_pad_block(_shrink_f32(Gi), SPA_BATCH))
+                    yield rows[s : s + SPA_BATCH], Gb, cap, 0
+
+        for r, Gb, cap, pn in _prefetch_blocks(_spa_payloads()):
+            res = spa_refine_binary(scan_model, Gb, mixed=spa_mixed,
+                                    cap=cap, packed_n=pn)
+            pending.append((r, res))
             if len(pending) >= DEPTH:
                 _drain_spa()
         while pending:
