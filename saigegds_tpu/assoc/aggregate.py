@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from collections import deque
 from dataclasses import dataclass, field
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 import pandas as pd
@@ -172,6 +172,75 @@ def _normalize(w: np.ndarray) -> np.ndarray:
     return w
 
 
+class _CodeTallies:
+    """Per-SNP reductions of an int8 code block [S, N] (3 = missing) —
+    the same quantities ``_maf_mac`` / ``_burden_collapse`` derive from
+    the f64 NaN matrix, computed without materializing it."""
+
+    def __init__(self, codes: np.ndarray):
+        miss = codes == 3
+        self.n_miss = miss.sum(axis=1).astype(np.float64)
+        N = codes.shape[1]
+        self.n = N - self.n_miss
+        self.s = np.where(miss, 0, codes).sum(axis=1,
+                                              dtype=np.int64).astype(float)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            af = self.s / (2.0 * self.n)
+            self.mean = self.s / self.n
+        self.maf = np.where(self.n > 0, np.minimum(af, 1.0 - af), np.nan)
+        self.mac = np.minimum(self.s, 2.0 * self.n - self.s)
+        self.flip = self.s > self.n
+
+
+class _BurdenJob:
+    """One unit's device-collapse job: codes ship once, the weighted
+    burden rows are built on device (ops/score_packed.burden_score_packed).
+
+    ``A``/``Bm`` [R, S] and ``C`` [R] are the affine coefficients of the
+    reference's mean-impute + minor-flip + weight collapse; ``wrows``
+    keeps the original (NaN-masked) weights so SPA-flagged rows can be
+    rebuilt host-side for phase 2."""
+
+    __slots__ = ("codes", "wrows", "A", "Bm", "C", "row_sums")
+
+    def __init__(self, codes: np.ndarray, wrows: np.ndarray,
+                 t: _CodeTallies):
+        wrows = np.atleast_2d(np.asarray(wrows, np.float64))
+        wz = np.where(np.isfinite(wrows), wrows, 0.0)     # [R, S]
+        sign = np.where(t.flip, -1.0, 1.0)
+        A = wz * sign[None, :]
+        bad = ~np.isfinite(t.mean)                        # all-missing SNPs
+        mean = np.where(bad, 0.0, t.mean)
+        Bm = A * mean[None, :]
+        if bad.any():
+            A = A.copy()
+            A[:, bad] = 0.0
+        C = 2.0 * (wz * t.flip[None, :]).sum(axis=1)
+        if bad.any():
+            # host-collapse IEEE semantics: an all-missing SNP NaNs the
+            # whole row (NaN mean * 0 weight is still NaN in the f64 sum)
+            C[:] = np.nan
+        N = codes.shape[1]
+        self.codes, self.wrows = codes, wrows
+        self.A, self.Bm, self.C = A, Bm, C
+        self.row_sums = A @ t.s + Bm @ t.n_miss + N * C
+
+    def host_row(self, r: int) -> np.ndarray:
+        """Rebuild row r on host (phase-2 SPA needs the dosage vector)."""
+        ds = np.where(self.codes == 3, np.nan,
+                      self.codes).astype(np.float64)
+        return _burden_collapse(ds, self.wrows[r])
+
+    def subset(self, rows) -> "_BurdenJob":
+        """Keep only the given row indices (summac pre-filtering)."""
+        job = object.__new__(_BurdenJob)
+        job.codes = self.codes
+        job.wrows = self.wrows[rows]
+        job.A, job.Bm = self.A[rows], self.Bm[rows]
+        job.C, job.row_sums = self.C[rows], self.row_sums[rows]
+        return job
+
+
 def _maf_mac_summary(maf, mac):
     def _mean_sd(x):
         x = x[np.isfinite(x)]
@@ -224,6 +293,19 @@ class _UnitSource:
             blk = self.seq.dosage_block(lo, hi, self.dsnode)
             r = np.asarray(blk[idx - lo], np.float64)
         return r if self.cols is None else r[:, self.cols]
+
+    def codes(self, idx) -> Optional[np.ndarray]:
+        """Raw int8 codes [S, N] (3 = missing) for integer genotype
+        sources — the device-collapse transport; None for DS dosages."""
+        if not self.geno:
+            return None
+        idx = np.asarray(idx)
+        if len(idx) == 0:
+            return np.empty((0, self.n_cols), np.int8)
+        r = self.seq.code_matrix()[idx] if self.small \
+            else self.seq.code_rows(idx)
+        r = r if self.cols is None else r[:, self.cols]
+        return np.ascontiguousarray(r, dtype=np.int8)
 
 
 @dataclass
@@ -339,7 +421,98 @@ class _Kernel:
             row0 += buf_n
         while window:
             _drain()
+        return self._finalize(parts, need_rows, need_G)
 
+    def run_jobs(self, jobs_iter):
+        """Consume an iterator of `_BurdenJob`s -> the same per-row stat
+        dict as ``run_stream`` (rows in job order).
+
+        The device-collapse path: unit codes batch into [S, N] blocks
+        (whole-batch sparse/2-bit transport) with block-diagonal
+        coefficient matrices, and `burden_score_packed` builds + scores
+        the rows in ONE dispatch — the host never uploads [rows, N] f64.
+        SPA-flagged rows are rebuilt host-side for phase 2.
+        """
+        import jax
+        from ..ops.packed_grm import pack_codes_2bit
+        from ..ops.score_packed import BURDEN_S_CAP, burden_score_packed
+        from ..ops.sparse_codes import (bucket_rows, encode_sparse_rows,
+                                        pad_entries)
+
+        parts = {k: [] for k in
+                 ("valid", "af", "mac", "num", "beta", "se", "pval")}
+        need_rows, need_G = [], []
+        window = deque()
+        R_CAP = 64
+
+        def _flush(batch, R_tot, S_tot, start):
+            N = batch[0].codes.shape[1]
+            S_pad = bucket_rows(S_tot, max(BURDEN_S_CAP, S_tot))
+            R_pad = bucket_rows(R_tot, max(R_CAP, R_tot), minimum=8)
+            codes = np.zeros((S_pad, N), np.int8)
+            A = np.zeros((R_pad, S_pad))
+            Bm = np.zeros((R_pad, S_pad))
+            C = np.zeros(R_pad)
+            r0 = s0 = 0
+            for job in batch:
+                r1, s1 = r0 + len(job.A), s0 + job.codes.shape[0]
+                codes[s0:s1] = job.codes
+                A[r0:r1, s0:s1] = job.A
+                Bm[r0:r1, s0:s1] = job.Bm
+                C[r0:r1] = job.C
+                r0, s0 = r1, s1
+            # whole-batch transport decision (one dispatch by design)
+            nnz = int((codes != 0).sum())
+            if S_pad * N < (1 << 31) and 2 * nnz < (S_pad * (N // 4)) // 2:
+                entries, row_ptr = encode_sparse_rows(codes)
+                rp = np.full(S_pad + 1, row_ptr[-1], np.int32)
+                rp[: len(row_ptr)] = row_ptr
+                payload = jax.device_put((pad_entries(entries), rp))
+            else:
+                payload = jax.device_put(pack_codes_2bit(codes))
+            res = burden_score_packed(self.scan_model, self.params,
+                                      payload, A, Bm, C,
+                                      binary=self.binary)
+            window.append((start, batch, R_tot, res))
+            if len(window) >= 3:
+                _drain()
+
+        def _drain():
+            start, batch, m, res = window.popleft()
+            for k in parts:
+                parts[k].append(np.asarray(getattr(res, k))[:m])
+            need = np.asarray(res.need_spa)[:m]
+            if self.binary and need.any():
+                need_rows.append(start + np.flatnonzero(need))
+                # rebuild flagged rows host-side (few: ~spa_pval fraction)
+                offs = np.cumsum([0] + [len(j.A) for j in batch])
+                rows = []
+                for r in np.flatnonzero(need):
+                    j = np.searchsorted(offs, r, side="right") - 1
+                    rows.append(batch[j].host_row(r - offs[j]))
+                need_G.append(np.asarray(rows))
+
+        batch, R_tot, S_tot, row0, nrows = [], 0, 0, 0, 0
+        for job in jobs_iter:
+            S_u = job.codes.shape[0]
+            if batch and (S_tot + S_u > BURDEN_S_CAP or
+                          R_tot + len(job.A) > R_CAP):
+                _flush(batch, R_tot, S_tot, row0)
+                row0 += R_tot
+                batch, R_tot, S_tot = [], 0, 0
+            batch.append(job)
+            R_tot += len(job.A)
+            S_tot += S_u
+            nrows += len(job.A)
+        if batch:
+            _flush(batch, R_tot, S_tot, row0)
+        while window:
+            _drain()
+        return self._finalize(parts, need_rows, need_G)
+
+    def _finalize(self, parts, need_rows, need_G):
+        """Shared tail: assemble per-row arrays + phase-2 SPA refinement."""
+        B = self.batch
         out = {k: (np.concatenate(v) if v else np.empty(0))
                for k, v in parts.items()}
         out["valid"] = out["valid"].astype(bool)
@@ -430,7 +603,21 @@ def assoc_burden(gdsfile, modobj, units: VariantUnits,
                 summac[u * W + w] = g.sum() * len(idx)
             yield rows
 
-    out = kernel.run_stream(burden_stream())
+    def job_stream():
+        # integer genotype source: ship codes once, collapse on device
+        for u, idx in enumerate(units.index):
+            codes = src.codes(idx)
+            t = _CodeTallies(codes)
+            summaries.append(_maf_mac_summary(t.maf, t.mac))
+            wrows = np.stack([
+                _normalize(beta_weights(t.maf, b1, b2))
+                for b1, b2 in wbeta])
+            job = _BurdenJob(codes, wrows, t)
+            summac[u * W : (u + 1) * W] = job.row_sums * len(idx)
+            yield job
+
+    out = kernel.run_jobs(job_stream()) if src.geno \
+        else kernel.run_stream(burden_stream())
     ok = (summac >= config.summac) & (summac > 0)
     for k in ("beta", "se", "pval", "p.norm"):
         out[k][~ok] = np.nan
@@ -526,14 +713,60 @@ class _AcatVRunner:
                     self.n_rows += 1
                     yield g
 
+    def _unit_job(self, idx) -> Optional[_BurdenJob]:
+        """Device-collapse variant of ``_unit_rows`` (same bookkeeping,
+        same summac pre-filtering; codes ship instead of f64 rows)."""
+        cfg = self.config
+        codes = self.src.codes(idx)
+        t = _CodeTallies(codes)
+        self.summaries.append(_maf_mac_summary(t.maf, t.mac))
+        single_mask = t.mac >= cfg.acatv_mac
+        n_burden = int((~single_mask).sum())
+        plan = _AcatVPlan(idx=np.asarray(idx), maf=t.maf, mac=t.mac,
+                          single_mask=single_mask, n_burden=n_burden)
+        self.plans.append(plan)
+        wlist, keymap = [], []
+        if n_burden > 0:
+            for w, (b1, b2) in enumerate(self.wbeta):
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    wb = np.where(single_mask, np.nan,
+                                  beta_weights(t.maf, b1, b2))
+                wlist.append(_normalize(wb))
+                keymap.append((plan.burden_keys, w))
+        if self.with_full:
+            for w, (b1, b2) in enumerate(self.wbeta):
+                wlist.append(_normalize(beta_weights(t.maf, b1, b2)))
+                keymap.append((plan.full_keys, w))
+        if not wlist:
+            return None
+        job = _BurdenJob(codes, np.stack(wlist), t)
+        keep = []
+        for i, (keys, w) in enumerate(keymap):
+            summac = job.row_sums[i] * codes.shape[0]
+            if summac >= cfg.summac and summac > 0:
+                keys[w] = self.n_rows
+                self.n_rows += 1
+                keep.append(i)
+        if not keep:
+            return None
+        return job if len(keep) == len(keymap) else job.subset(keep)
+
     def run(self, units: VariantUnits):
         """-> (results {uid: (pvals [W], p_med, p_min, p_max, n_single,
         n_burden)}, full_pvals {uid: {w: pval}})"""
-        def burden_stream():
-            for idx in units.index:
-                for g in self._unit_rows(idx):
-                    yield g
-        bres = self.kernel.run_stream(burden_stream())
+        if self.src.geno:
+            def job_stream():
+                for idx in units.index:
+                    job = self._unit_job(idx)
+                    if job is not None:
+                        yield job
+            bres = self.kernel.run_jobs(job_stream())
+        else:
+            def burden_stream():
+                for idx in units.index:
+                    for g in self._unit_rows(idx):
+                        yield g
+            bres = self.kernel.run_stream(burden_stream())
         pburden = bres["pval"]
 
         # dedup'd single-variant tests, fetched in bounded batches

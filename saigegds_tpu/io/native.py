@@ -50,8 +50,31 @@ def _load() -> Optional[ctypes.CDLL]:
                                        ctypes.c_int64, i8p]
     lib.sg_bit2_dosage_f64.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
                                        f64p]
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    lib.sg_sparse_encode.argtypes = [i8p, ctypes.c_int64, ctypes.c_int64,
+                                     u16p, i64p]
+    lib.sg_sparse_encode.restype = ctypes.c_int64
     _lib = lib
     return _lib
+
+
+def sparse_encode(codes: np.ndarray,
+                  nnz: Optional[int] = None):
+    """Gap-coded sparse transport encode (ops/sparse_codes semantics) via
+    the SIMD C kernel; returns None when the library isn't available
+    (callers fall back to the vectorized numpy encoder)."""
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    B, N = codes.shape
+    if nnz is None:
+        nnz = int(np.count_nonzero(codes))
+    cap = nnz + B * (N // 16384 + 2)
+    out = np.empty(max(cap, 1), np.uint16)
+    row_ptr = np.empty(B + 1, np.int64)
+    k = lib.sg_sparse_encode(codes, B, N, out, row_ptr)
+    return out[:k], row_ptr.astype(np.int32)
 
 
 def available() -> bool:

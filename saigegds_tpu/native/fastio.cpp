@@ -12,7 +12,7 @@
 #include <cstdint>
 #include <cstring>
 
-#if defined(__SSSE3__)
+#if defined(__SSSE3__) || defined(__SSE2__)
 #include <immintrin.h>
 #endif
 
@@ -230,6 +230,49 @@ void sg_bit2_dosage_f64(const uint8_t* src, int64_t mn, int64_t ploidy,
         }
         out[i] = miss ? kNaN : (double)sum;
     }
+}
+
+// Gap-coded sparse genotype transport encoder (ops/sparse_codes.py): one
+// uint16 entry ((gap << 2) | code) per nonzero, escape entries (code 0)
+// bridge gaps beyond 16383.  Zero runs skip 16 bytes per SSE2 compare, so
+// rare-variant blocks encode at memory speed.  Returns entries written
+// (caller sizes `out` as nnz + rows * (cols / 16384 + 2)).
+int64_t sg_sparse_encode(const int8_t* codes, int64_t rows, int64_t cols,
+                         uint16_t* out, int64_t* row_ptr) {
+    const int64_t kMaxGap = (1 << 14) - 1;     // stored gap field
+    const int64_t kEscStep = kMaxGap + 1;      // cursor advance of an escape
+    int64_t k = 0;
+    row_ptr[0] = 0;
+    for (int64_t r = 0; r < rows; ++r) {
+        const int8_t* row = codes + r * cols;
+        int64_t prev = -1;
+        int64_t j = 0;
+        while (j < cols) {
+#if defined(__SSE2__)
+            while (j + 16 <= cols) {
+                __m128i v = _mm_loadu_si128((const __m128i*)(row + j));
+                int zeros = _mm_movemask_epi8(
+                    _mm_cmpeq_epi8(v, _mm_setzero_si128()));
+                if (zeros != 0xFFFF) break;
+                j += 16;
+            }
+#endif
+            if (j >= cols) break;
+            int8_t c = row[j];
+            if (c != 0) {
+                int64_t d1 = j - prev - 1;
+                while (d1 >= kEscStep) {
+                    out[k++] = (uint16_t)(kMaxGap << 2);
+                    d1 -= kEscStep;
+                }
+                out[k++] = (uint16_t)((d1 << 2) | (c & 3));
+                prev = j;
+            }
+            ++j;
+        }
+        row_ptr[r + 1] = k;
+    }
+    return k;
 }
 
 }  // extern "C"

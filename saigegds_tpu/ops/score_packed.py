@@ -34,10 +34,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from .packed_grm import _i8_exact_dot, _slice_i8
-from .score import ScanModel, ScanParams, ScoreStats
+from .score import (ScanModel, ScanParams, ScoreStats, score_stats_binary,
+                    score_stats_quant)
 from .special import pchisq1_sf, qnorm
 
 N_SLICES = 8
+
+# burden-collapse contraction: S snps per batch must stay within one
+# f32-exact chunk (|partial| <= 64 * 2 * S < 2^24 -> S <= 65536); the cap
+# below also bounds the transient bf16 indicator chunks in HBM
+BURDEN_S_CAP = 2048
+_BURDEN_N_CHUNK = 65536
 
 
 class PackedScanModel(NamedTuple):
@@ -290,3 +297,82 @@ def score_stats_quant_packed(pm: PackedScanModel, params: ScanParams, codes,
     return ScoreStats(valid=m["valid"], af=m["af"], mac=mac, num=m["num"],
                       beta=beta, se=se, pval=pval,
                       need_spa=jnp.zeros_like(m["valid"]))
+
+
+# ---------------------------------------------------------------------------
+# Device-side burden collapse: unit codes ship once (sparse/2-bit/int8),
+# the weighted burden rows are built ON DEVICE and scored in the same
+# dispatch — the host never materializes or uploads [rows, N] f64.
+# ---------------------------------------------------------------------------
+
+
+def _burden_rows(codes, A, Bm, C):
+    """Exact weighted burden rows from int8 codes.
+
+    codes: int8 [S, N] (3 = missing); A, Bm: f64 [R, S] per-row SNP
+    coefficients (A on the zero-filled dosage, Bm on the missing
+    indicator); C: f64 [R] constants.  Row r = A[r] @ G0 + Bm[r] @ M +
+    C[r] — the affine form of the reference's per-SNP mean-impute +
+    minor-flip + weight collapse (``ds_mat_burden``,
+    /root/reference/src/saige_main.cpp:526-610).
+
+    The f64 coefficients decompose into signed-7-bit slices
+    (ops/packed_grm._slice_i8) so every MXU matmul accumulates exact
+    integers (|d| <= 64, |g| <= 2, S <= 65536 => partials < 2^24);
+    sample columns are chunked to bound the transient bf16 indicators.
+    """
+    S, N = codes.shape
+    R = A.shape[0]
+    if S > 65536:
+        raise ValueError(f"burden batch of {S} SNPs exceeds the exact-f32 "
+                         "contraction bound (65536)")
+    dA, sA = _slice_i8(A.T, N_SLICES)            # [S, R, 8], [R]
+    dB, sB = _slice_i8(Bm.T, N_SLICES)
+    a2 = dA.reshape(S, R * N_SLICES).astype(jnp.bfloat16).T   # [R*8, S]
+    b2 = dB.reshape(S, R * N_SLICES).astype(jnp.bfloat16).T
+    pw = (1.0 / 128.0) ** jnp.arange(N_SLICES, dtype=jnp.float64)
+    wA = sA[:, None] / 64.0 * pw[None, :]        # [R, 8]
+    wB = sB[:, None] / 64.0 * pw[None, :]
+    outs = []
+    for j0 in range(0, N, _BURDEN_N_CHUNK):
+        c = codes[:, j0 : j0 + _BURDEN_N_CHUNK]
+        g0 = jnp.where(c == 3, 0, c).astype(jnp.bfloat16)
+        mm = (c == 3).astype(jnp.bfloat16)
+        pA = jnp.dot(a2, g0, preferred_element_type=jnp.float32)
+        pB = jnp.dot(b2, mm, preferred_element_type=jnp.float32)
+        pA = pA.astype(jnp.float64).reshape(R, N_SLICES, -1)
+        pB = pB.astype(jnp.float64).reshape(R, N_SLICES, -1)
+        outs.append(jnp.einsum("rsn,rs->rn", pA, wA) +
+                    jnp.einsum("rsn,rs->rn", pB, wB))
+    rows = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return rows + C[:, None]
+
+
+@partial(jax.jit, static_argnames=("params", "binary"))
+def burden_score_packed(model: ScanModel, params: ScanParams, payload,
+                        A, Bm, C, binary: bool = True):
+    """Collapse + score burden rows entirely on device.
+
+    ``payload`` is the unit batch's codes: int8 [S, N], the 2-bit planar
+    uint8 [S, ceil(N/4)] (shape identifies it), or the gap-coded
+    ``(entries, row_ptr)`` transport — decoded on device.  The resulting
+    [R, N] f64 burden rows feed the dense score test in the same
+    dispatch, so the host never ships 8 B/sample row vectors
+    (the reference re-runs ``single_test_bin`` on each collapsed vector,
+    src/saige_main.cpp:872-897 — same here, just without the transport).
+    """
+    N = model.XV.shape[1]
+    if isinstance(payload, tuple):
+        from .sparse_codes import decode_codes
+        entries, row_ptr = payload
+        codes = decode_codes(entries, row_ptr, row_ptr.shape[0] - 1, N)
+    elif payload.shape[1] != N:                    # 2-bit planar
+        pi = payload.astype(jnp.int32)
+        planes = jnp.concatenate([(pi >> (2 * p)) & 3 for p in range(4)],
+                                 axis=1)
+        codes = planes[:, :N].astype(jnp.int8)
+    else:
+        codes = payload
+    rows = _burden_rows(codes, A, Bm, C)
+    fn = score_stats_binary if binary else score_stats_quant
+    return fn(model, params, rows)

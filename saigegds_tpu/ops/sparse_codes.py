@@ -47,8 +47,10 @@ def encode_sparse_rows(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Encode an int8 code block [B, N] (0/1/2, 3=missing) into the flat
     uint16 entry stream + int32 row_ptr [B+1].
 
-    Vectorized: nonzero scan is one pass; escape entries are inserted by
-    a repeat/cumsum expansion (no Python loop over entries).
+    The hot path is the SIMD C kernel (native/fastio.cpp
+    sg_sparse_encode — zero runs skip 16 bytes per compare); the numpy
+    body below is the fallback and the semantics reference (one nonzero
+    pass; escape entries inserted by a repeat/cumsum expansion).
     """
     codes = np.ascontiguousarray(codes, dtype=np.int8)
     B, N = codes.shape
@@ -57,6 +59,17 @@ def encode_sparse_rows(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         # advance is bounded by B * N (escapes never overshoot a row)
         raise ValueError(f"block {B}x{N} exceeds the int32 decode bound; "
                          "reduce the block size")
+    from ..io import native
+    enc = native.sparse_encode(codes)
+    if enc is not None:
+        return enc
+    return _encode_sparse_rows_np(codes)
+
+
+def _encode_sparse_rows_np(codes: np.ndarray
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pure-numpy encoder (fallback + semantics reference for tests)."""
+    B, N = codes.shape
     rows, cols = np.nonzero(codes)
     vals = codes[rows, cols].astype(np.uint16)
     counts = np.bincount(rows, minlength=B).astype(np.int64)

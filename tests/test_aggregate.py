@@ -142,3 +142,63 @@ def test_kernel_stream_batching_invariance(seq, units, results):
     b2 = assoc_burden(seq, MODEL, units, AggregateConfig(block_size=17))
     for c in ("pval.b1_1", "beta.b1_25", "summac.b1_1"):
         _assert_equal_col(b2[c], b[c])
+
+
+def test_device_collapse_matches_host_rows(seq, units):
+    """The device burden collapse (codes ship, rows built on device via
+    exact integer-slice matmuls) agrees with the host f64 collapse path
+    to solver precision (~1e-12)."""
+    from saigegds_tpu.io.seqarray import SeqData
+
+    b_dev = assoc_burden(seq, MODEL, units)          # geno -> jobs path
+    v_dev = assoc_acat_v(seq, MODEL, units)
+    seq2 = SeqData(GDS)
+    seq2.has_genotype = lambda: False                # force host row path
+    b_host = assoc_burden(seq2, MODEL, units)
+    v_host = assoc_acat_v(seq2, MODEL, units)
+    for dev, host in ((b_dev, b_host), (v_dev, v_host)):
+        assert len(dev) == len(host)
+        for c in dev.columns:
+            if dev[c].dtype.kind != "f":
+                continue
+            a = dev[c].to_numpy()
+            b = host[c].to_numpy()
+            np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b),
+                                          err_msg=c)
+            m = np.isfinite(a)
+            np.testing.assert_allclose(a[m], b[m], rtol=1e-10, err_msg=c)
+
+
+def test_burden_job_affine_matches_collapse():
+    """_BurdenJob's affine coefficients reproduce _burden_collapse exactly
+    (host algebra check, incl. all-missing SNPs and NaN-masked weights)."""
+    from saigegds_tpu.assoc.aggregate import (_BurdenJob, _CodeTallies,
+                                              _burden_collapse)
+
+    rng = np.random.default_rng(11)
+    S, N = 13, 97
+    codes = rng.choice(np.int8([0, 0, 0, 1, 2, 3]), size=(S, N))
+    codes[4] = 3                     # all-missing SNP
+    codes[7] = 2                     # flips (af = 1)
+    w = rng.uniform(0.1, 2.0, S)
+    w[2] = np.nan                    # masked weight
+    t = _CodeTallies(codes)
+    clean = codes[[0, 1, 2, 3, 5, 6, 7, 8]]       # no all-missing SNP
+    wc = w[[0, 1, 2, 3, 5, 6, 7, 8]]
+    for cd, wrow in ((codes, w),                  # all-missing SNP -> NaN
+                     (codes, np.where(np.arange(S) == 4, 0.0, w)),
+                     (clean, wc)):
+        tt = _CodeTallies(cd)
+        job = _BurdenJob(cd, wrow[None, :], tt)
+        ds = np.where(cd == 3, np.nan, cd).astype(np.float64)
+        want = _burden_collapse(ds, wrow)
+        g0 = np.where(cd == 3, 0, cd).astype(np.float64)
+        mm = (cd == 3).astype(np.float64)
+        got = job.A[0] @ g0 + job.Bm[0] @ mm + job.C[0]
+        if np.isnan(want).any():
+            assert np.isnan(want).all()
+            assert np.isnan(got).all() and np.isnan(job.row_sums[0])
+        else:
+            np.testing.assert_allclose(got, want, rtol=1e-13)
+            np.testing.assert_allclose(job.row_sums[0], want.sum(),
+                                       rtol=1e-12)

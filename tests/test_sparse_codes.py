@@ -213,3 +213,26 @@ def test_packed_parts_whole_block_routing(setup, regime):
         assert impl == "sparse" and isinstance(payload, tuple)
     else:
         assert impl == "xla2" and not isinstance(payload, tuple)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_native_encoder_matches_numpy(seed):
+    """The SIMD C encoder (native/fastio.cpp sg_sparse_encode) produces the
+    byte-identical entry stream + row_ptr as the numpy reference."""
+    from saigegds_tpu.io import native
+    from saigegds_tpu.ops.sparse_codes import _encode_sparse_rows_np
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(seed)
+    B, N = 23, 40000
+    codes = np.zeros((B, N), np.int8)
+    nz = rng.random((B, N)) < 0.003
+    codes[nz] = rng.choice(np.int8([1, 2, 3]), size=int(nz.sum()))
+    codes[3] = 0                               # empty row
+    codes[5, N - 1] = 2                        # long-gap escape
+    codes[7, :64] = 1                          # dense prefix
+    got = native.sparse_encode(codes)
+    want = _encode_sparse_rows_np(codes)
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
