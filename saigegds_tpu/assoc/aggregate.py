@@ -357,17 +357,20 @@ class _Kernel:
         window = deque()
         buf, buf_n, row0 = [], 0, 0
 
+        from ..ops.score import stack_stats, unstack_stats
+
         def _drain():
             nonlocal parts
             start, G, res_parts = window.popleft()
             m = len(G)
             f = {k: np.empty(m) for k in parts}
             need = np.empty(m, bool)
-            for rows, res in res_parts:
+            for rows, stacked in res_parts:
+                res = unstack_stats(stacked)  # one device->host transfer
                 mm = len(rows)
-                need[rows] = np.asarray(res.need_spa)[:mm]
+                need[rows] = res.need_spa[:mm]
                 for k in f:
-                    f[k][rows] = np.asarray(getattr(res, k))[:mm]
+                    f[k][rows] = getattr(res, k)[:mm]
             for k in parts:
                 parts[k].append(f[k])
             if self.binary and need.any():
@@ -387,7 +390,7 @@ class _Kernel:
                 pk, impl = self._packed_kernel()
                 codes = np.where(np.isnan(G), 3, G).astype(np.int8)
                 res_parts = [
-                    (rows, pk(self.params, payload, impl=im))
+                    (rows, stack_stats(pk(self.params, payload, impl=im)))
                     for rows, payload, im in
                     _packed_parts(codes, B, impl, packed_2bit=True,
                                   packed_sparse=True, place=lambda x: x)]
@@ -397,7 +400,7 @@ class _Kernel:
                     else score_stats_quant
                 res = kern(self.scan_model, self.params,
                            _pad_block(_shrink_f32(G), B))
-                res_parts = [(np.arange(len(G)), res)]
+                res_parts = [(np.arange(len(G)), stack_stats(res))]
             window.append((start, G, res_parts))
             if len(window) >= 3:
                 _drain()
@@ -470,18 +473,21 @@ class _Kernel:
                 payload = jax.device_put((pad_entries(entries), rp))
             else:
                 payload = jax.device_put(pack_codes_2bit(codes))
+            from ..ops.score import stack_stats
             res = burden_score_packed(self.scan_model, self.params,
                                       payload, A, Bm, C,
                                       binary=self.binary)
-            window.append((start, batch, R_tot, res))
+            window.append((start, batch, R_tot, stack_stats(res)))
             if len(window) >= 3:
                 _drain()
 
         def _drain():
-            start, batch, m, res = window.popleft()
+            from ..ops.score import unstack_stats
+            start, batch, m, stacked = window.popleft()
+            res = unstack_stats(stacked)      # one device->host transfer
             for k in parts:
-                parts[k].append(np.asarray(getattr(res, k))[:m])
-            need = np.asarray(res.need_spa)[:m]
+                parts[k].append(getattr(res, k)[:m])
+            need = res.need_spa[:m]
             if self.binary and need.any():
                 need_rows.append(start + np.flatnonzero(need))
                 # rebuild flagged rows host-side (few: ~spa_pval fraction)

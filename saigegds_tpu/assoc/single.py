@@ -246,6 +246,9 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
                     G = G[:, cols]
                 pl = [(np.arange(len(idx)),
                        _put(_pad_block(_shrink_f32(G), B)), None)]
+            # best-effort: complete the transfer in THIS thread so the
+            # main loop dispatches on fully-resident operands
+            jax.block_until_ready([p for _, p, _ in pl])
             yield idx, G, pl
 
     block_iter = _prefetch_blocks(_prepped(block_iter))
@@ -258,12 +261,14 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
         need = np.empty(n, bool)
         f = {k: np.empty(n) for k in ("af", "mac", "num",
                                       "beta", "se", "pval")}
-        for rows, res in parts:
+        for rows, stacked in parts:
+            from ..ops.score import unstack_stats
+            res = unstack_stats(stacked)      # ONE device->host transfer
             m = len(rows)
-            valid[rows] = np.asarray(res.valid)[:m]
-            need[rows] = np.asarray(res.need_spa)[:m]
+            valid[rows] = res.valid[:m]
+            need[rows] = res.need_spa[:m]
             for k in f:
-                f[k][rows] = np.asarray(getattr(res, k))[:m]
+                f[k][rows] = getattr(res, k)[:m]
         rows_idx.append(idx[valid])
         out = {k: v[valid] for k, v in f.items()}
         out["converged"] = np.isfinite(out["pval"])
@@ -280,10 +285,11 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
         outs.append(out)
         row0 += int(valid.sum())
 
+    from ..ops.score import stack_stats
     for idx, G, pl in block_iter:
-        parts = [(rows,
-                  pk(pm, params, payload, impl=impl) if impl is not None
-                  else kernel(scan_model, params, payload))
+        parts = [(rows, stack_stats(
+                      pk(pm, params, payload, impl=impl) if impl is not None
+                      else kernel(scan_model, params, payload)))
                  for rows, payload, impl in pl]
         window.append((idx, G, parts))
         if len(window) >= DEPTH:

@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .special import pchisq1_sf, qnorm
 from .spa import saddle_prob_batch
@@ -63,6 +64,23 @@ class ScoreStats(NamedTuple):
     se: jnp.ndarray          # [B]
     pval: jnp.ndarray        # [B] (chi-square, pre-SPA for binary)
     need_spa: jnp.ndarray    # [B] flagged for SPA refinement
+
+
+@jax.jit
+def stack_stats(res: ScoreStats) -> jnp.ndarray:
+    """Pack a ScoreStats into one [8, B] f64 array on device, so drains
+    read results back in a single transfer (each device->host fetch pays
+    a fixed round-trip; 8 small fetches per block were measurable)."""
+    return jnp.stack([res.valid.astype(jnp.float64), res.af, res.mac,
+                      res.num.astype(jnp.float64), res.beta, res.se,
+                      res.pval, res.need_spa.astype(jnp.float64)])
+
+
+def unstack_stats(arr: np.ndarray) -> ScoreStats:
+    """Host-side inverse of :func:`stack_stats` (numpy fields)."""
+    a = np.asarray(arr)
+    return ScoreStats(valid=a[0] != 0, af=a[1], mac=a[2], num=a[3],
+                      beta=a[4], se=a[5], pval=a[6], need_spa=a[7] != 0)
 
 
 def prep_dosage(G):
