@@ -308,6 +308,57 @@ class _UnitSource:
         return np.ascontiguousarray(r, dtype=np.int8)
 
 
+class _SpaAccum:
+    """Bounded-memory phase-2 accumulator: flagged rows refine
+    incrementally once their host bytes pass the budget (the scan
+    driver's SPA_FLUSH_BYTES), instead of holding every flagged [N]
+    vector until the end of the unit stream."""
+
+    def __init__(self, kernel: "_Kernel"):
+        self.k = kernel
+        self.rows, self.G, self.bytes = [], [], 0
+        self.results = []        # (rows, pval, converged, beta, se)
+
+    def add(self, rows: np.ndarray, G: np.ndarray):
+        from .single import SPA_FLUSH_BYTES
+        self.rows.append(rows)
+        self.G.append(G)
+        self.bytes += G.nbytes
+        if self.bytes >= SPA_FLUSH_BYTES:
+            self.flush()
+
+    def flush(self):
+        if not self.rows:
+            return
+        from .single import _shrink_f32
+        rows = np.concatenate(self.rows)
+        Gs = np.concatenate(self.G, axis=0)
+        self.rows, self.G, self.bytes = [], [], 0
+        if len(rows) > 1:
+            # nnz-bucketed compaction (exact; see the scan's phase 2)
+            order = np.argsort(_spa_nnz(Gs), kind="stable")
+            Gs, rows = Gs[order], rows[order]
+        B = self.k.batch
+        pending = deque()
+
+        def drain():
+            r, res4 = pending.popleft()
+            m = len(r)
+            self.results.append(
+                (r,) + tuple(np.asarray(x)[:m] for x in res4))
+
+        for s in range(0, len(rows), B):
+            Gi = Gs[s : s + B]
+            cap = _spa_cap(Gi)
+            blk = _pad_block(_shrink_f32(Gi), B)
+            res = spa_refine_binary(self.k.scan_model, blk, cap=cap)
+            pending.append((rows[s : s + B], res))
+            if len(pending) >= 3:
+                drain()
+        while pending:
+            drain()
+
+
 @dataclass
 class _Kernel:
     """Streaming batched score+SPA runner over test-vector rows."""
@@ -353,7 +404,7 @@ class _Kernel:
         B = self.batch
         parts = {k: [] for k in
                  ("valid", "af", "mac", "num", "beta", "se", "pval")}
-        need_rows, need_G = [], []
+        acc = _SpaAccum(self)
         window = deque()
         buf, buf_n, row0 = [], 0, 0
 
@@ -374,8 +425,7 @@ class _Kernel:
             for k in parts:
                 parts[k].append(f[k])
             if self.binary and need.any():
-                need_rows.append(start + np.flatnonzero(need))
-                need_G.append(G[need])
+                acc.add(start + np.flatnonzero(need), G[need])
 
         def _dispatch(G, start):
             with np.errstate(invalid="ignore"):
@@ -424,7 +474,7 @@ class _Kernel:
             row0 += buf_n
         while window:
             _drain()
-        return self._finalize(parts, need_rows, need_G)
+        return self._finalize(parts, acc)
 
     def run_jobs(self, jobs_iter):
         """Consume an iterator of `_BurdenJob`s -> the same per-row stat
@@ -444,7 +494,7 @@ class _Kernel:
 
         parts = {k: [] for k in
                  ("valid", "af", "mac", "num", "beta", "se", "pval")}
-        need_rows, need_G = [], []
+        acc = _SpaAccum(self)
         window = deque()
         R_CAP = 64
 
@@ -489,14 +539,13 @@ class _Kernel:
                 parts[k].append(getattr(res, k)[:m])
             need = res.need_spa[:m]
             if self.binary and need.any():
-                need_rows.append(start + np.flatnonzero(need))
                 # rebuild flagged rows host-side (few: ~spa_pval fraction)
                 offs = np.cumsum([0] + [len(j.A) for j in batch])
                 rows = []
                 for r in np.flatnonzero(need):
                     j = np.searchsorted(offs, r, side="right") - 1
                     rows.append(batch[j].host_row(r - offs[j]))
-                need_G.append(np.asarray(rows))
+                acc.add(start + np.flatnonzero(need), np.asarray(rows))
 
         batch, R_tot, S_tot, row0, nrows = [], 0, 0, 0, 0
         for job in jobs_iter:
@@ -514,46 +563,21 @@ class _Kernel:
             _flush(batch, R_tot, S_tot, row0)
         while window:
             _drain()
-        return self._finalize(parts, need_rows, need_G)
+        return self._finalize(parts, acc)
 
-    def _finalize(self, parts, need_rows, need_G):
-        """Shared tail: assemble per-row arrays + phase-2 SPA refinement."""
-        B = self.batch
+    def _finalize(self, parts, acc: "_SpaAccum"):
+        """Shared tail: assemble per-row arrays + apply phase-2 results."""
         out = {k: (np.concatenate(v) if v else np.empty(0))
                for k, v in parts.items()}
         out["valid"] = out["valid"].astype(bool)
         out["p.norm"] = out["pval"].copy()
         out["converged"] = np.isfinite(out["pval"])
-        if need_rows:
-            rows = np.concatenate(need_rows)
-            Gs = np.concatenate(need_G, axis=0)
-            # nnz-bucketed compaction: ACAT-V singles are rare variants,
-            # so the CGF runs over the top-cap nonzero lanes (exact, same
-            # scheme as the single-variant scan's phase 2)
-            if len(rows) > 1:
-                order = np.argsort(_spa_nnz(Gs), kind="stable")
-                Gs, rows = Gs[order], rows[order]
-            pending = deque()
-
-            def _drain_spa():
-                r, (p, conv, b, e) = pending.popleft()
-                m = len(r)
-                out["pval"][r] = np.asarray(p)[:m]
-                out["converged"][r] = np.asarray(conv)[:m]
-                out["beta"][r] = np.asarray(b)[:m]
-                out["se"][r] = np.asarray(e)[:m]
-
-            for s in range(0, len(rows), B):
-                from .single import _shrink_f32
-                Gi = Gs[s : s + B]
-                cap = _spa_cap(Gi)
-                blk = _pad_block(_shrink_f32(Gi), B)
-                res = spa_refine_binary(self.scan_model, blk, cap=cap)
-                pending.append((rows[s : s + B], res))
-                if len(pending) >= 3:
-                    _drain_spa()
-            while pending:
-                _drain_spa()
+        acc.flush()
+        for r, p, conv, b, e in acc.results:
+            out["pval"][r] = p
+            out["converged"][r] = conv
+            out["beta"][r] = b
+            out["se"][r] = e
         # rows failing the filters -> NaN like the reference
         bad = ~out["valid"]
         for k in ("af", "mac", "beta", "se", "pval", "p.norm"):

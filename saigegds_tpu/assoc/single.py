@@ -23,6 +23,8 @@ from ..ops.score import (ScanParams, score_stats_binary, score_stats_quant,
                          spa_refine_binary)
 
 SPA_BATCH = 256  # compact SPA refinement batch size
+SPA_FLUSH_BYTES = 1 << 30  # flagged-set host budget before an incremental
+#                            phase-2 flush (bounds scan memory at scale)
 
 
 def _prefetch_blocks(block_iter, depth: int = 2):
@@ -282,53 +284,38 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
                 Gf = np.where(Gf == 3, np.nan, Gf).astype(np.float64)
             spa_G.append(Gf)
             spa_rows.append(row0 + np.flatnonzero(needv))
+            spa_state["bytes"] += Gf.nbytes
         outs.append(out)
         row0 += int(valid.sum())
+        # bound host memory: refine incrementally once the flagged set
+        # grows past the budget (a whole-scan ~5% flagged set at biobank
+        # scale would otherwise hold tens of GB until phase 2)
+        if spa_state["bytes"] >= SPA_FLUSH_BYTES:
+            _flush_spa()
 
-    from ..ops.score import stack_stats
-    for idx, G, pl in block_iter:
-        parts = [(rows, stack_stats(
-                      pk(pm, params, payload, impl=impl) if impl is not None
-                      else kernel(scan_model, params, payload)))
-                 for rows, payload, impl in pl]
-        window.append((idx, G, parts))
-        if len(window) >= DEPTH:
-            _drain_one()
-    while window:
-        _drain_one()
+    spa_state = {"bytes": 0}
+    spa_out = []   # (global rows, pval, converged, beta, se) per flush
 
-    idx = np.concatenate(rows_idx) if rows_idx else np.empty(0, int)
-
-    def col(k):
-        return np.concatenate([o[k] for o in outs]) if outs else np.empty(0)
-
-    pval = col("pval")
-    pval_noadj = col("pval_noadj")
-    beta = col("beta")
-    se = col("se")
-    converged = col("converged")
-
-    # phase 2: SPA refinement over the flagged subset, in compact batches
-    # grouped by nonzero-count bucket so rare variants run the compacted
-    # CGF even when the flagged set mixes in common ones
-    if spa_G:
+    def _flush_spa():
+        nonlocal spa_G, spa_rows
+        if not spa_G:
+            return
         Gs = np.concatenate(spa_G, axis=0)
         rows = np.concatenate(spa_rows)
+        spa_G, spa_rows = [], []
+        spa_state["bytes"] = 0
+        # compact batches grouped by nonzero count, so rare variants run
+        # the compacted CGF even when the flagged set mixes in common ones
         if spa_compact and len(rows) > 1:
             order = np.argsort(_spa_nnz(Gs), kind="stable")
             Gs, rows = Gs[order], rows[order]
-        # pipelined dispatch (like phase 1): device compute of batch k
-        # overlaps host-side padding/upload of batch k+1; the window depth
-        # bounds in-flight [SPA_BATCH, N] input buffers on device
         pending = deque()
 
         def _drain_spa():
-            r, (p, conv, b, e) = pending.popleft()
+            r, res4 = pending.popleft()
             m = len(r)
-            pval[r] = np.asarray(p)[:m]
-            converged[r] = np.asarray(conv)[:m]
-            beta[r] = np.asarray(b)[:m]
-            se[r] = np.asarray(e)[:m]
+            p, conv, b, e = (np.asarray(x)[:m] for x in res4)
+            spa_out.append((r, p, conv, b, e))
 
         def _spa_payloads():
             # payload build + upload in the prefetch worker, like phase 1
@@ -368,6 +355,35 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
                 _drain_spa()
         while pending:
             _drain_spa()
+
+    from ..ops.score import stack_stats
+    for idx, G, pl in block_iter:
+        parts = [(rows, stack_stats(
+                      pk(pm, params, payload, impl=impl) if impl is not None
+                      else kernel(scan_model, params, payload)))
+                 for rows, payload, impl in pl]
+        window.append((idx, G, parts))
+        if len(window) >= DEPTH:
+            _drain_one()
+    while window:
+        _drain_one()
+    _flush_spa()   # phase 2 over the remaining flagged subset
+
+    idx = np.concatenate(rows_idx) if rows_idx else np.empty(0, int)
+
+    def col(k):
+        return np.concatenate([o[k] for o in outs]) if outs else np.empty(0)
+
+    pval = col("pval")
+    pval_noadj = col("pval_noadj")
+    beta = col("beta")
+    se = col("se")
+    converged = col("converged")
+    for r, p, conv, b, e in spa_out:
+        pval[r] = p
+        converged[r] = conv
+        beta[r] = b
+        se[r] = e
 
     tab = {
         "__idx__": idx,

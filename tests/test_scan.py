@@ -188,3 +188,20 @@ def test_f32_transport_shrink_lossless():
         np.testing.assert_array_equal(np.asarray(getattr(got, f))[v],
                                       np.asarray(getattr(want, f))[v],
                                       err_msg=f)
+
+
+def test_incremental_spa_flush_invariance(monkeypatch):
+    """Results are identical when phase-2 SPA flushes incrementally
+    (bounded flagged-set memory) vs one end-of-scan pass."""
+    import saigegds_tpu.assoc.single as single_mod
+
+    model = "/root/reference/inst/unitTests/saige_model.rds"
+    want = st.assoc_spa(GDS, model, ScanConfig(mac=4))
+    monkeypatch.setattr(single_mod, "SPA_FLUSH_BYTES", 1)  # flush per block
+    got = st.assoc_spa(GDS, model, ScanConfig(mac=4))
+    for c in want.columns:
+        if want[c].dtype.kind == "f":
+            np.testing.assert_array_equal(got[c].to_numpy(),
+                                          want[c].to_numpy(), err_msg=c)
+        else:
+            assert (got[c] == want[c]).all(), c
