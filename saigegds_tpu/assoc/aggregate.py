@@ -425,20 +425,27 @@ class _Kernel:
             for k in parts:
                 parts[k].append(f[k])
             if self.binary and need.any():
-                acc.add(start + np.flatnonzero(need), G[need])
+                Gf = G[need]
+                if Gf.dtype == np.int8:      # phase 2 runs on f64 dosages
+                    Gf = np.where(Gf == 3, np.nan, Gf).astype(np.float64)
+                acc.add(start + np.flatnonzero(need), Gf)
 
         def _dispatch(G, start):
-            with np.errstate(invalid="ignore"):
-                as_codes = bool(np.all(
-                    np.isnan(G) |
-                    ((G == np.floor(G)) & (G >= 0) & (G <= 2)))) if G.size \
-                    else False
+            if G.dtype == np.int8:
+                as_codes = True
+            else:
+                with np.errstate(invalid="ignore"):
+                    as_codes = bool(np.all(
+                        np.isnan(G) |
+                        ((G == np.floor(G)) & (G >= 0) & (G <= 2)))) \
+                        if G.size else False
             if as_codes:
                 # aggregate units are rare variants: ship them through the
                 # same sparse/2-bit transport split as the scan driver
                 from .single import _packed_parts
                 pk, impl = self._packed_kernel()
-                codes = np.where(np.isnan(G), 3, G).astype(np.int8)
+                codes = G if G.dtype == np.int8 \
+                    else np.where(np.isnan(G), 3, G).astype(np.int8)
                 res_parts = [
                     (rows, stack_stats(pk(self.params, payload, impl=im)))
                     for rows, payload, im in
@@ -456,7 +463,9 @@ class _Kernel:
                 _drain()
 
         for rows in blocks_iter:
-            rows = np.asarray(rows, np.float64)
+            rows = np.asarray(rows)
+            if rows.dtype != np.int8:        # int8 streams skip the f64 hop
+                rows = np.asarray(rows, np.float64)
             if rows.ndim == 1:
                 rows = rows[None, :]
             pos = 0
@@ -807,8 +816,11 @@ class _AcatVRunner:
             sv = np.asarray(sv_idx)
 
             def single_stream():
+                # integer sources yield raw int8 codes: no [k, N] f64
+                # round-trip on the host (run_stream's int8 fast path)
+                fetch = self.src.codes if self.src.geno else self.src.rows
                 for s in range(0, len(sv), SINGLE_FETCH):
-                    yield self.src.rows(sv[s : s + SINGLE_FETCH])
+                    yield fetch(sv[s : s + SINGLE_FETCH])
             sres = self.kernel.run_stream(single_stream())
             psingle = dict(zip(sv_idx, sres["pval"]))
 
