@@ -202,3 +202,27 @@ def test_burden_job_affine_matches_collapse():
             np.testing.assert_allclose(got, want, rtol=1e-13)
             np.testing.assert_allclose(job.row_sums[0], want.sum(),
                                        rtol=1e-12)
+
+
+def test_oversize_unit_device_collapse(seq):
+    """A unit larger than the burden batch SNP cap dispatches alone with a
+    bucketed S axis and still matches the host collapse path."""
+    from saigegds_tpu.assoc.aggregate import VariantUnits
+    from saigegds_tpu.io.seqarray import SeqData
+    from saigegds_tpu.ops.score_packed import BURDEN_S_CAP
+    import pandas as pd
+
+    S = BURDEN_S_CAP + 500
+    units = VariantUnits(desp=pd.DataFrame({"set": ["big", "small"]}),
+                         index=[np.arange(S), np.arange(S, S + 40)])
+    dev = assoc_burden(seq, MODEL, units)
+    seq2 = SeqData(GDS)
+    seq2.has_genotype = lambda: False
+    host = assoc_burden(seq2, MODEL, units)
+    for c in dev.columns:
+        if dev[c].dtype.kind != "f":
+            continue
+        a, b = dev[c].to_numpy(), host[c].to_numpy()
+        np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
+        m = np.isfinite(a)
+        np.testing.assert_allclose(a[m], b[m], rtol=1e-9, err_msg=c)
