@@ -226,3 +226,22 @@ def test_oversize_unit_device_collapse(seq):
         np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
         m = np.isfinite(a)
         np.testing.assert_allclose(a[m], b[m], rtol=1e-9, err_msg=c)
+
+
+def test_burden_quant_trait(seq, units):
+    """Quantitative-trait burden (saige_burden_test_quant analog): the
+    device collapse + quant score path, vs the host row path."""
+    from saigegds_tpu.io.seqarray import SeqData
+
+    qmodel = "/root/reference/inst/unitTests/saige_model_quant.rds"
+    dev = assoc_burden(seq, qmodel, units)
+    assert len(dev) == len(units)
+    assert np.isfinite(dev["pval.b1_1"]).sum() > len(units) // 2
+    seq2 = SeqData(GDS)
+    seq2.has_genotype = lambda: False
+    host = assoc_burden(seq2, qmodel, units)
+    for c in ("beta.b1_1", "SE.b1_25", "pval.b1_1", "pval.b1_25"):
+        a, b = dev[c].to_numpy(), host[c].to_numpy()
+        np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
+        m = np.isfinite(a)
+        np.testing.assert_allclose(a[m], b[m], rtol=1e-10, err_msg=c)
