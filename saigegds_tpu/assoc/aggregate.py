@@ -8,13 +8,19 @@ same batched score+SPA kernels as the single-variant scan — so one device
 program covers every aggregate flavour.
 
 Scale design (unlike the reference's per-process ``seqUnitApply`` loop):
-test vectors STREAM through a bounded device pipeline (`_Kernel.run_stream`)
-— at no point is a [units x samples] matrix materialized — and unit dosages
-come from `_UnitSource`, which random-accesses LZMA frames for big files
+test vectors STREAM through a bounded device pipeline — at no point is a
+[units x samples] matrix materialized — and unit dosages come from
+`_UnitSource`, which random-accesses LZMA frames for big files
 (frame-LRU-cached, so overlapping sliding windows inflate each frame once).
-Multi-host runs shard the unit list (`shard_units`) and concatenate the
-per-host tables, the ``seqUnitApply(parallel=)`` analog
-(R/assoc_aggregate.r:700-708).
+For integer genotype sources the burden collapse itself runs ON DEVICE
+(`_Kernel.run_jobs` -> ops/score_packed.burden_score_packed): unit codes
+ship once (whole-batch sparse/2-bit transport) and the weighted
+mean-impute + flip collapse is an exact integer-slice affine map, so the
+host never uploads 8 B/sample row vectors; ACAT-V singles stream as raw
+int8 (`_Kernel.run_stream`'s fast path).  SPA-flagged rows refine in
+bounded-memory incremental flushes (`_SpaAccum`).  Multi-host runs shard
+the unit list (`shard_units`) and concatenate the per-host tables, the
+``seqUnitApply(parallel=)`` analog (R/assoc_aggregate.r:700-708).
 
 Semantics reproduced exactly:
 * per-SNP MAF/MAC from non-missing dosages (``ds_mat_mafmac``, :486-524);
