@@ -213,6 +213,63 @@ def run_rare_secondary(model, rng, link_bw):
             f"{len(df) / best:.0f} v/s ({N_VARIANTS} variants, {best:.1f}s)")
 
 
+def run_fit_secondary(rng):
+    """Secondary metric (stderr): end-to-end null-model fit through the
+    real data path — GDS decode -> 2-bit packed GRM in HBM -> the
+    single-dispatch device AI-REML fit (models/fit_device.py).  BASELINE
+    framing: SAIGE-class biobank fits are reported in CPU-cluster hours."""
+    import jax
+    import jax.numpy as jnp
+
+    from saigegds_tpu.io.gds_write import write_seqarray_gds
+    from saigegds_tpu.io.seqarray import SeqData
+    from saigegds_tpu.models.fit_device import fit_glmm_binary_device
+    from saigegds_tpu.ops.packed_grm import build_packed2_grm
+
+    N_FIT = int(os.environ.get("BENCH_FIT_N", 100_000))
+    M_FIT = int(os.environ.get("BENCH_FIT_M", 16_384))
+    path = f"/tmp/bench_fit_{M_FIT}x{N_FIT}.gds"
+    if not (os.path.exists(path) and os.path.getsize(path) > 1 << 20):
+        t0 = time.perf_counter()
+        rs = np.random.default_rng(11)
+        af = rs.uniform(0.05, 0.5, size=(M_FIT, 1))
+        codes = rs.binomial(2, af, size=(M_FIT, N_FIT)).astype(np.int8)
+        write_seqarray_gds(path, codes, compress="ZIP_ra")
+        # phenotype WITH polygenic signal (true tau_G ~ 0.6) so the
+        # AI-REML workload is representative, cached beside the file
+        X = np.column_stack([np.ones(N_FIT), rs.normal(size=(N_FIT, 3))])
+        b = rs.normal(size=M_FIT) * np.sqrt(0.6 / M_FIT) \
+            / np.sqrt(2 * af[:, 0] * (1 - af[:, 0]))
+        eta_true = X @ (rs.normal(size=4) * 0.3) - 1.5 \
+            + (codes.astype(np.float64).T @ b)
+        y = (rs.random(N_FIT) <
+             1 / (1 + np.exp(-eta_true))).astype(np.float64)
+        np.savez(path + ".pheno.npz", X=X, y=y)
+        log(f"setup: wrote fit GDS ({M_FIT} x {N_FIT}, {y.mean():.2f} "
+            f"case rate) in {time.perf_counter() - t0:.1f}s")
+    ph = np.load(path + ".pheno.npz")
+    X, y = ph["X"], ph["y"]
+    eta0 = np.full(N_FIT, np.log(y.mean() / (1 - y.mean())))
+    U = np.random.default_rng(12).choice([-1.0, 1.0], size=(N_FIT, 40))
+
+    t0 = time.perf_counter()
+    seq = SeqData(path)
+    blocks = [np.asarray(G, np.int8)
+              for _, G in seq.iter_code_blocks(4096)]
+    codes = np.concatenate(blocks, axis=0)
+    t_dec = time.perf_counter() - t0
+    grm = build_packed2_grm(codes)    # 2-bit planar residency in HBM
+    fit = fit_glmm_binary_device(grm, jnp.asarray(y), jnp.asarray(X),
+                                 jnp.asarray([1.0, 0.5]),
+                                 jnp.asarray(eta0), jnp.asarray(U),
+                                 0.02, 1e-5)
+    tau = np.asarray(fit.tau)
+    dt = time.perf_counter() - t0
+    log(f"end-to-end device fit: GDS decode {t_dec:.1f}s + packed-GRM "
+        f"AI-REML at N={N_FIT} M={M_FIT} -> {dt:.1f}s total "
+        f"(tau_G={tau[1]:.3f}, converged={bool(np.asarray(fit.converged))})")
+
+
 def main():
     rng = np.random.default_rng(7)
     m = make_model(N_SAMPLES, N_COV, rng)
@@ -267,6 +324,8 @@ def main():
 
     if os.environ.get("BENCH_RARE", "1") == "1":
         run_rare_secondary(model, rng, link_bw)
+    if os.environ.get("BENCH_FIT", "1") == "1":
+        run_fit_secondary(rng)
 
     print(json.dumps({
         "metric": f"end-to-end GDS scan (decode+upload+score+exact SPA), "
