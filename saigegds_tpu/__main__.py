@@ -63,6 +63,13 @@ def main(argv=None):
         else:
             q.add_argument("--win-size", type=int, default=10000)
             q.add_argument("--win-shift", type=int, default=5000)
+            q.add_argument("--groups", default="",
+                           help="gene-set units instead of sliding windows: "
+                                "a JSON {set: [variant ids]} file or a "
+                                "2-column TSV (set<TAB>variant id)")
+            q.add_argument("--unit-shard", default="",
+                           help="'i/n': run unit range i of n (multi-host; "
+                                "merge the tables afterwards)")
 
     p = sub.add_parser("merge", help="row-bind result shards")
     p.add_argument("--prefix", required=True)
@@ -143,16 +150,45 @@ def main(argv=None):
         return 0
 
     # aggregate commands
-    from saigegds_tpu.assoc.aggregate import sliding_windows
+    from saigegds_tpu.assoc.aggregate import (shard_units, sliding_windows,
+                                              units_from_groups)
     from saigegds_tpu.io.seqarray import SeqData
     seq = SeqData(args.gds)
-    units = sliding_windows(seq, win_size=args.win_size,
-                            win_shift=args.win_shift)
+    if args.groups:
+        groups = _read_groups(args.groups)
+        units = units_from_groups(seq, groups)
+    else:
+        units = sliding_windows(seq, win_size=args.win_size,
+                                win_shift=args.win_shift)
+    if args.unit_shard:
+        i, n = (int(x) for x in args.unit_shard.split("/"))
+        units = shard_units(units, i, n)
     fn = {"burden": st.assoc_burden, "acat-v": st.assoc_acat_v,
           "acat-o": st.assoc_acat_o}[args.cmd]
     tab = fn(seq, args.model, units, AggregateConfig(), res_savefn=args.out)
     print(f"{args.cmd}: {len(tab)} units -> {args.out}")
     return 0
+
+
+def _read_groups(path: str) -> dict:
+    """Gene-set units file: JSON {name: [ids]} or TSV name<TAB>variant id."""
+    if path.endswith(".json"):
+        import json
+        with open(path) as fh:
+            return json.load(fh)
+    groups: dict = {}
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            name, vid = line.split("\t")[:2]
+            try:
+                vid = int(vid)
+            except ValueError:
+                pass
+            groups.setdefault(name, []).append(vid)
+    return groups
 
 
 if __name__ == "__main__":
