@@ -107,7 +107,7 @@ def main(argv=None):
             trait_type=args.trait, maf=args.maf,
             missing_rate=args.missing_rate, seed=args.seed,
             checkpoint=args.checkpoint,
-            grm_impl="dense" if args.dense else "packed",
+            grm_impl="dense" if args.dense else "auto",
             stream_geno=True if args.stream else "auto")
         model = st.fit_null_glmm(args.formula, pheno, args.gds, cfg,
                                  model_savefn=args.out, verbose=True)

@@ -347,10 +347,13 @@ def gxg_spa(formula: str, data: pd.DataFrame, gds_grm, snp_pair,
         rng = RRandom(cfg.seed)
         sel = np.sort(rng.sample_int(codes.shape[0], cfg.max_num_snp) - 1)
         codes = codes[sel]
-    if cfg.grm_impl == "packed":
+    impl = cfg.grm_impl
+    if impl == "auto":    # same residency rule as fit_null_glmm
+        impl = "packed2" if 2 * codes.size > (4 << 30) else "packed"
+    if impl == "packed":
         from ..ops.packed_grm import build_packed_grm
         grm = build_packed_grm(codes)
-    elif cfg.grm_impl == "packed2":
+    elif impl == "packed2":
         from ..ops.packed_grm import build_packed2_grm
         grm = build_packed2_grm(codes)
     else:

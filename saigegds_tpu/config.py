@@ -41,7 +41,9 @@ class NullModelConfig:
     # subsumes both layouts on TPU; "packed2" keeps the genotypes 2-bit
     # planar-packed in HBM (0.25 B/genotype, the reference's footprint)
     # with on-device decode — same exact integer-slice matvec.
-    grm_impl: str = "packed"      # "dense" f64 G_std | "packed" bf16 MXU
+    grm_impl: str = "auto"        # "auto" = packed, or packed2 when the
+                                  # bf16 store would top ~4 GB HBM |
+                                  # "dense" f64 G_std | "packed" bf16 MXU
                                   # | "packed2" 2-bit HBM-resident
     stream_geno: object = "auto"  # out-of-core streamed GRM ingestion
                                   # (packed/packed2 only; host holds one

@@ -729,7 +729,17 @@ def fit_null_glmm(formula: str, data, gdsfile,
         # stream when the host int8 matrix would top ~4 GB (the scan
         # drivers use the same threshold, io/seqarray.py)
         stream = seq.n_variants * seq.n_samples > 4 << 30
-    streamed = cfg.grm_impl in ("packed", "packed2") and stream \
+    impl = cfg.grm_impl
+    if impl == "auto":
+        # bf16 code residency costs 2 B/genotype in HBM; switch to the
+        # 2-bit planar store (0.25 B, the reference's footprint) past
+        # ~4 GB.  The mesh path shards the bf16 store across devices
+        # (ShardedGrmHandle), so per-device HBM already divides by the
+        # mesh size.
+        impl = "packed2" if (mesh is None and
+                             2 * seq.n_variants * len(data) > (4 << 30)) \
+            else "packed"
+    streamed = impl in ("packed", "packed2") and stream \
         and seq.has_genotype()
     if streamed:
         codes = None
@@ -828,22 +838,22 @@ def fit_null_glmm(formula: str, data, gdsfile,
                 local0 += blk.shape[0]
                 yield idx, blk
 
-        if cfg.grm_impl == "packed2":
+        if impl == "packed2":
             from ..ops.packed_grm import build_packed2_grm_streamed
             grm = build_packed2_grm_streamed(blocks(), n_samp)
         else:
             grm = build_packed_grm_streamed(blocks(), n_samp)
         codes = marker_rows            # row provider for calc_var_ratio
-    elif cfg.grm_impl == "packed":
+    elif impl == "packed":
         grm = build_packed_grm(codes)
-    elif cfg.grm_impl == "packed2":
+    elif impl == "packed2":
         from ..ops.packed_grm import build_packed2_grm
         grm = build_packed2_grm(codes)
-    elif cfg.grm_impl == "dense":
+    elif impl == "dense":
         grm = build_grm(codes)
     else:
-        raise ValueError(f"grm_impl must be 'dense', 'packed' or 'packed2', "
-                         f"got {cfg.grm_impl!r}")
+        raise ValueError(f"grm_impl must be 'auto', 'dense', 'packed' or "
+                         f"'packed2', got {cfg.grm_impl!r}")
     if mesh is not None:
         from ..parallel.mesh import ShardedGrmHandle
         grm = ShardedGrmHandle(grm, mesh)
