@@ -261,7 +261,8 @@ class Packed2GRM(NamedTuple):
     def matvec(self, b, precision: str = "exact_i8"):
         return packed2_grm_matvec(self.packed, self.af, self.inv,
                                   self.miss_var, self.miss_samp,
-                                  self.miss_pad, self.samp_mask, b)
+                                  self.miss_pad, self.samp_mask, b,
+                                  impl=_PACKED2_IMPL)
 
 
 def pack_codes_2bit(codes: np.ndarray) -> np.ndarray:
@@ -320,12 +321,16 @@ def build_packed2_grm(codes: np.ndarray,
                       pad_multiple: int = 256) -> Packed2GRM:
     """Build the 2-bit resident operator from int8 codes [M, N] (3=missing).
 
+    Probes once (outside any trace) whether the fused-decode Pallas
+    matvec kernels compile on this backend; matvecs then default to them.
+
     Moments (af/inv/diag) and the sparse missing lists are identical to
     :func:`build_packed_grm`; only the device genotype store differs —
     0.25 B/genotype, never materializing a bf16 [M, N] array.
     """
     codes = np.ascontiguousarray(codes, dtype=np.int8)
     M, N = codes.shape
+    _resolve_packed2_impl()
     af, inv, diag, mv, ms, valid = _variant_moments(codes)
     miss_var, miss_samp, miss_pad = _pad_miss(mv, ms, pad_multiple)
     return Packed2GRM(
@@ -343,6 +348,7 @@ def build_packed2_grm_streamed(block_iter, n_samples: int,
                                device_put=None) -> Packed2GRM:
     """Streamed 2-bit build: host peak memory is one block; each block is
     planar-packed on host and placed on device immediately."""
+    _resolve_packed2_impl()
     put = device_put or (lambda x: jnp.asarray(x))
     dev_blocks, af_parts, inv_parts = [], [], []
     diag = np.zeros(n_samples, np.float64)
@@ -394,17 +400,32 @@ def _chunk_rows(M: int, N4: int) -> int:
     return min(EXACT_CHUNK, max(256, cap), M)
 
 
-@jax.jit
+_PACKED2_IMPL = "xla"   # resolved at build time (pallas probe runs outside
+#                         any trace); matvec reads it as a trace-time const
+
+
+def _resolve_packed2_impl() -> str:
+    global _PACKED2_IMPL
+    from .pallas_score import pallas_available
+    _PACKED2_IMPL = "pallas" if pallas_available() else "xla"
+    return _PACKED2_IMPL
+
+
+@partial(jax.jit, static_argnames=("impl",))
 def packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
-                       samp_mask, b):
+                       samp_mask, b, impl: str = ""):
     """GRM @ b from 2-bit planar-packed codes; bit-identical to
     ``packed_grm_matvec(..., precision="exact_i8")``.
 
-    Both passes decode per (chunk, plane) into a transient bf16 tile and
-    contract on the MXU; every f32 partial sum is an exact integer
-    (products <= 2*64, contraction <= EXACT_CHUNK), combined exactly in
-    f64, so chunking order cannot change the result.
+    Both passes decode per (chunk, plane) and contract on the MXU; every
+    f32 partial sum is an exact integer (products <= 2*64, contraction
+    <= EXACT_CHUNK), combined exactly in f64, so chunking order cannot
+    change the result.  With ``impl="pallas"`` (the build-time default
+    when gridded Pallas compiles) the decode fuses into the contraction
+    kernels (ops/pallas_grm) so each pass reads HBM once at 0.25
+    B/genotype; ``"xla"`` decodes into transient bf16 chunk tiles.
     """
+    impl = impl or _PACKED2_IMPL
     squeeze = b.ndim == 1
     B = b[:, None] if squeeze else b
     M, N4 = packed.shape
@@ -420,17 +441,25 @@ def packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
         * (1.0 / 128.0) ** jnp.arange(S, dtype=jnp.float64)[None, None, :]
 
     # pass 1: cv = Cm @ b, decoding byte-column chunks x 4 planes
-    CJ = _chunk_cols(N4)
-    acc = None
-    for j0 in range(0, N4, CJ):
-        j1 = min(j0 + CJ, N4)
-        pc = packed[:, j0:j1].astype(jnp.int32)
-        for p in range(4):
-            g = _decode_plane(pc, p)                  # [M, j1-j0]
-            part = jnp.dot(g, dmat[p * N4 + j0 : p * N4 + j1],
-                           preferred_element_type=jnp.float32)
-            part = part.astype(jnp.float64)
-            acc = part if acc is None else acc + part
+    if impl.startswith("pallas"):
+        from .pallas_grm import plane_dot_fwd
+        Cpad = -(-(R * S) // 128) * 128
+        d4 = jnp.pad(dmat, ((0, 0), (0, Cpad - R * S))).reshape(4, N4, Cpad)
+        acc = plane_dot_fwd(packed, d4,
+                            interpret=(impl == "pallas_interpret"))
+        acc = acc[:, :R * S]
+    else:
+        CJ = _chunk_cols(N4)
+        acc = None
+        for j0 in range(0, N4, CJ):
+            j1 = min(j0 + CJ, N4)
+            pc = packed[:, j0:j1].astype(jnp.int32)
+            for p in range(4):
+                g = _decode_plane(pc, p)              # [M, j1-j0]
+                part = jnp.dot(g, dmat[p * N4 + j0 : p * N4 + j1],
+                               preferred_element_type=jnp.float32)
+                part = part.astype(jnp.float64)
+                acc = part if acc is None else acc + part
     cv = jnp.sum(acc.reshape(M, R, S) * w, axis=-1)   # [M, R]
 
     sum_b = jnp.sum(B, axis=0)
@@ -446,21 +475,31 @@ def packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
     dmat2 = d2.reshape(M, R * S).astype(jnp.bfloat16)
     w2c = scale2[None, :, None] / 64.0 \
         * (1.0 / 128.0) ** jnp.arange(S, dtype=jnp.float64)[None, None, :]
-    CM = _chunk_rows(M, N4)
-    accs = [None] * 4
-    for m0 in range(0, M, CM):
-        m1 = min(m0 + CM, M)
-        pc = packed[m0:m1].astype(jnp.int32)
-        dm = dmat2[m0:m1]
-        for p in range(4):
-            g = _decode_plane(pc, p)                  # [mc, N4]
-            part = jax.lax.dot_general(
-                g, dm, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)   # [N4, R*S]
-            part = part.astype(jnp.float64)
-            accs[p] = part if accs[p] is None else accs[p] + part
-    planes = [jnp.sum(a.reshape(N4, R, S) * w2c, axis=-1) for a in accs]
-    out = jnp.concatenate(planes, axis=0)[:N]         # natural order
+    if impl.startswith("pallas"):
+        from .pallas_grm import plane_dot_t
+        Cpad = -(-(R * S) // 128) * 128
+        dm2 = jnp.pad(dmat2, ((0, 0), (0, Cpad - R * S)))
+        acc4 = plane_dot_t(packed, dm2,
+                           interpret=(impl == "pallas_interpret"))
+        acc4 = acc4[:, :, :R * S]                     # [4, N4, R*S]
+        pl4 = jnp.sum(acc4.reshape(4, N4, R, S) * w2c[None], axis=-1)
+        out = pl4.reshape(Npad, R)[:N]                # natural order
+    else:
+        CM = _chunk_rows(M, N4)
+        accs = [None] * 4
+        for m0 in range(0, M, CM):
+            m1 = min(m0 + CM, M)
+            pc = packed[m0:m1].astype(jnp.int32)
+            dm = dmat2[m0:m1]
+            for p in range(4):
+                g = _decode_plane(pc, p)              # [mc, N4]
+                part = jax.lax.dot_general(
+                    g, dm, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [N4, R*S]
+                part = part.astype(jnp.float64)
+                accs[p] = part if accs[p] is None else accs[p] + part
+        planes = [jnp.sum(a.reshape(N4, R, S) * w2c, axis=-1) for a in accs]
+        out = jnp.concatenate(planes, axis=0)[:N]     # natural order
 
     corr2 = jax.ops.segment_sum(w2[miss_var] * miss_pad[:, None],
                                 miss_samp, num_segments=N)
