@@ -270,8 +270,27 @@ def run_fit_secondary(rng):
         f"(tau_G={tau[1]:.3f}, converged={bool(np.asarray(fit.converged))})")
 
 
+def probe_device_reachable(timeout_s: int = 240) -> bool:
+    """The tunneled TPU occasionally wedges for hours (jax.devices() hangs
+    on a futex); probe it in a subprocess so a dead tunnel fails fast
+    with a clear message instead of eating the caller's whole timeout."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     rng = np.random.default_rng(7)
+    if not probe_device_reachable():
+        log("FATAL: the TPU tunnel is unreachable (device query hung "
+            ">240s) — known transient wedge, see BENCH_NOTES.md; rerun "
+            "when it recovers")
+        sys.exit(3)
     m = make_model(N_SAMPLES, N_COV, rng)
     build_gds(rng)
 
