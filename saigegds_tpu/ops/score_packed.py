@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .packed_grm import _i8_exact_dot, _slice_i8
+from .packed_grm import _slice_i8
 from .score import (ScanModel, ScanParams, ScoreStats, score_stats_binary,
                     score_stats_quant)
 from .special import pchisq1_sf, qnorm
