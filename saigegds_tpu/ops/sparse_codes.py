@@ -150,8 +150,12 @@ def decode_codes(entries: jnp.ndarray, row_ptr: jnp.ndarray,
     k = jnp.arange(L, dtype=row_ptr.dtype)
     row_of = jnp.searchsorted(row_ptr[1:], k, side="right")
     pos = csum - base[jnp.minimum(row_of, n_rows - 1)] - 1
-    flat = row_of * n_samples + pos
-    flat = jnp.where(row_of < n_rows, flat, n_rows * n_samples)  # drop pads
+    # int64 indices: pad entries all drop, but must keep DISTINCT
+    # indices to honor the unique_indices promise (duplicate dropped
+    # indices would be UB), and n_rows*n_samples + k can top int32
+    flat = row_of.astype(jnp.int64) * n_samples + pos
+    flat = jnp.where(row_of < n_rows, flat,
+                     jnp.int64(n_rows) * n_samples + k)
     dense = jnp.zeros((n_rows * n_samples,), jnp.int8)
     dense = dense.at[flat].set(code, mode="drop",
                                indices_are_sorted=True, unique_indices=True)
