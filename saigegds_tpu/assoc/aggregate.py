@@ -157,10 +157,18 @@ def _burden_collapse(ds: np.ndarray, weights: np.ndarray) -> np.ndarray:
     """Weighted burden dosage vector (ds [S, N], weights [S]) -> [N].
 
     Per SNP: mean-impute missing, flip to minor allele when sum > n
-    (``ds_mat_burden``, src/saige_main.cpp:526-610); NaN weights skip."""
+    (``ds_mat_burden``, src/saige_main.cpp:526-610).  Reference quirks
+    reproduced exactly: a non-finite weight skips the SNP ENTIRELY
+    (``if (R_FINITE(weight[i]))``, :536 — its dosage column, NaN or not,
+    never touches the output), and the mean/flip bookkeeping accumulates
+    dosages into an ``int`` (:590), i.e. fractional DS dosages are
+    floor-truncated for the imputation mean and the flip decision while
+    the accumulated contributions use the raw values."""
     finite = np.isfinite(ds)
     n = finite.sum(axis=1)
-    s = np.where(finite, ds, 0.0).sum(axis=1)
+    # the reference's `int sum`: per-add truncation of nonnegative
+    # dosages onto an integer accumulator == sum of floors
+    s = np.where(finite, np.floor(ds), 0.0).sum(axis=1)
     with np.errstate(invalid="ignore"):
         mean = s / n
     use = np.isfinite(weights)
@@ -168,7 +176,7 @@ def _burden_collapse(ds: np.ndarray, weights: np.ndarray) -> np.ndarray:
     g = np.where(finite, ds, mean[:, None])
     g = np.where(flip[:, None], 2.0 - g, g)
     w = np.where(use, weights, 0.0)
-    return (g * w[:, None]).sum(axis=0)
+    return (np.where(use[:, None], g, 0.0) * w[:, None]).sum(axis=0)
 
 
 def _normalize(w: np.ndarray) -> np.ndarray:
@@ -212,7 +220,8 @@ class _BurdenJob:
     def __init__(self, codes: np.ndarray, wrows: np.ndarray,
                  t: _CodeTallies):
         wrows = np.atleast_2d(np.asarray(wrows, np.float64))
-        wz = np.where(np.isfinite(wrows), wrows, 0.0)     # [R, S]
+        use = np.isfinite(wrows)                          # [R, S]
+        wz = np.where(use, wrows, 0.0)
         sign = np.where(t.flip, -1.0, 1.0)
         A = wz * sign[None, :]
         bad = ~np.isfinite(t.mean)                        # all-missing SNPs
@@ -223,9 +232,11 @@ class _BurdenJob:
             A[:, bad] = 0.0
         C = 2.0 * (wz * t.flip[None, :]).sum(axis=1)
         if bad.any():
-            # host-collapse IEEE semantics: an all-missing SNP NaNs the
-            # whole row (NaN mean * 0 weight is still NaN in the f64 sum)
-            C[:] = np.nan
+            # reference semantics (src/saige_main.cpp:536): a NaN weight
+            # skips the SNP entirely, so an all-missing SNP only poisons
+            # rows that give it a FINITE weight (its NaN imputation mean
+            # then reaches every output sample)
+            C[use[:, bad].any(axis=1)] = np.nan
         N = codes.shape[1]
         self.codes, self.wrows = codes, wrows
         self.A, self.Bm, self.C = A, Bm, C
@@ -295,9 +306,22 @@ class _UnitSource:
                 r = self.seq.code_rows(idx).astype(np.float64)
             r[r == 3] = np.nan
         else:
-            lo, hi = int(idx.min()), int(idx.max()) + 1
-            blk = self.seq.dosage_block(lo, hi, self.dsnode)
-            r = np.asarray(blk[idx - lo], np.float64)
+            # fetch in bounded contiguous clusters: one min..max span for
+            # a scattered gene set could materialize a chromosome-sized
+            # [span, N] f64 block
+            idx_s = np.sort(idx)
+            pos_of = {v: i for i, v in enumerate(idx)}
+            r = np.empty((len(idx), self.seq.n_samples))
+            c0 = 0
+            MAX_SPAN = 8192
+            for k in range(1, len(idx_s) + 1):
+                if k == len(idx_s) or idx_s[k] - idx_s[c0] >= MAX_SPAN:
+                    lo, hi = int(idx_s[c0]), int(idx_s[k - 1]) + 1
+                    blk = self.seq.dosage_block(lo, hi, self.dsnode)
+                    for v in idx_s[c0:k]:
+                        r[pos_of[v]] = blk[v - lo]
+                    c0 = k
+            r = r.astype(np.float64, copy=False)
         return r if self.cols is None else r[:, self.cols]
 
     def codes(self, idx) -> Optional[np.ndarray]:
@@ -562,7 +586,7 @@ class _Kernel:
                     rows.append(batch[j].host_row(r - offs[j]))
                 acc.add(start + np.flatnonzero(need), np.asarray(rows))
 
-        batch, R_tot, S_tot, row0, nrows = [], 0, 0, 0, 0
+        batch, R_tot, S_tot, row0 = [], 0, 0, 0
         for job in jobs_iter:
             S_u = job.codes.shape[0]
             if batch and (S_tot + S_u > BURDEN_S_CAP or
@@ -573,7 +597,6 @@ class _Kernel:
             batch.append(job)
             R_tot += len(job.A)
             S_tot += S_u
-            nrows += len(job.A)
         if batch:
             _flush(batch, R_tot, S_tot, row0)
         while window:

@@ -211,7 +211,6 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
         else:
             dense_impl = "pallas" if pallas_available() else "xla"
         pk = score_stats_binary_packed if binary else score_stats_quant_packed
-        kernel = lambda _sm, p, codes: pk(pm, p, codes, impl=dense_impl)
     else:
         kernel = score_stats_binary if binary else score_stats_quant
     if mesh is not None:
@@ -331,7 +330,9 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
                     # whole-batch decision suffices; pad rows are empty
                     # (their lanes are discarded)
                     from ..ops.sparse_codes import sparse_beats_dense
-                    if packed_sparse and sparse_beats_dense(Gi):
+                    if packed_sparse and \
+                            SPA_BATCH * Gi.shape[1] < (1 << 31) and \
+                            sparse_beats_dense(Gi):  # int32 decode bound
                         from ..ops.sparse_codes import (encode_sparse_rows,
                                                         pad_entries)
                         entries, row_ptr = encode_sparse_rows(Gi)

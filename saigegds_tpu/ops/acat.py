@@ -42,9 +42,24 @@ def beta_weights(maf, b1, b2):
     """dbeta(maf, b1, b2) weights used by the aggregate tests.
 
     Computed host-side in full double precision (jax's gammaln is only
-    ~1e-8 accurate, which would leak into the golden p-value contract)."""
+    ~1e-8 accurate, which would leak into the golden p-value contract).
+    Matches R's dbeta at the boundaries: x=0 is b2/B-finite when b1 == 1
+    (NOT the 0*log(0) NaN of the log form) — monomorphic SNPs carry a
+    finite weight in the reference and rescale the unit's normalization.
+    """
     import math
     maf = np.asarray(maf, dtype=np.float64)
     lbeta = math.lgamma(b1) + math.lgamma(b2) - math.lgamma(b1 + b2)
-    logpdf = (b1 - 1.0) * np.log(maf) + (b2 - 1.0) * np.log1p(-maf) - lbeta
-    return np.exp(logpdf)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        logpdf = (b1 - 1.0) * np.log(maf) \
+            + (b2 - 1.0) * np.log1p(-maf) - lbeta
+        out = np.exp(logpdf)
+
+    def _edge(shape, other):   # R dbeta density at the boundary
+        if shape < 1.0:
+            return np.inf
+        return float(other) if shape == 1.0 else 0.0
+
+    out = np.where(maf == 0.0, _edge(b1, b2), out)
+    out = np.where(maf == 1.0, _edge(b2, b1), out)
+    return out

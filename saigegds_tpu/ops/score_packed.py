@@ -40,9 +40,9 @@ from .special import pchisq1_sf, qnorm
 
 N_SLICES = 8
 
-# burden-collapse contraction: S snps per batch must stay within one
-# f32-exact chunk (|partial| <= 64 * 2 * S < 2^24 -> S <= 65536); the cap
-# below also bounds the transient bf16 indicator chunks in HBM
+# burden-collapse batching target: bounds the transient bf16 indicator
+# chunks in HBM (oversized units chunk the contraction at 65536 SNPs to
+# keep every f32 partial exact: |partial| <= 64 * 2 * 65536 = 2^23)
 BURDEN_S_CAP = 2048
 _BURDEN_N_CHUNK = 65536
 
@@ -323,9 +323,6 @@ def _burden_rows(codes, A, Bm, C):
     """
     S, N = codes.shape
     R = A.shape[0]
-    if S > 65536:
-        raise ValueError(f"burden batch of {S} SNPs exceeds the exact-f32 "
-                         "contraction bound (65536)")
     dA, sA = _slice_i8(A.T, N_SLICES)            # [S, R, 8], [R]
     dB, sB = _slice_i8(Bm.T, N_SLICES)
     a2 = dA.reshape(S, R * N_SLICES).astype(jnp.bfloat16).T   # [R*8, S]
@@ -333,15 +330,24 @@ def _burden_rows(codes, A, Bm, C):
     pw = (1.0 / 128.0) ** jnp.arange(N_SLICES, dtype=jnp.float64)
     wA = sA[:, None] / 64.0 * pw[None, :]        # [R, 8]
     wB = sB[:, None] / 64.0 * pw[None, :]
+    SC = 65536     # exact-f32 contraction bound per dot
     outs = []
     for j0 in range(0, N, _BURDEN_N_CHUNK):
         c = codes[:, j0 : j0 + _BURDEN_N_CHUNK]
         g0 = jnp.where(c == 3, 0, c).astype(jnp.bfloat16)
         mm = (c == 3).astype(jnp.bfloat16)
-        pA = jnp.dot(a2, g0, preferred_element_type=jnp.float32)
-        pB = jnp.dot(b2, mm, preferred_element_type=jnp.float32)
-        pA = pA.astype(jnp.float64).reshape(R, N_SLICES, -1)
-        pB = pB.astype(jnp.float64).reshape(R, N_SLICES, -1)
+        pA = pB = None
+        for s0 in range(0, S, SC):   # exact partials, combined in f64
+            qA = jnp.dot(a2[:, s0:s0 + SC], g0[s0:s0 + SC],
+                         preferred_element_type=jnp.float32)
+            qB = jnp.dot(b2[:, s0:s0 + SC], mm[s0:s0 + SC],
+                         preferred_element_type=jnp.float32)
+            qA = qA.astype(jnp.float64)
+            qB = qB.astype(jnp.float64)
+            pA = qA if pA is None else pA + qA
+            pB = qB if pB is None else pB + qB
+        pA = pA.reshape(R, N_SLICES, -1)
+        pB = pB.reshape(R, N_SLICES, -1)
         outs.append(jnp.einsum("rsn,rs->rn", pA, wA) +
                     jnp.einsum("rsn,rs->rn", pB, wB))
     rows = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)

@@ -112,20 +112,27 @@ def pad_entries(entries: np.ndarray, bucket_min: int = 1 << 12
     2^k), bounding both padding waste (<= 25%) and the number of distinct
     compiled decode shapes.  Padding entries are zeros; they fall beyond
     ``row_ptr[-1]`` and are dropped by the decoder."""
-    L = max(len(entries), 1)
-    cap = bucket_min
-    while cap < L:
-        cap *= 2
-    if cap > bucket_min:
-        for frac in (4, 8):                      # 1.25x / 1.5x / 1.75x steps
-            step = cap // frac
-            while cap - step >= L and cap - step >= bucket_min:
-                cap -= step
+    cap = _quarter_bucket(len(entries), bucket_min)
     if cap == len(entries):
         return entries
     out = np.zeros(cap, np.uint16)
     out[: len(entries)] = entries
     return out
+
+
+def _quarter_bucket(n: int, minimum: int) -> int:
+    """Smallest value >= n from {1, 1.25, 1.5, 1.75} x 2^k (k chosen so
+    2^k >= minimum): bounds padding waste to <= 25% with exactly four
+    compiled shapes per octave."""
+    n = max(n, 1)
+    p = minimum
+    while 2 * p < n:
+        p *= 2
+    for frac in (4, 5, 6, 7, 8):
+        cap = p * frac // 4
+        if cap >= n:
+            return cap
+    return 2 * p        # unreachable (frac == 8 is 2 * p)
 
 
 @partial(jax.jit, static_argnames=("n_rows", "n_samples"))
@@ -168,15 +175,7 @@ def bucket_rows(n: int, cap: int, minimum: int = 64) -> int:
     compiled kernel shapes when blocks are split sparse/dense."""
     if n >= cap:
         return cap
-    b = minimum
-    while b < n:
-        b *= 2
-    if b > minimum:
-        for frac in (4, 8):
-            step = b // frac
-            while b - step >= n and b - step >= minimum:
-                b -= step
-    return min(b, cap)
+    return min(_quarter_bucket(n, minimum), cap)
 
 
 def sparse_row_mask(codes: np.ndarray) -> np.ndarray:

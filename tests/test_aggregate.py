@@ -245,3 +245,62 @@ def test_burden_quant_trait(seq, units):
         np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
         m = np.isfinite(a)
         np.testing.assert_allclose(a[m], b[m], rtol=1e-10, err_msg=c)
+
+
+def test_beta_weights_boundary_matches_R_dbeta():
+    """R's dbeta is finite at maf=0 for shape1=1 (NOT the 0*log(0) NaN of
+    the log form): monomorphic SNPs carry weight b2 in the default
+    schemes and rescale the unit's normalization (saige_main.cpp:536
+    includes every finite weight)."""
+    from saigegds_tpu.ops.acat import beta_weights
+
+    maf = np.array([0.0, 0.1, 0.5, np.nan])
+    w11 = beta_weights(maf, 1.0, 1.0)
+    w125 = beta_weights(maf, 1.0, 25.0)
+    np.testing.assert_allclose(w11[:3], [1.0, 1.0, 1.0])
+    assert w125[0] == 25.0                     # dbeta(0, 1, 25)
+    np.testing.assert_allclose(w125[1], 25.0 * 0.9 ** 24, rtol=1e-14)
+    assert np.isnan(w11[3]) and np.isnan(w125[3])
+    assert beta_weights(np.array([0.0]), 0.5, 2.0)[0] == np.inf
+    assert beta_weights(np.array([0.0]), 2.0, 2.0)[0] == 0.0
+
+
+def test_burden_collapse_reference_quirks():
+    """ds_mat_burden parity: non-finite weights skip the SNP entirely
+    (an all-missing SNP with NaN weight cannot poison the unit), and
+    fractional DS dosages are int-truncated for the mean/flip bookkeeping
+    while contributions use raw values (src/saige_main.cpp:526-610)."""
+    from saigegds_tpu.assoc.aggregate import _burden_collapse
+
+    # all-missing SNP with NaN weight: skipped, burden stays finite
+    ds = np.array([[0.0, 1.0, 2.0, 0.0],
+                   [np.nan] * 4,
+                   [1.0, 0.0, 0.0, np.nan]])
+    w = np.array([0.5, np.nan, 2.0])
+    out = _burden_collapse(ds, w)
+    assert np.isfinite(out).all()
+    # row 2: n=3, trunc-sum=1, no flip, mean=1/3
+    want = 0.5 * ds[0] + 2.0 * np.array([1.0, 0.0, 0.0, 1.0 / 3.0])
+    np.testing.assert_allclose(out, want, rtol=1e-15)
+
+    # fractional dosages: the reference's `int sum` accumulator floors
+    # each addend, so mean/flip use sum(floor(ds)) while contributions
+    # stay raw — replicate the C loop as the oracle
+    rng = np.random.default_rng(5)
+    ds = rng.uniform(0, 2, size=(6, 9))
+    ds[rng.random((6, 9)) < 0.2] = np.nan
+    w = rng.uniform(0.5, 2.0, 6)
+    out = _burden_collapse(ds, w)
+    want = np.zeros(9)
+    for i in range(6):
+        n, s = 0, 0
+        for x in ds[i]:
+            if np.isfinite(x):
+                n += 1
+                s = int(s + x)                  # C: int sum; sum += s[j]
+        m = s / n
+        if s <= n:
+            want += np.where(np.isfinite(ds[i]), ds[i], m) * w[i]
+        else:
+            want += np.where(np.isfinite(ds[i]), 2 - ds[i], 2 - m) * w[i]
+    np.testing.assert_allclose(out, want, rtol=1e-14)
