@@ -133,18 +133,22 @@ def prefault_heap(nbytes: int, background: bool = True) -> None:
     _prefault_done = nbytes
 
     def work():
-        libc = ctypes.CDLL("libc.so.6")
-        libc.memset.argtypes = [ctypes.c_void_p, ctypes.c_int,
-                                ctypes.c_size_t]
-        chunks = [np.empty(want // 4, np.uint8) for _ in range(4)]
-        ts = [threading.Thread(
-                  target=lambda a: libc.memset(
-                      a.ctypes.data_as(ctypes.c_void_p), 0, a.nbytes),
-                  args=(c,), daemon=True) for c in chunks]
-        for t in ts:
-            t.start()
-        for t in ts:
-            t.join()
+        global _prefault_done
+        try:
+            libc = ctypes.CDLL("libc.so.6")
+            libc.memset.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                    ctypes.c_size_t]
+            chunks = [np.empty(-(-want // 4), np.uint8) for _ in range(4)]
+            ts = [threading.Thread(
+                      target=lambda a: libc.memset(
+                          a.ctypes.data_as(ctypes.c_void_p), 0, a.nbytes),
+                      args=(c,), daemon=True) for c in chunks]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+        except MemoryError:
+            _prefault_done = 0      # didn't happen; let a later call retry
 
     runner = threading.Thread(target=work, daemon=True)
     runner.start()
@@ -209,7 +213,7 @@ def bit2_dosage_codes(data: bytes, mn: int, ploidy: int) -> np.ndarray:
     codes = unpack_bit2(data, mn * ploidy).reshape(mn, ploidy)
     miss = (codes == 3).any(axis=1)
     ds = codes.sum(axis=1, dtype=np.int16)
-    return np.where(miss, 3, ds).astype(np.int8)
+    return np.where(miss | (ds > 2), 3, ds).astype(np.int8)
 
 
 def bit2_dosage_codes_off(data, geno_offset: int, mn: int,
@@ -226,7 +230,7 @@ def bit2_dosage_codes_off(data, geno_offset: int, mn: int,
     codes = codes[geno_offset:].reshape(mn, ploidy)
     miss = (codes == 3).any(axis=1)
     ds = codes.sum(axis=1, dtype=np.int16)
-    return np.where(miss, 3, ds).astype(np.int8)
+    return np.where(miss | (ds > 2), 3, ds).astype(np.int8)
 
 
 def bit2_dosage_f64(data: bytes, mn: int, ploidy: int) -> np.ndarray:

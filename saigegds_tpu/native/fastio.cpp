@@ -27,8 +27,12 @@ uint16_t kDosage2[256];      // two int8 dosage codes (3 = missing)
 double   kDosage2F64[512];   // same as f64 with NaN for missing
 uint32_t kUnpack4[256];      // four unpacked 2-bit codes
 
+// Fold two allele codes into a dosage code {0,1,2}, 3 = missing.  Allele
+// pairs involving a second ALT (code 2) sum past 2 — not representable in
+// dosage_alt semantics — and fold to missing like a missing allele does;
+// split multiallelic sites (vcf2gds --split-multiallelic) for exactness.
 inline int8_t fold2(uint8_t a, uint8_t b) {
-    return (a == 3u || b == 3u) ? (int8_t)3 : (int8_t)(a + b);
+    return (a == 3u || b == 3u || a + b > 2u) ? (int8_t)3 : (int8_t)(a + b);
 }
 
 bool init_luts() {
@@ -37,11 +41,11 @@ bool init_luts() {
         uint8_t c2 = (v >> 4) & 3u, c3 = (v >> 6) & 3u;
         int8_t d0 = fold2(c0, c1), d1 = fold2(c2, c3);
         kDosage2[v] = (uint16_t)((uint8_t)d0 | ((uint16_t)(uint8_t)d1 << 8));
-        // f64 keeps sum==3 (allele pair 1+2) distinct from missing
-        kDosage2F64[2 * v]     = (c0 == 3u || c1 == 3u)
-                                 ? __builtin_nan("") : (double)(c0 + c1);
-        kDosage2F64[2 * v + 1] = (c2 == 3u || c3 == 3u)
-                                 ? __builtin_nan("") : (double)(c2 + c3);
+        // f64 matches the int8 fold exactly: sums past 2 are missing
+        kDosage2F64[2 * v]     = (d0 == 3) ? __builtin_nan("")
+                                           : (double)d0;
+        kDosage2F64[2 * v + 1] = (d1 == 3) ? __builtin_nan("")
+                                           : (double)d1;
         kUnpack4[v] = (uint32_t)c0 | ((uint32_t)c1 << 8) |
                       ((uint32_t)c2 << 16) | ((uint32_t)c3 << 24);
     }
@@ -92,10 +96,11 @@ void dosage2_scalar(const uint8_t* src, int64_t g0, int64_t count,
 // (allele_offset is always even in practice: rows are whole genotypes).
 void dosage2_any(const uint8_t* src, int64_t allele_offset, int64_t mn,
                  int8_t* out) {
+    if (mn <= 0) return;
     int64_t g0 = allele_offset >> 1;        // genotype (nibble) index
     int64_t done = 0;
     if (g0 & 1) {                           // align to a byte boundary
-        dosage2_scalar(src, g0, mn < 1 ? mn : 1, out);
+        dosage2_scalar(src, g0, 1, out);
         done = 1;
     }
     int64_t bulk_bytes = (mn - done) >> 1;
@@ -129,7 +134,7 @@ int64_t sg_vstr8_offsets(const uint8_t* data, size_t len, size_t n,
         uint64_t m = 0;
         int shift = 0;
         for (;;) {
-            if (p >= len) return -1;
+            if (p >= len || shift >= 64) return -1;   // corrupt/overlong
             uint8_t byte = data[p++];
             m |= (uint64_t)(byte & 0x7F) << shift;
             if (byte < 0x80) break;
@@ -155,7 +160,7 @@ void sg_geno_fold(const uint8_t* raw, int64_t mn, int64_t ploidy,
             miss |= (g[k] == 3);
             sum += g[k];
         }
-        out[i] = miss ? (int8_t)3 : (int8_t)sum;
+        out[i] = (miss || sum > 2) ? (int8_t)3 : (int8_t)sum;
     }
 }
 
@@ -177,7 +182,7 @@ void sg_bit2_dosage(const uint8_t* src, int64_t mn, int64_t ploidy,
             miss |= (g == 3);
             sum += g;
         }
-        out[i] = miss ? (int8_t)3 : (int8_t)sum;
+        out[i] = (miss || sum > 2) ? (int8_t)3 : (int8_t)sum;
     }
 }
 
@@ -198,7 +203,7 @@ void sg_bit2_dosage_off(const uint8_t* src, int64_t geno_offset, int64_t mn,
             miss |= (g == 3);
             sum += g;
         }
-        out[i] = miss ? (int8_t)3 : (int8_t)sum;
+        out[i] = (miss || sum > 2) ? (int8_t)3 : (int8_t)sum;
     }
 }
 
@@ -214,8 +219,8 @@ void sg_bit2_dosage_f64(const uint8_t* src, int64_t mn, int64_t ploidy,
             std::memcpy(out + 2 * i, &kDosage2F64[2 * src[i]], 16);
         if (mn & 1) {
             uint8_t nib = src[mn >> 1] & 0x0Fu;
-            uint8_t a = nib & 3u, b = (nib >> 2) & 3u;
-            out[mn - 1] = (a == 3u || b == 3u) ? kNaN : (double)(a + b);
+            int8_t d = fold2(nib & 3u, (nib >> 2) & 3u);
+            out[mn - 1] = (d == 3) ? kNaN : (double)d;
         }
         return;
     }
@@ -228,7 +233,7 @@ void sg_bit2_dosage_f64(const uint8_t* src, int64_t mn, int64_t ploidy,
             miss |= (g == 3);
             sum += g;
         }
-        out[i] = miss ? kNaN : (double)sum;
+        out[i] = (miss || sum > 2) ? kNaN : (double)sum;
     }
 }
 

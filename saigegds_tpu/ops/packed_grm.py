@@ -259,6 +259,10 @@ class Packed2GRM(NamedTuple):
     n_samples: int          # true N (the byte width pads to 4*N4 internally)
 
     def matvec(self, b, precision: str = "exact_i8"):
+        if precision != "exact_i8":
+            raise NotImplementedError(
+                "Packed2GRM only implements the exact integer-sliced "
+                "matvec; use PackedGRM/GRMOperator for the f64 debug path")
         return packed2_grm_matvec(self.packed, self.af, self.inv,
                                   self.miss_var, self.miss_samp,
                                   self.miss_pad, self.samp_mask, b,
@@ -405,13 +409,27 @@ _PACKED2_IMPL = "xla"   # resolved at build time (pallas probe runs outside
 
 
 def _resolve_packed2_impl() -> str:
+    """Probe whether the GRM plane kernels THEMSELVES compile (the score
+    kernels' pallas_available() probes a structurally different kernel —
+    a backend can accept one and reject the other)."""
     global _PACKED2_IMPL
     from .pallas_score import pallas_available
-    _PACKED2_IMPL = "pallas" if pallas_available() else "xla"
+    ok = False
+    if pallas_available():
+        try:
+            from .pallas_grm import TJ, TM, plane_dot_fwd, plane_dot_t
+            packed = jnp.zeros((TM, TJ), jnp.uint8)
+            d4 = jnp.zeros((4, TJ, 128), jnp.bfloat16)
+            dm = jnp.zeros((TM, 128), jnp.bfloat16)
+            jax.block_until_ready(plane_dot_fwd(packed, d4))
+            jax.block_until_ready(plane_dot_t(packed, dm))
+            ok = True
+        except Exception:
+            ok = False
+    _PACKED2_IMPL = "pallas" if ok else "xla"
     return _PACKED2_IMPL
 
 
-@partial(jax.jit, static_argnames=("impl",))
 def packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
                        samp_mask, b, impl: str = ""):
     """GRM @ b from 2-bit planar-packed codes; bit-identical to
@@ -425,7 +443,16 @@ def packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
     kernels (ops/pallas_grm) so each pass reads HBM once at 0.25
     B/genotype; ``"xla"`` decodes into transient bf16 chunk tiles.
     """
-    impl = impl or _PACKED2_IMPL
+    # resolve the default impl OUTSIDE the traced body: a cached impl=""
+    # trace would pin whatever the global held at its first trace
+    return _packed2_grm_matvec(packed, af, inv, miss_var, miss_samp,
+                               miss_pad, samp_mask, b,
+                               impl=impl or _PACKED2_IMPL)
+
+
+@partial(jax.jit, static_argnames=("impl",))
+def _packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
+                        samp_mask, b, impl: str):
     squeeze = b.ndim == 1
     B = b[:, None] if squeeze else b
     M, N4 = packed.shape

@@ -49,7 +49,10 @@ def test_bit2_dosage_codes():
     for i, g in enumerate(flat):
         packed[i >> 2] |= int(g) << ((i & 3) * 2)
     got = native.bit2_dosage_codes(bytes(packed), M * N, P).reshape(M, N)
-    miss = (alleles == 3).any(axis=2)
+    # allele pairs summing past 2 (second-ALT codes) fold to missing: the
+    # {0,1,2,3} dosage vocabulary cannot represent them (split
+    # multiallelic sites for exact handling)
+    miss = (alleles == 3).any(axis=2) | (alleles.sum(axis=2) > 2)
     want = np.where(miss, 3, alleles.sum(axis=2)).astype(np.int8)
     np.testing.assert_array_equal(got, want)
     f = native.bit2_dosage_f64(bytes(packed), M * N, P).reshape(M, N)
