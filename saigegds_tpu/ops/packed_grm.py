@@ -75,34 +75,13 @@ class PackedGRM(NamedTuple):
 def build_packed_grm(codes: np.ndarray, pad_multiple: int = 256) -> PackedGRM:
     """Build the packed operator from int8 codes [M, N] (3 = missing)."""
     codes = np.ascontiguousarray(codes, dtype=np.int8)
-    valid = codes < 3
-    n_valid = valid.sum(axis=1)
-    s = np.where(valid, codes, 0).sum(axis=1, dtype=np.int64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        af = s / (2.0 * n_valid)
-        inv = 1.0 / np.sqrt(2.0 * af * (1.0 - af))
-    bad = ~np.isfinite(af) | ~np.isfinite(inv)
-    af = np.where(bad, 0.0, af)
-    inv = np.where(bad, 0.0, inv)
-    # diag(GRM)_j = (1/M) sum_m s_m(c_mj)^2, s(missing) = 0
-    std = np.where(valid, (codes - 2.0 * af[:, None]) * inv[:, None], 0.0)
     M, N = codes.shape
-    diag = (std * std).sum(axis=0) / M
-
-    mv, ms = np.nonzero(~valid)
-    nnz = len(mv)
-    nnz_pad = max(-(-max(nnz, 1) // pad_multiple) * pad_multiple, pad_multiple)
-    miss_var = np.zeros(nnz_pad, np.int32)
-    miss_samp = np.zeros(nnz_pad, np.int32)
-    miss_pad = np.zeros(nnz_pad, np.float64)
-    miss_var[:nnz] = mv
-    miss_samp[:nnz] = ms
-    miss_pad[:nnz] = 1.0
-
+    af, inv, diag_part, mv, ms, valid = _variant_moments(codes)
+    miss_var, miss_samp, miss_pad = _pad_miss(mv, ms, pad_multiple)
     return PackedGRM(codes=jnp.asarray(np.where(valid, codes, 0),
                                        dtype=jnp.bfloat16),
                      af=jnp.asarray(af), inv=jnp.asarray(inv),
-                     diag=jnp.asarray(diag),
+                     diag=jnp.asarray(diag_part / M),
                      miss_var=jnp.asarray(miss_var),
                      miss_samp=jnp.asarray(miss_samp),
                      miss_pad=jnp.asarray(miss_pad),
@@ -128,18 +107,8 @@ def build_packed_grm_streamed(block_iter, n_samples: int,
     row0 = 0
     for _idx, codes in block_iter:
         codes = np.ascontiguousarray(codes, dtype=np.int8)
-        valid = codes < 3
-        n_valid = valid.sum(axis=1)
-        s = np.where(valid, codes, 0).sum(axis=1, dtype=np.int64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            af = s / (2.0 * n_valid)
-            inv = 1.0 / np.sqrt(2.0 * af * (1.0 - af))
-        bad = ~np.isfinite(af) | ~np.isfinite(inv)
-        af = np.where(bad, 0.0, af)
-        inv = np.where(bad, 0.0, inv)
-        std = np.where(valid, (codes - 2.0 * af[:, None]) * inv[:, None], 0.0)
-        diag += (std * std).sum(axis=0)
-        mv, ms = np.nonzero(~valid)
+        af, inv, diag_part, mv, ms, valid = _variant_moments(codes)
+        diag += diag_part
         miss_v.append(mv.astype(np.int64) + row0)
         miss_s.append(ms.astype(np.int64))
         af_parts.append(af)
@@ -153,14 +122,7 @@ def build_packed_grm_streamed(block_iter, n_samples: int,
         else dev_blocks[0]
     mv = np.concatenate(miss_v) if miss_v else np.empty(0, np.int64)
     ms = np.concatenate(miss_s) if miss_s else np.empty(0, np.int64)
-    nnz = len(mv)
-    nnz_pad = max(-(-max(nnz, 1) // pad_multiple) * pad_multiple, pad_multiple)
-    miss_var = np.zeros(nnz_pad, np.int32)
-    miss_samp = np.zeros(nnz_pad, np.int32)
-    miss_pad = np.zeros(nnz_pad, np.float64)
-    miss_var[:nnz] = mv
-    miss_samp[:nnz] = ms
-    miss_pad[:nnz] = 1.0
+    miss_var, miss_samp, miss_pad = _pad_miss(mv, ms, pad_multiple)
     return PackedGRM(codes=codes_dev,
                      af=jnp.asarray(np.concatenate(af_parts)),
                      inv=jnp.asarray(np.concatenate(inv_parts)),

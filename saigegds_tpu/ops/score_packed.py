@@ -64,7 +64,13 @@ class PackedScanModel(NamedTuple):
     vs: jnp.ndarray        # [N, Cpad] bf16 sliced V (Pallas kernel operand)
     vs4: jnp.ndarray       # [4, N4, Cpad] plane-split zero-padded vs for the
     #                        2-bit planar-packed block path (plane p rows are
-    #                        natural samples p*N4 .. p*N4+N4-1)
+    #                        natural samples p*N4 .. p*N4+N4-1).  Both vs and
+    #                        vs4 stay resident (~bf16 N x Cpad each, ~0.5 GB
+    #                        total at N=500k/K=10): the default scan uses vs4
+    #                        for dense blocks AND vs for the sparse-decoded
+    #                        ones in the same run; vs4 is derived on device
+    #                        (no extra upload), and re-deriving it per block
+    #                        would churn the same HBM every dispatch
     wts: jnp.ndarray       # [2K+3, S] f64 slice combine weights
     # for SPA phase 2 and quantitative stats the dense model is still needed
     dense: ScanModel
@@ -119,6 +125,12 @@ def pack_scan_model(model: ScanModel) -> PackedScanModel:
     )
 
 
+def _combine_slices(a, B, R, wts):
+    """[B, Cpad] slice columns -> [B, R] with the baked f64 weights."""
+    a = a[:, :R * N_SLICES].reshape(B, R, N_SLICES)
+    return jnp.einsum("brs,rs->br", a, wts)
+
+
 def _packed_phase1(pm: PackedScanModel, params: ScanParams, codes,
                    impl: str):
     """Shared contraction + per-variant moment algebra for both traits.
@@ -169,11 +181,7 @@ def _packed_phase1(pm: PackedScanModel, params: ScanParams, codes,
                                preferred_element_type=jnp.float32)
                 part = part.astype(jnp.float64)
                 acc[i] = part if acc[i] is None else acc[i] + part
-        # combine slice columns: [B, Cpad] -> [B, R] with the baked weights
-        def combine(a):
-            a = a[:, :R * N_SLICES].reshape(B, R, N_SLICES)
-            return jnp.einsum("brs,rs->br", a, pm.wts)
-        Y0, Ym, Y2 = combine(acc[0]), combine(acc[1]), combine(acc[2])
+        Y0, Ym, Y2 = (_combine_slices(a, B, R, pm.wts) for a in acc)
     elif impl == "xla2":
         # planar 2-bit blocks: decode byte-column chunks x 4 planes into
         # transient bf16 indicators; per-dot contraction <= 16384 keeps
@@ -196,10 +204,7 @@ def _packed_phase1(pm: PackedScanModel, params: ScanParams, codes,
                                    preferred_element_type=jnp.float32)
                     part = part.astype(jnp.float64)
                     acc[i] = part if acc[i] is None else acc[i] + part
-        def combine(a):
-            a = a[:, :R * N_SLICES].reshape(B, R, N_SLICES)
-            return jnp.einsum("brs,rs->br", a, pm.wts)
-        Y0, Ym, Y2 = combine(acc[0]), combine(acc[1]), combine(acc[2])
+        Y0, Ym, Y2 = (_combine_slices(a, B, R, pm.wts) for a in acc)
     elif impl == "pallas2" or impl == "pallas2_interpret":
         from .pallas_score import indicator_dot_2bit
         Y3 = indicator_dot_2bit(codes, pm.vs4,
