@@ -221,7 +221,7 @@ def _gxg_run_batched(grm, ori_X, y, pairs, fetch, tau_init, use_approx_tau,
             g1, s1 = fetch(i1)
             g2, s2 = fetch(i2)
             X = np.column_stack([ori_X, g1, g2])
-            X_new, _ = qr_transform(X)
+            X_new, _, _ = qr_transform(X)
             fit0 = glm_binomial(X_new, y)
             nok = obj_nok_binary(X_new, y)
             metas.append(dict(id1=i1, snp1=s1, maf1=g1.mean() * 0.5,
@@ -375,7 +375,7 @@ def gxg_spa(formula: str, data: pd.DataFrame, gds_grm, snp_pair,
     if ti[1] > 0:
         tau_init[1] = ti[1]
     if use_approx_tau:
-        X_new, _ = qr_transform(ori_X)
+        X_new, _, _ = qr_transform(ori_X)
         fit0 = glm_binomial(X_new, y)
         glmm0 = fit_ai_pcg(grm, fit0, X_new, tau_init, cfg, binary=True)
         tau_init = glmm0.tau
@@ -410,7 +410,7 @@ def gxg_spa(formula: str, data: pd.DataFrame, gds_grm, snp_pair,
 
         X = np.column_stack([ori_X, g1, g2])
         # collinearity drop + QR transform (R/saige_interaction.r:457-480)
-        X_new, _ = qr_transform(X)
+        X_new, _, _ = qr_transform(X)
         fit0 = glm_binomial(X_new, y)
         nok = obj_nok_binary(X_new, y)
 

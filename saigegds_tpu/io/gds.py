@@ -182,18 +182,10 @@ def _u48(b: bytes, off: int) -> int:
     return int.from_bytes(b[off : off + 6], "little")
 
 
-@dataclass
-class _Block:
-    bid: int
-    content: bytes
-
-
 def _read_blocks(data: bytes) -> Dict[int, bytes]:
     if data[:12] != GDS_MAGIC:
         raise ValueError("not a CoreArray GDS file")
     pos = 0x12  # magic(12) + version(2) + entry word(4)
-    pieces: Dict[int, bytearray] = {}
-    heads: Dict[int, dict] = {}
     # first pass: collect pieces by position
     piece_at: Dict[int, tuple] = {}
     while pos + 6 <= len(data):
@@ -567,9 +559,14 @@ class GDSFile:
         index = self.frame_index(node)
         if not index:
             return self._raw_stream(node)[start:stop]
-        # first frame whose decompressed start is <= start
+        # first frame whose decompressed start is <= start (the starts
+        # list is immutable once the index exists — cache it: per-row
+        # random access calls this once per row)
         import bisect
-        starts = [d for _, d in index]
+        starts = node._props.get("_frame_starts")
+        if starts is None:
+            starts = [d for _, d in index]
+            node._props["_frame_starts"] = starts
         f0 = max(bisect.bisect_right(starts, start) - 1, 0)
         out = bytearray()
         off = index[f0][1]

@@ -366,14 +366,17 @@ def fit_ai_pcg(grm: GRMOperator, fit0: GlmFit, X: np.ndarray, tau: np.ndarray,
     start_it = 1
     resume_alpha = None
     it = 1
+    brk = False
     if state is not None:
         tau = state["tau"].copy()
         eta = state["eta"].copy()
         alpha = resume_alpha = state["alpha"].copy()
         it = int(state["it"])
-        if bool(state["brk"]):
-            # crashed between convergence and the final solve: skip the
-            # loop, restore the final solve's warm start
+        brk = bool(state["brk"])
+        if brk or it >= cfg.maxiter:
+            # crashed between the last saved iteration and the final
+            # solve: skip the loop and restore the final solve's warm
+            # start exactly as the uninterrupted run would have it
             start_it = cfg.maxiter + 1
             alpha0 = state["alpha0"].copy()
             eta0 = state["eta0"].copy()
@@ -447,9 +450,12 @@ def fit_ai_pcg(grm: GRMOperator, fit0: GlmFit, X: np.ndarray, tau: np.ndarray,
 
     st = _get_coeff(grm, y, X, tau, family, alpha0, eta0, offset,
                     cfg.maxiter_pcg, cfg.maxiter, cfg.tol_pcg)
+    # converged iff the tau loop broke on its tolerance (the reference's
+    # `iter <= maxiter` works because its C loop leaves iter = maxiter+1
+    # on exhaustion; Python's range leaves it = maxiter)
     fit = GlmmFit(coefficients=st.alpha, tau=tau, linear_predictors=st.eta,
                   fitted_values=st.mu, residuals=y - st.mu, cov=st.cov,
-                  converged=(it <= cfg.maxiter))
+                  converged=bool(brk))
     if ckp:
         _ck_save(ckp, phase="done", n=n, k=X.shape[1], binary=binary,
                  tau=tau, alpha=st.alpha, eta=st.eta, mu=st.mu,
@@ -503,8 +509,10 @@ def calc_var_ratio(grm: GRMOperator, codes: np.ndarray, fit0: GlmFit,
             g = codes[i_snp - 1].astype(np.float64)
             isnan = g >= 3
             num = int((~isnan).sum())
+            if num == 0:          # all-missing marker (explicit variant_id
+                continue          # panels bypass the missing-rate filter)
             ac = float(np.where(isnan, 0, g).sum())
-            af = ac / (2 * num) if num else np.nan
+            af = ac / (2 * num)
             g = np.where(isnan, ac / num, g)  # mean impute
             if af > 0.5:
                 g = 2.0 - g
@@ -739,6 +747,12 @@ def fit_null_glmm(formula: str, data, gdsfile,
         impl = "packed2" if (mesh is None and
                              2 * seq.n_variants * len(data) > (4 << 30)) \
             else "packed"
+    if mesh is not None and impl not in ("dense", "packed"):
+        # fail BEFORE the (potentially hours-long) GRM build: the sharded
+        # handle only wraps the dense/bf16 operators
+        raise ValueError(
+            f"grm_impl={impl!r} cannot be mesh-sharded; use 'packed' "
+            "(per-device HBM divides by the mesh size) or 'auto'")
     streamed = impl in ("packed", "packed2") and stream \
         and seq.has_genotype()
     if streamed:
@@ -806,7 +820,9 @@ def fit_null_glmm(formula: str, data, gdsfile,
     X, X_names = _model_matrix(data, covs)
     x_transform = cfg.x_transform and X.shape[1] > 1
     if x_transform:
-        X_new, X_qrr = qr_transform(X)
+        X_new, X_qrr, keep_cols = qr_transform(X)
+        if not keep_cols.all():   # collinear columns dropped: names follow
+            X_names = [nm for nm, k in zip(X_names, keep_cols) if k]
     else:
         X_new, X_qrr = X, None
 

@@ -128,8 +128,10 @@ def rank_norm(x: np.ndarray) -> np.ndarray:
 
 def qr_transform(X: np.ndarray):
     """The reference's X.transform (R/saige_main.r:356-387): drop collinear
-    columns, then X_new = qr.Q(X) * sqrt(n).  Returns (X_new, R) with R the
-    qr.R factor used to un-rotate coefficients afterwards (:616-623)."""
+    columns, then X_new = qr.Q(X) * sqrt(n).  Returns (X_new, R, keep): R
+    is the qr.R factor used to un-rotate coefficients afterwards
+    (:616-623) and ``keep`` the retained-column mask (the reference
+    recaptures X_name after the exclusion, :370-377)."""
     n = X.shape[0]
     # multicollinearity: lm(y ~ X - 1) NA coefficients <-> rank deficiency
     q, r = np.linalg.qr(X)
@@ -139,4 +141,4 @@ def qr_transform(X: np.ndarray):
         q, r = np.linalg.qr(X)
     # numpy's Householder QR (dgeqrf) matches R's qr() sign conventions
     # (verified against the reference fixture's obj.noK$X1 to 3e-13)
-    return q * np.sqrt(n), r
+    return q * np.sqrt(n), r, keep

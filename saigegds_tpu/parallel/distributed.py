@@ -23,16 +23,26 @@ def init_distributed(coordinator_address: Optional[str] = None,
                      process_id: Optional[int] = None) -> Tuple[int, int]:
     """Initialize jax.distributed for a multi-host pod slice.
 
-    On TPU pods the arguments are auto-detected from the environment; on
-    CPU/GPU clusters pass them explicitly.  Returns (process_id,
-    process_count).  No-op when already initialized or single-process.
+    On TPU pods a bare ``init_distributed()`` call auto-detects everything
+    from the environment (jax.distributed.initialize with no args); on
+    CPU/GPU clusters pass the arguments explicitly.  Returns (process_id,
+    process_count).  No-op when already initialized.
     """
     import jax
-    if num_processes is not None and num_processes > 1 or \
-            coordinator_address is not None:
-        jax.distributed.initialize(coordinator_address=coordinator_address,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+    from jax._src import distributed as _dist
+    already = getattr(_dist.global_state, "client", None) is not None
+    if not already:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
+        except (ValueError, RuntimeError):
+            # single-process run with nothing to auto-detect, or the
+            # backend is already up (e.g. init after a device query):
+            # degrade to a no-op — process_index/count report (0, 1)
+            if coordinator_address is not None or \
+                    (num_processes or 1) > 1:
+                raise       # an explicit multi-process setup must not fail
     return jax.process_index(), jax.process_count()
 
 

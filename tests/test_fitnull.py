@@ -219,3 +219,34 @@ def test_fit_telemetry_escalation(pheno):
     assert all(e["cv"] > 1e-6 for e in esc)
     capped = [e for e in m.fit_log if e["event"] == "trace_capped"]
     assert capped and all(e["n_runs"] == 60 for e in capped)
+
+
+def test_unconverged_fit_reports_false():
+    """Exhausting maxiter without meeting the tau tolerance must report
+    converged=False (the reference's iter<=maxiter works because C leaves
+    iter=maxiter+1; a verbatim port always returned True)."""
+    import pandas as pd
+    from saigegds_tpu import fit_null_glmm
+    from saigegds_tpu.config import NullModelConfig
+
+    pheno = pd.read_csv("/root/reference/inst/extdata/pheno.txt.gz", sep="\t")
+    m = fit_null_glmm("y ~ x1 + x2", pheno,
+                      "/root/reference/inst/extdata/grm1k_10k_snp.gds",
+                      config=NullModelConfig(maxiter=1, max_num_snp=2000))
+    assert m.converged == False  # noqa: E712
+
+
+def test_collinear_covariate_drops_name():
+    """A collinear covariate column is dropped by the QR transform; the
+    coefficient names must follow (reference recaptures X_name,
+    R/saige_main.r:370-377)."""
+    import pandas as pd
+    from saigegds_tpu import fit_null_glmm
+    from saigegds_tpu.config import NullModelConfig
+
+    pheno = pd.read_csv("/root/reference/inst/extdata/pheno.txt.gz", sep="\t")
+    pheno["x3"] = 2.0 * pheno["x1"] - pheno["x2"]      # exactly collinear
+    m = fit_null_glmm("y ~ x1 + x2 + x3", pheno,
+                      "/root/reference/inst/extdata/grm1k_10k_snp.gds",
+                      config=NullModelConfig(max_num_snp=2000))
+    assert len(m.coef_names) == len(m.coefficients) == 3

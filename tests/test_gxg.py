@@ -214,7 +214,7 @@ def _gxg_inputs(pheno, i1=100, i2=200):
     g1 = _minor_allele_geno(seq.dosage_block(i1, i1 + 1)[0])
     g2 = _minor_allele_geno(seq.dosage_block(i2, i2 + 1)[0])
     X = np.column_stack([np.ones(len(y)), pheno["x1"], pheno["x2"], g1, g2])
-    X_new, _ = qr_transform(X)
+    X_new, _, _ = qr_transform(X)
     fit0 = glm_binomial(X_new, y)
     nok = obj_nok_binary(X_new, y)
     return X, X_new, y, g1, g2, fit0, nok
