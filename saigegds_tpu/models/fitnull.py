@@ -857,6 +857,12 @@ def fit_null_glmm(formula: str, data, gdsfile,
         if impl == "packed2":
             from ..ops.packed_grm import build_packed2_grm_streamed
             grm = build_packed2_grm_streamed(blocks(), n_samp)
+        elif mesh is not None:
+            # place each block sample-sharded as it streams: the full
+            # bf16 store never exists unsharded on one device
+            from ..parallel.mesh import ShardedGrmHandle
+            grm = ShardedGrmHandle.from_streamed_blocks(blocks(), n_samp,
+                                                        mesh)
         else:
             grm = build_packed_grm_streamed(blocks(), n_samp)
         codes = marker_rows            # row provider for calc_var_ratio
@@ -872,7 +878,8 @@ def fit_null_glmm(formula: str, data, gdsfile,
                          f"'packed2', got {cfg.grm_impl!r}")
     if mesh is not None:
         from ..parallel.mesh import ShardedGrmHandle
-        grm = ShardedGrmHandle(grm, mesh)
+        if not isinstance(grm, ShardedGrmHandle):
+            grm = ShardedGrmHandle(grm, mesh)
 
     tele = telemetry.collect(verbose=verbose)
     tele_obj = tele.__enter__()

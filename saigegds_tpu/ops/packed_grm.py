@@ -113,8 +113,10 @@ def build_packed_grm_streamed(block_iter, n_samples: int,
         miss_s.append(ms.astype(np.int64))
         af_parts.append(af)
         inv_parts.append(inv)
-        dev_blocks.append(put(jnp.asarray(np.where(valid, codes, 0),
-                                          dtype=jnp.bfloat16)))
+        # the hook receives HOST bf16 (a sharded putter must place it
+        # without a default-device stop-over)
+        dev_blocks.append(put(np.where(valid, codes, 0)
+                              .astype(jnp.bfloat16)))
         row0 += codes.shape[0]
 
     M = row0

@@ -149,6 +149,53 @@ class ShardedGrmHandle:
         self.n_variants = op.n_variants
         self.n_samples = N  # original size, what callers reason about
 
+    @classmethod
+    def from_streamed_blocks(cls, block_iter, n_samples: int, mesh: Mesh,
+                             axis: str = "data"):
+        """Build the sample-sharded packed operator DIRECTLY from streamed
+        (idx, int8 codes) blocks: each bf16 block is padded to the
+        mesh-aligned width and placed with the sample sharding as it
+        arrives — the full [M, Np] store never exists unsharded on one
+        device (the plain ``ShardedGrmHandle(build_packed_grm_streamed(...),
+        mesh)`` route would OOM a single device at exactly the scale the
+        mesh is for)."""
+        from ..ops.packed_grm import PackedGRM, build_packed_grm_streamed
+
+        nd = mesh.devices.size
+        N = n_samples
+        Np = -(-N // nd) * nd
+        mat = NamedSharding(mesh, P(None, axis))
+
+        def put_block(blk):          # host bf16 [b, N] -> sharded [b, Np]
+            blk = np.pad(blk, ((0, 0), (0, Np - N)))
+            return jax.device_put(blk, mat)
+
+        op = build_packed_grm_streamed(block_iter, n_samples=N,
+                                       device_put=put_block)
+        self = cls.__new__(cls)
+        self.mesh, self.axis = mesh, axis
+        self.n_orig, self.n_padded = N, Np
+        self._mat = mat
+        self._vec = NamedSharding(mesh, P(axis))
+        self._cols = NamedSharding(mesh, P(axis, None))
+        repl = NamedSharding(mesh, P())
+
+        def put(x, sh):
+            return jax.device_put(jnp.asarray(x), sh)
+
+        self.op = PackedGRM(
+            codes=op.codes,          # already [M, Np], sample-sharded
+            af=put(op.af, repl), inv=put(op.inv, repl),
+            diag=put(jnp.pad(op.diag, (0, Np - N)), self._vec),
+            miss_var=put(op.miss_var, repl),
+            miss_samp=put(op.miss_samp, repl),
+            miss_pad=put(op.miss_pad, repl),
+            samp_mask=put(jnp.pad(op.samp_mask, (0, Np - N)), self._vec),
+            n_variants=op.n_variants, n_samples=Np)
+        self.n_variants = op.n_variants
+        self.n_samples = N
+        return self
+
     def _pad_put(self, x, fill, sharding):
         x = np.asarray(x, np.float64)
         pad = self.n_padded - self.n_orig

@@ -166,3 +166,35 @@ def test_variant_sharded_scan_matches(mesh):
                                rtol=1e-12)
     np.testing.assert_allclose(np.asarray(got.beta), np.asarray(want.beta),
                                rtol=1e-12)
+
+
+def test_sharded_streamed_build_matches_wrapped():
+    """ShardedGrmHandle.from_streamed_blocks (per-block sharded placement,
+    no unsharded [M, Np] stop-over) == wrapping the fully-built operator."""
+    import numpy as np
+    import jax.numpy as jnp
+    from saigegds_tpu.ops.packed_grm import build_packed_grm
+    from saigegds_tpu.parallel.mesh import ShardedGrmHandle, make_mesh
+
+    rng = np.random.default_rng(4)
+    M, N = 120, 1003                      # N not divisible by the mesh
+    codes = rng.integers(0, 3, size=(M, N)).astype(np.int8)
+    codes[rng.random((M, N)) < 0.02] = 3
+    mesh = make_mesh(8)
+
+    def blocks():
+        for s in range(0, M, 37):
+            yield np.arange(s, min(s + 37, M)), codes[s : s + 37]
+
+    h1 = ShardedGrmHandle.from_streamed_blocks(blocks(), N, mesh)
+    h2 = ShardedGrmHandle(build_packed_grm(codes), mesh)
+    b = rng.normal(size=(N, 3))
+    np.testing.assert_array_equal(h1.mv(b), h2.mv(b))
+    w = rng.uniform(0.1, 0.3, N)
+    x1, c1 = h1.pcg(w, np.array([1.0, 0.5]), b, 1e-8, 200)
+    x2, c2 = h2.pcg(w, np.array([1.0, 0.5]), b, 1e-8, 200)
+    # diag(GRM) accumulates in block order when streamed: the Jacobi
+    # preconditioner differs at f64 ulp, so iterates agree to solver
+    # precision (the matvec itself is exact, asserted above)
+    np.testing.assert_allclose(x1, x2, rtol=1e-9, atol=1e-12)
+    assert h1.n_samples == N and h1.n_variants == M
