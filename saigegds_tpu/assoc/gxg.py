@@ -74,7 +74,7 @@ def _gxg_stat(grm: GRMOperator, fit0, glmm: GlmmFit, nok, inter: np.ndarray,
     pval_arr, conv_arr = saddle_prob_batch(
         jnp.asarray([qtilde]), jnp.asarray([m1]), jnp.asarray([var2]),
         jnp.asarray(G[None, :]), jnp.asarray(mu),
-        jnp.ones((1, len(G)), bool), cutoff=2.0)
+        jnp.ones((1, len(G)), bool), cutoff=2.0, zero_noadj=False)
     pval = float(pval_arr[0])
     converged = bool(conv_arr[0])
     # p.norm = pchisq((qtilde-m1)^2/var2) = pchisq(Tstat^2/var1)
@@ -101,11 +101,13 @@ def _gxg_stat_batch(grm, states, taus, inters, cfg):
     fam = _Binomial()
     P = len(states)
     N = inters.shape[1]
-    K2 = states[0][1].X1.shape[1]
-    C = K2 + 1
-    B = np.empty((N, P * C))
-    Wb = np.empty((N, P * C))
-    taub = np.empty((2, P * C))
+    # per-pair column offsets: X1 widths can differ when the QR transform
+    # drops a collinear appended dosage for some pairs
+    widths = [st[1].X1.shape[1] + 1 for st in states]
+    offs = np.concatenate([[0], np.cumsum(widths)])
+    B = np.empty((N, int(offs[-1])))
+    Wb = np.empty((N, int(offs[-1])))
+    taub = np.empty((2, int(offs[-1])))
     Gs = np.empty((P, N))
     mus = np.empty((P, N))
     for p, (fit0, nok) in enumerate(states):
@@ -116,11 +118,11 @@ def _gxg_stat_batch(grm, states, taus, inters, cfg):
         G0 = inters[p]
         G = G0 - nok.XXVX_inv @ (nok.XV @ G0)
         Gs[p], mus[p] = G, mu
-        s0 = p * C
-        B[:, s0:s0 + K2] = nok.X1
-        B[:, s0 + K2] = G
-        Wb[:, s0:s0 + C] = W[:, None]
-        taub[:, s0:s0 + C] = np.asarray(taus[p])[:, None]
+        s0, s1 = int(offs[p]), int(offs[p + 1])
+        B[:, s0:s1 - 1] = nok.X1
+        B[:, s1 - 1] = G
+        Wb[:, s0:s1] = W[:, None]
+        taub[:, s0:s1] = np.asarray(taus[p])[:, None]
     sol = np.asarray(pcg_solve_op(grm, jnp.asarray(Wb), jnp.asarray(taub),
                                   jnp.asarray(B), cfg.tol_pcg,
                                   cfg.maxiter_pcg)[0])
@@ -132,9 +134,9 @@ def _gxg_stat_batch(grm, states, taus, inters, cfg):
     var1s = np.empty(P)
     outs = []
     for p, (fit0, nok) in enumerate(states):
-        s0 = p * C
-        Sigma_iX = sol[:, s0:s0 + K2]
-        Sigma_iG = sol[:, s0 + K2]
+        s0, s1 = int(offs[p]), int(offs[p + 1])
+        Sigma_iX = sol[:, s0:s1 - 1]
+        Sigma_iG = sol[:, s1 - 1]
         X1, y, mu, G = nok.X1, fit0.y, mus[p], Gs[p]
         adj = Sigma_iX @ (_mat_inv(X1.T @ Sigma_iX) @ (X1.T @ Sigma_iG))
         S = float((y - mu) @ G)
@@ -154,7 +156,7 @@ def _gxg_stat_batch(grm, states, taus, inters, cfg):
     pv, conv = saddle_prob_batch(
         jnp.asarray(qts), jnp.asarray(m1s), jnp.asarray(var2s),
         jnp.asarray(Gs), jnp.asarray(mus), jnp.ones((P, N), bool),
-        cutoff=2.0)
+        cutoff=2.0, zero_noadj=False)
     pv, conv = np.asarray(pv), np.asarray(conv)
     for p, d in enumerate(outs):
         d.pop("var1")
@@ -185,6 +187,7 @@ def _device_taus(grm, y, X_list, eta0_list, tau_init, cfg):
     U = np.stack([rng.rademacher(n).astype(np.float64)
                   for _ in range(cfg.nrun + 30)], axis=1)
     f = functools.partial(fit_glmm_binary_device, nrun=cfg.nrun,
+                          maxiter=cfg.maxiter, maxiter_pcg=cfg.maxiter_pcg,
                           trace_cv_cutoff=cfg.trace_cv_cutoff)
     yj, tauj, Uj = jnp.asarray(y), jnp.asarray(tau_init, jnp.float64), \
         jnp.asarray(U)

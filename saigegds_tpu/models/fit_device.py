@@ -133,6 +133,10 @@ def fit_glmm_binary_device(op, y, X, tau_init, eta_init, U,
         Y, W, cov, Si_Y, Si_X = aux
         return eta1, alpha1, Y, W, cov, Si_Y, Si_X
 
+    # GRM @ probes is tau-invariant: stream the GRM over the probe pool
+    # ONCE, not per outer iteration (XLA hoists the loop constant)
+    AU_const = op.matvec(U)
+
     def ai_update(tau, Y, W, cov, Si_Y, Si_X, moment):
         """AI-REML tau step with CV-escalated Hutchinson trace (:816-890).
 
@@ -149,8 +153,7 @@ def fit_glmm_binary_device(op, y, X, tau_init, eta_init, U,
         AI = APY @ PAPY
         Si_U = sol[:, 1:]
         PU = Si_U - Si_X @ (cov @ (Si_X.T @ U))
-        AU = op.matvec(U)
-        trace = _masked_trace(jnp.sum(AU * PU, axis=0), nrun,
+        trace = _masked_trace(jnp.sum(AU_const * PU, axis=0), nrun,
                               trace_cv_cutoff)
         score = YPAPY - trace
         # Newton step; sub-tol values clamp to 0 (fitglmmaiRPCG, :860-890)
@@ -181,7 +184,10 @@ def fit_glmm_binary_device(op, y, X, tau_init, eta_init, U,
         return (jnp.where(keep, tau_n, tau), jnp.where(keep, eta_n, eta),
                 jnp.where(keep, alpha_n, alpha),
                 it + jnp.where(can_retry, 0, 1),
-                retries + jnp.where(can_retry, 1, 0),
+                # the reference's itry budget is PER ITERATION
+                # (src/saige_fitnull.cpp:1039-1066: itry resets each
+                # outer iteration); reset once the iteration completes
+                jnp.where(can_retry, retries + 1, 0),
                 done1, failed | fail)
 
     def outer_cond(state):
@@ -236,11 +242,12 @@ def fit_glmm_quant_device(op, y, X, tau_init, U,
         eta = y - tau[0] * (Si_Y - Si_X @ alpha)
         return alpha, eta, cov, Si_Y, Si_X, Si_U
 
+    AU_const = op.matvec(U)    # tau-invariant: one GRM stream, not per iter
+
     def traces(Si_X, cov, Si_U):
         """CV-escalated trace(P*GRM) and trace(P) from the probe pool."""
         PU = Si_U - Si_X @ (cov @ (Si_X.T @ U))
-        AU = op.matvec(U)
-        t1 = jnp.sum(AU * PU, axis=0)
+        t1 = jnp.sum(AU_const * PU, axis=0)
         t0 = jnp.sum(U * PU, axis=0)
         # shared escalation count: escalate while EITHER CV is above the
         # cutoff (the host loop checks both, fitnull._get_trace)

@@ -163,7 +163,7 @@ def spa_refine_binary(model: ScanModel, G, mixed: bool = False,
     and had p_noadj <= spa.pval — or, with ``packed_n`` = N, planar 2-bit
     packed uint8 [Bs, ceil(N/4)] codes, or the ``(entries, row_ptr)``
     gap-coded stream of ops/sparse_codes (both decoded on device;
-    bit-identical dosages).  Returns (pval, converged, beta).
+    bit-identical dosages).  Returns (pval, converged, beta, se).
     Mirrors src/saige_main.cpp:355-400.
     """
     if packed_n and isinstance(G, tuple):

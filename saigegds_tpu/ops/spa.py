@@ -192,7 +192,7 @@ def _saddle_prob(t, g, mu, mask, NAmu, NAsigma, q, f32_terms=False):
 
 
 def saddle_prob_batch(q, m1, var2, g, mu, mask, cutoff=2.0, mixed=False,
-                      g_bounds=None):
+                      g_bounds=None, zero_noadj=True):
     """Batched Saddle_Prob_Fast / Saddle_Prob.
 
     Parameters
@@ -221,9 +221,9 @@ def saddle_prob_batch(q, m1, var2, g, mu, mask, cutoff=2.0, mixed=False,
     qinv = m1 - s
     pval_noadj = pchisq1_sf(s * s / var2)
 
-    gm = jnp.where(mask, g, 0.0)
-    NAmu = m1 - jnp.sum(gm * mu * mask, axis=1)
-    NAsigma = var2 - jnp.sum(gm * gm * mu * (1.0 - mu) * mask, axis=1)
+    gm = jnp.where(mask, g, 0.0)     # masking established here once
+    NAmu = m1 - jnp.sum(gm * mu, axis=1)
+    NAsigma = var2 - jnp.sum(gm * gm * mu * (1.0 - mu), axis=1)
     # range bounds use the FULL adjusted genotype vector, not only the
     # exact-CGF subset (reference src/SPATest.cpp:325-331 sums over n_g);
     # compacted callers pass them explicitly
@@ -254,10 +254,12 @@ def saddle_prob_batch(q, m1, var2, g, mu, mask, cutoff=2.0, mixed=False,
         p1, p2 = jax.lax.cond(bad.any(), _redo, lambda _: (p1, p2), None)
     spa = p1 + p2
 
-    return _resolve_cutoff(pval_noadj, spa, both_conv, s, var2, cutoff)
+    return _resolve_cutoff(pval_noadj, spa, both_conv, s, var2, cutoff,
+                           zero_noadj)
 
 
-def _resolve_cutoff(pval_noadj, spa, both_conv, s, var2, cutoff):
+def _resolve_cutoff(pval_noadj, spa, both_conv, s, var2, cutoff,
+                    zero_noadj=True):
     """Closed form of the reference's cutoff-doubling loop.
 
     The loop (src/SPATest.cpp:286-290) only toggles between the SPA value
@@ -274,7 +276,12 @@ def _resolve_cutoff(pval_noadj, spa, both_conv, s, var2, cutoff):
     stat = jnp.abs(s) / jnp.sqrt(var2)
     below = stat < cutoff
     ratio_big = (spa != 0) & (pval_noadj / spa > 1000.0)
-    spa_zero = (spa == 0) & (pval_noadj > 0)
+    # the pval==0 -> pval_noadj substitution belongs to the SINGLE-VARIANT
+    # caller (src/saige_main.cpp:390-391); Saddle_Prob itself breaks out
+    # of the doubling loop with pval=0 and converged still true, which is
+    # what the GxG caller reports (src/saige_fitnull.cpp:1540) —
+    # zero_noadj=False preserves that
+    spa_zero = (spa == 0) & (pval_noadj > 0) & zero_noadj
 
     pval = jnp.where(
         below | ~both_conv, pval_noadj,
