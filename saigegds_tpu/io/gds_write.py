@@ -82,6 +82,11 @@ def _encode_column(arr: np.ndarray):
             payload += _leb128(len(b)) + b
         return "dVStr8", bytes(payload), len(arr)
     if arr.dtype.kind in ("i", "u"):
+        if len(arr) and (arr.min() < -(1 << 31) or arr.max() >= (1 << 31)):
+            # silent int32 wraparound would corrupt ids/counts; store as
+            # f64 instead (exact to 2^53, like R's numeric)
+            a = np.asarray(arr, "<f8")
+            return "dFloat64", a.tobytes(), len(a)
         a = np.asarray(arr, "<i4")
         return "dInt32", a.tobytes(), len(a)
     if arr.dtype.kind == "b":

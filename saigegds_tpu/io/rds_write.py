@@ -151,3 +151,30 @@ def write_rds(path: str, obj, compress: bool = True):
         data = gzip.compress(data, 6)
     with open(path, "wb") as f:
         f.write(data)
+
+
+def rdata_bytes(objs: dict) -> bytes:
+    """Serialize {name: object} as an RData workspace pairlist."""
+    w = _Writer()
+    w.out += b"X\n"
+    w.u32(2)
+    w.u32((3 << 16) | (5 << 8))
+    w.u32((2 << 16) | (3 << 8))
+    for name, obj in objs.items():
+        w.u32(LISTSXP | _HAS_TAG)
+        w.u32(SYMSXP)
+        w._charsxp(name)
+        w.item(obj)
+    w.u32(NILVALUE_SXP)
+    return bytes(w.out)
+
+
+def write_rdata(path: str, objs: dict, compress: bool = True):
+    """Write an .rda / .RData file (the reference's ``save(glmm, file=)``
+    checkpoint container, R/saige_main.r:630-643); readable by R's
+    ``load()`` and by ``io.rds.read_rdata``."""
+    data = b"RDX2\n" + rdata_bytes(objs)
+    if compress:
+        data = gzip.compress(data, 6)
+    with open(path, "wb") as f:
+        f.write(data)

@@ -13,6 +13,8 @@ import json
 from dataclasses import dataclass, field
 from typing import Optional
 
+import warnings
+
 import numpy as np
 
 from ..io.rds import read_rds, strip, RObject
@@ -71,8 +73,16 @@ class NullModel:
 
     @property
     def mean_var_ratio(self) -> float:
+        """NaN-skipping mean like the reference's
+        mean(var.ratio$ratio, na.rm=TRUE), which also hard-errors on a
+        non-finite result (R/assoc_single.r:157, .init_nullmod:21-22)."""
         r = np.asarray(self.var_ratio.get("ratio", [1.0]), dtype=float)
-        return float(np.mean(r))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")   # all-NaN mean warns
+            v = float(np.nanmean(r))
+        if not np.isfinite(v):
+            raise ValueError("the variance ratio is not finite")
+        return v
 
     # ---- persistence ----
 
@@ -82,8 +92,15 @@ class NullModel:
         if isinstance(path_or_obj, NullModel):
             return path_or_obj
         path = str(path_or_obj)
-        if path.endswith(".rds") or path.endswith(".rda") or path.endswith(".RData"):
+        low = path.lower()
+        if low.endswith(".rds"):
             return cls.from_r_object(read_rds(path))
+        if low.endswith(".rda") or low.endswith(".rdata"):
+            # .rda/.RData container: the reference's .check_modobj does
+            # get(load(fn)) — take the single stored object
+            from ..io.rds import read_rdata
+            objs = read_rdata(path)
+            return cls.from_r_object(next(iter(objs.values())))
         if path.endswith(".npz"):
             return cls.from_npz(path)
         raise ValueError(f"unknown model file format: {path}")
@@ -162,9 +179,15 @@ class NullModel:
     def save(self, path: str):
         """Save to .npz (ours) or .rds (R-interoperable checkpoint, the
         reference's contract R/saige_main.r:630-643)."""
-        if path.endswith(".rds"):
+        low = path.lower()
+        if low.endswith(".rds"):
             from ..io.rds_write import write_rds
             write_rds(path, self.to_r_object())
+            return
+        if low.endswith(".rda") or low.endswith(".rdata"):
+            # the reference's save(glmm, file=) container (:630-643)
+            from ..io.rds_write import write_rdata
+            write_rdata(path, {"glmm": self.to_r_object()})
             return
         if not path.endswith(".npz"):
             path += ".npz"

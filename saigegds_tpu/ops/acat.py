@@ -19,23 +19,34 @@ def acat_pval(pvals, weights=None, axis=-1):
     Returns NaN when no finite (pval, weight) pair exists or weights sum
     to <= 0, mirroring the reference's non-throwing path.
     """
-    p = jnp.asarray(pvals, dtype=jnp.float64)
-    w = jnp.ones_like(p) if weights is None else \
-        jnp.broadcast_to(jnp.asarray(weights, dtype=jnp.float64), p.shape)
-    ok = jnp.isfinite(p) & jnp.isfinite(w)
-    sumw = jnp.where(ok, w, 0.0).sum(axis=axis)
+    # host numpy on purpose: the combination is a tiny [n] reduction and
+    # libm's tan is what R's tanpi calls, so this is the reference's
+    # arithmetic bit-for-bit (XLA's tan differs by ulps, which the
+    # ill-conditioned near-pole regime amplifies to percents)
+    p = np.asarray(pvals, dtype=np.float64)
+    w = np.ones_like(p) if weights is None else \
+        np.broadcast_to(np.asarray(weights, dtype=np.float64), p.shape)
+    ok = np.isfinite(p) & np.isfinite(w)
+    # a finite p outside [0, 1] is bad input: the whole combination is
+    # NaN like the reference (src/saige_main.cpp:1024-1030), NOT clipped
+    bad = (ok & ((p < 0.0) | (p > 1.0))).any(axis=axis)
+    sumw = np.where(ok, w, 0.0).sum(axis=axis)
 
-    pc = jnp.clip(p, _ROUND_ZERO, _ROUND_ONE)
-    # tan(pi*(0.5-p)) == 1/tan(pi*p); for p < 1e-15 use the series 1/(pi p)
-    t_big = 1.0 / jnp.tan(jnp.pi * pc)
-    t_small = 1.0 / pc / jnp.pi
-    terms = jnp.where(pc >= 1e-15, t_big, t_small)
-    Tstat = jnp.where(ok, w * terms, 0.0).sum(axis=axis) / sumw
+    pc = np.clip(p, _ROUND_ZERO, _ROUND_ONE)
+    # tan(pi*(0.5-p)): evaluate EXACTLY this form — Rmath's tanpi reduces
+    # the argument mod 1 (0.5-p is already reduced on (0,1)) and then
+    # computes tan(M_PI*x).  For p < 1e-15 the reference uses the series
+    # 1/(pi p) (src/saige_main.cpp:1035-1043)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_big = np.tan(np.pi * (0.5 - pc))
+        t_small = 1.0 / pc / np.pi
+        terms = np.where(pc >= 1e-15, t_big, t_small)
+        Tstat = np.where(ok, w * terms, 0.0).sum(axis=axis) / sumw
 
-    out = jnp.where(Tstat <= 5e14,
-                    0.5 - jnp.arctan(Tstat) / jnp.pi,
-                    1.0 / Tstat / jnp.pi)
-    return jnp.where(sumw > 0, out, jnp.nan)
+        out = np.where(Tstat <= 5e14,
+                       0.5 - np.arctan(Tstat) / np.pi,
+                       1.0 / Tstat / np.pi)
+    return jnp.asarray(np.where(bad | ~(sumw > 0), np.nan, out))
 
 
 def beta_weights(maf, b1, b2):

@@ -71,8 +71,14 @@ def load_pval(files: Union[str, Sequence[str]], columns=None,
         low = fn.lower()
         if low.endswith(".rds") or low.endswith(".rda") or \
                 low.endswith(".rdata"):
-            from ..io.rds import read_rds, strip
-            obj = read_rds(fn)
+            from ..io.rds import read_rdata, read_rds, strip
+            if low.endswith(".rds"):
+                obj = read_rds(fn)
+            else:
+                # .rda/.RData container: the single stored object, like
+                # the reference's get(load(fn)) (R/saige_main.r:191-194)
+                objs = read_rdata(fn)
+                obj = next(iter(objs.values()))
             names = obj.names
             data = {k: np.asarray(strip(obj[k])) for k in names}
             parts.append(pd.DataFrame(data))
@@ -91,6 +97,8 @@ def load_pval(files: Union[str, Sequence[str]], columns=None,
             for nm in f.root.ls():
                 if nm == "sample.id" or f.root[nm].is_folder:
                     continue
+                if columns is not None and nm not in columns:
+                    continue     # don't inflate unrequested columns
                 data[nm] = np.asarray(f.root[nm].read())
             parts.append(pd.DataFrame(data))
         elif low.endswith(".parquet"):

@@ -10,12 +10,19 @@ from saigegds_tpu.utils.stats import acat_p, acat_p_maf
 def _acat_ref(ps, ws=None):
     """Straight-line numpy reimplementation of the Cauchy combination.
 
-    Uses cot(pi p) = tan(pi (0.5 - p)) — the argument-reduced form R's
-    ``tanpi`` evaluates (naive tan((0.5-p)pi) loses precision near pi/2).
+    Evaluates tan(pi*(0.5 - p)) literally: Rmath's ``tanpi(x)`` reduces x
+    mod 1 (0.5-p is already reduced for p in (0,1)) and then computes
+    tan(M_PI*x) — so this exact form IS the reference's arithmetic.
+    The algebraically equal cot(pi p) = 1/tan(pi p) differs near p=1,
+    where pi*p suffers argument-reduction error while 0.5-p is exact.
     """
     ps = np.asarray(ps, float)
     ws = np.ones_like(ps) if ws is None else np.asarray(ws, float)
-    T = np.sum(ws / np.tan(ps * np.pi)) / ws.sum()
+    terms = np.where(ps >= 1e-15, np.tan(np.pi * (0.5 - ps)),
+                     1.0 / ps / np.pi)       # reference's series branch
+    T = np.sum(ws * terms) / ws.sum()
+    if T > 5e14:
+        return 1.0 / T / np.pi
     return 0.5 - np.arctan(T) / np.pi
 
 
@@ -58,3 +65,15 @@ def test_pacat2_beta_weights():
     np.testing.assert_allclose(w, sbeta.pdf(maf, 1.0, 25.0), rtol=1e-12)
     p = acat_p_maf([0.01, 0.5, 0.9], maf)
     assert 0 < p < 1
+
+
+def test_acat_near_one_and_invalid():
+    """p near 1: the tan(pi*(0.5-p)) form (= Rmath tanpi) is exact where
+    1/tan(pi*p) loses ~1e-1 relative; finite p outside [0,1] -> NaN like
+    the reference's non-throwing path (src/saige_main.cpp:1024-1030)."""
+    p = np.array([1.0 - 1e-16, 0.01])
+    got = float(acat_pval(p))
+    want = _acat_ref(p)
+    assert got == pytest.approx(want, rel=1e-14)
+    assert np.isnan(float(acat_pval(np.array([1.5, 0.01]))))
+    assert np.isnan(float(acat_pval(np.array([-0.1, 0.01]))))

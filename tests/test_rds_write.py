@@ -83,3 +83,19 @@ def test_class_attr_preserved(tmp_path):
     raw = read_rds(fn)
     assert strip(raw.attributes["class"])[0] == "ClassSAIGE_NullModel"
     assert strip(raw["var.ratio"].attributes["class"])[0] == "data.frame"
+
+
+def test_rdata_model_roundtrip(tmp_path):
+    """.rda save/load (the reference's save(glmm, file=) container)."""
+    import numpy as np
+    from saigegds_tpu.io.rds import read_rdata
+    from saigegds_tpu.models.nullmodel import NullModel
+
+    g = NullModel.load("/root/reference/inst/unitTests/saige_model.rds")
+    fn = str(tmp_path / "model.rda")
+    g.save(fn)
+    assert list(read_rdata(fn).keys()) == ["glmm"]
+    m = NullModel.load(fn)
+    np.testing.assert_allclose(m.tau, g.tau, rtol=0)
+    np.testing.assert_allclose(m.coefficients, g.coefficients, rtol=0)
+    np.testing.assert_array_equal(m.y, g.y)

@@ -120,3 +120,52 @@ def test_variant_selection():
     # predicates AND together
     m4 = seq.variant_selection(chromosome="1", position_range=(lo, hi))
     np.testing.assert_array_equal(m4, m & m2)
+
+
+def test_load_pval_rda_and_column_subset(tmp_path):
+    """.rda result files load via the RData container; GDS column subsets
+    skip inflating unrequested columns (both reference behaviors)."""
+    import numpy as np
+    import pandas as pd
+    from saigegds_tpu.io.rds_write import write_rdata
+    from saigegds_tpu.io.rds import RObject
+    from saigegds_tpu.utils.stats import load_pval
+
+    df = {"id": np.arange(5), "pval": np.linspace(0.1, 0.5, 5)}
+    robj = RObject(dict(df), {"names": np.array(["id", "pval"], object),
+                              "class": np.array(["data.frame"], object),
+                              "row.names": np.arange(1, 6)})
+    fn = str(tmp_path / "res.rda")
+    write_rdata(fn, {"res": robj})
+    out = load_pval(fn)
+    np.testing.assert_allclose(out["pval"], df["pval"])
+
+    from saigegds_tpu.io.gds_write import save_assoc_gds
+    gfn = str(tmp_path / "res.gds")
+    save_assoc_gds(pd.DataFrame(df), gfn)
+    out2 = load_pval(gfn, columns=["pval"])
+    assert list(out2.columns) == ["pval"]
+
+
+def test_mean_var_ratio_nan_handling():
+    """NaN ratios are skipped (na.rm=TRUE); an all-NaN table errors like
+    the reference's is.finite check (R/assoc_single.r:21-22, 157)."""
+    import numpy as np
+    import pytest as _pytest
+    from saigegds_tpu.models.nullmodel import NullModel
+
+    g = NullModel.load("/root/reference/inst/unitTests/saige_model.rds")
+    vr = {k: np.asarray(v) for k, v in g.var_ratio.items()}
+    vr["ratio"] = np.array([1.0, np.nan, 3.0])
+    m = g._replace(var_ratio=vr) if hasattr(g, "_replace") else None
+    if m is None:
+        import dataclasses
+        m = dataclasses.replace(g, var_ratio=vr)
+    assert m.mean_var_ratio == 2.0
+    vr2 = dict(vr)
+    vr2["ratio"] = np.array([np.nan])
+    import dataclasses
+    m2 = dataclasses.replace(g, var_ratio=vr2) if dataclasses.is_dataclass(g) \
+        else g._replace(var_ratio=vr2)
+    with _pytest.raises(ValueError):
+        m2.mean_var_ratio
