@@ -249,19 +249,7 @@ def write_gds_table(path: str, columns: Dict[str, np.ndarray],
         next_bid += 2
     blocks[1] = _folder_node_record(children, {"FileFormat": file_format})
 
-    with open(path, "wb") as f:
-        f.write(GDS_MAGIC)
-        f.write(struct.pack("<H", 0x0100))    # version
-        f.write(b"\x00" * 4)                  # entry word (root = block 1)
-        for bid, content in sorted(blocks.items()):
-            piece = bytearray()
-            size = 22 + len(content)
-            piece += (size | (1 << 47)).to_bytes(6, "little")
-            piece += _u48(0)                  # no continuation
-            piece += struct.pack("<I", bid)
-            piece += _u48(len(content))
-            piece += content
-            f.write(piece)
+    _write_blocks(path, blocks)
 
 
 def save_assoc_gds(df, path: str, file_format: str = "SAIGE_OUTPUT",
@@ -285,6 +273,40 @@ def _pack_bit2(values: np.ndarray) -> bytes:
     v = v.reshape(-1, 4)
     return (v[:, 0] | (v[:, 1] << 2) | (v[:, 2] << 4) | (v[:, 3] << 6)) \
         .astype(np.uint8).tobytes()
+
+
+class _NodeBuilder:
+    """Shared node-allocation state for the GDS writers: block ids,
+    payload compression, and the array/column/folder record shapes."""
+
+    def __init__(self, compress: str):
+        self.blocks: Dict[int, bytes] = {}
+        self._next = 2
+        self.compress = compress
+
+    def add_array(self, cls, dims, payload):
+        nb, db = self._next, self._next + 1
+        self._next += 2
+        pipe, payload2 = _compress_payload(self.compress, payload)
+        if pipe:
+            self.blocks[nb] = _array_node_record(cls, dims, db, pipe=pipe,
+                                                 raw_size=len(payload),
+                                                 cmp_size=len(payload2))
+            payload = payload2
+        else:
+            self.blocks[nb] = _array_node_record(cls, dims, db)
+        self.blocks[db] = payload
+        return nb
+
+    def add_col(self, arr):
+        cls, payload, n = _encode_column(np.asarray(arr))
+        return self.add_array(cls, n, payload)
+
+    def add_folder(self, children, attrs=None):
+        nb = self._next
+        self._next += 1
+        self.blocks[nb] = _folder_node_record(children, attrs or {})
+        return nb
 
 
 def write_seqarray_gds(path: str, codes: np.ndarray, sample_id=None,
@@ -325,32 +347,10 @@ def write_seqarray_gds(path: str, codes: np.ndarray, sample_id=None,
         alleles = np.stack([a1, a2], axis=2).astype(np.uint8)  # [M, N, 2]
         geno_payload = _pack_bit2(alleles)
 
-    blocks: Dict[int, bytes] = {}
-    next_bid = [2]
-
-    def add_array(cls, dims, payload):
-        nb, db = next_bid[0], next_bid[0] + 1
-        next_bid[0] += 2
-        pipe, payload2 = _compress_payload(compress, payload)
-        if pipe:
-            blocks[nb] = _array_node_record(cls, dims, db, pipe=pipe,
-                                            raw_size=len(payload),
-                                            cmp_size=len(payload2))
-            payload = payload2
-        else:
-            blocks[nb] = _array_node_record(cls, dims, db)
-        blocks[db] = payload
-        return nb
-
-    def add_col(arr):
-        cls, payload, n = _encode_column(np.asarray(arr))
-        return add_array(cls, n, payload)
-
-    def add_folder(children, attrs=None):
-        nb = next_bid[0]
-        next_bid[0] += 1
-        blocks[nb] = _folder_node_record(children, attrs or {})
-        return nb
+    bld = _NodeBuilder(compress)
+    blocks = bld.blocks
+    add_array, add_col, add_folder = \
+        bld.add_array, bld.add_col, bld.add_folder
 
     geno_data = add_array("dBit2", (M, N, 2), geno_payload)
     geno = add_folder([("data", geno_data, False)])
@@ -393,32 +393,10 @@ def write_dosage_gds(path: str, dosages: np.ndarray, sample_id=None,
     allele = np.asarray(["A,G"] * M, object) if allele is None \
         else np.asarray(allele, object)
 
-    blocks: Dict[int, bytes] = {}
-    next_bid = [2]
-
-    def add_array(cls, dims, payload):
-        nb, db = next_bid[0], next_bid[0] + 1
-        next_bid[0] += 2
-        pipe, payload2 = _compress_payload(compress, payload)
-        if pipe:
-            blocks[nb] = _array_node_record(cls, dims, db, pipe=pipe,
-                                            raw_size=len(payload),
-                                            cmp_size=len(payload2))
-            payload = payload2
-        else:
-            blocks[nb] = _array_node_record(cls, dims, db)
-        blocks[db] = payload
-        return nb
-
-    def add_col(arr):
-        cls, payload, n = _encode_column(np.asarray(arr))
-        return add_array(cls, n, payload)
-
-    def add_folder(children, attrs=None):
-        nb = next_bid[0]
-        next_bid[0] += 1
-        blocks[nb] = _folder_node_record(children, attrs or {})
-        return nb
+    bld = _NodeBuilder(compress)
+    blocks = bld.blocks
+    add_array, add_col, add_folder = \
+        bld.add_array, bld.add_col, bld.add_folder
 
     ds_data = add_array("dFloat64", (M, N), ds.tobytes())
     ds_folder = add_folder([("data", ds_data, False)])
