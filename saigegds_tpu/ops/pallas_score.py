@@ -199,9 +199,15 @@ def pallas_available() -> bool:
     global _PALLAS_OK
     if _PALLAS_OK is None:
         try:
+            # probe BOTH kernel shapes callers dispatch (a backend can
+            # accept the single-output int8 kernel yet reject the
+            # 3-output planar one)
             codes = jnp.zeros((TB, TN), jnp.int8)
             vs = jnp.zeros((TN, 128), jnp.bfloat16)
             jax.block_until_ready(_segment_dot(codes, vs, False))
+            packed = jnp.zeros((TB, TNW), jnp.uint8)
+            vs4 = jnp.zeros((4, TNW, 128), jnp.bfloat16)
+            jax.block_until_ready(_segment_dot2(packed, vs4, False))
             _PALLAS_OK = True
         except Exception:
             _PALLAS_OK = False
