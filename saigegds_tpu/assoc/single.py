@@ -536,17 +536,42 @@ def _match_samples(gds_samples, model_samples):
 
 
 def save_assoc(df: pd.DataFrame, path: str, file_format: str = "SAIGE_OUTPUT"):
-    """Save results (gds / parquet / csv / tsv by extension).
+    """Save results (gds / rds / rda / parquet / csv / tsv by extension).
 
-    ``.gds`` writes the reference's SAIGE_OUTPUT container
-    (R/assoc_single.r:242-333), readable by ``load_pval`` and the R
-    package's ``seqSAIGE_LoadPval``."""
-    if path.endswith(".gds"):
+    ``.gds`` writes the reference's SAIGE_OUTPUT container and
+    ``.rds``/``.rda`` its saveRDS/save outputs (R/assoc_single.r:242-333;
+    the .rda object is named ``.res`` like the reference's), all readable
+    by ``load_pval`` and by R."""
+    low = path.lower()
+    if low.endswith(".gds"):
         from ..io.gds_write import save_assoc_gds
         save_assoc_gds(df, path, file_format=file_format)
-    elif path.endswith(".parquet"):
+    elif low.endswith(".rds"):
+        from ..io.rds_write import write_rds
+        write_rds(path, _df_to_robject(df))
+    elif low.endswith(".rda") or low.endswith(".rdata"):
+        from ..io.rds_write import write_rdata
+        write_rdata(path, {".res": _df_to_robject(df)})
+    elif low.endswith(".parquet"):
         df.to_parquet(path)
-    elif path.endswith(".csv") or path.endswith(".csv.gz"):
+    elif low.endswith(".csv") or low.endswith(".csv.gz"):
         df.to_csv(path, index=False)
     else:
         df.to_csv(path, sep="\t", index=False)
+
+
+def _df_to_robject(df: pd.DataFrame):
+    """pandas DataFrame -> an R data.frame RObject for the rds writer."""
+    from ..io.rds import RObject
+    cols = {}
+    for c in df.columns:
+        v = df[c].to_numpy()
+        if v.dtype == object or v.dtype.kind in ("U", "S"):
+            v = np.asarray([None if x is None else str(x) for x in v],
+                           dtype=object)
+        cols[c] = v
+    return RObject(cols, {
+        "names": np.asarray(list(df.columns), dtype=object),
+        "class": np.asarray(["data.frame"], dtype=object),
+        "row.names": np.arange(1, len(df) + 1, dtype=np.int32),
+    })

@@ -169,3 +169,27 @@ def test_mean_var_ratio_nan_handling():
         else g._replace(var_ratio=vr2)
     with _pytest.raises(ValueError):
         m2.mean_var_ratio
+
+
+def test_save_assoc_rds_rda_roundtrip(tmp_path):
+    """assoc results save to .rds / .rda like the reference
+    (R/assoc_single.r:317-325; the .rda object is named .res) and load
+    back via load_pval."""
+    import numpy as np
+    import saigegds_tpu as st
+    from saigegds_tpu.config import ScanConfig
+    from saigegds_tpu.utils.stats import load_pval
+
+    df = st.assoc_spa("/root/reference/inst/extdata/grm1k_10k_snp.gds",
+                      "/root/reference/inst/unitTests/saige_model.rds",
+                      ScanConfig(mac=4),
+                      variant_mask=np.arange(10000) < 300)
+    for ext in ("rds", "rda"):
+        fn = str(tmp_path / f"res.{ext}")
+        from saigegds_tpu.assoc.single import save_assoc
+        save_assoc(df, fn)
+        back = load_pval(fn)
+        assert list(back.columns) == list(df.columns)
+        np.testing.assert_allclose(back["pval"].to_numpy(),
+                                   df["pval"].to_numpy(), rtol=0)
+        assert (back["id"].to_numpy() == df["id"].to_numpy()).all()
