@@ -43,8 +43,12 @@ def _iter_vcf_rows(path: str):
             if samples is None:
                 raise ValueError("VCF missing #CHROM header line")
             parts = line.rstrip("\n").split("\t")
-            if len(parts) >= 10:
+            if len(parts) == 9 + len(samples):
                 yield samples, parts
+            elif len(parts) >= 10:
+                raise ValueError(
+                    f"VCF data line has {len(parts) - 9} sample fields, "
+                    f"header declares {len(samples)}")
 
 
 def _gt_row(parts, gt_i, n_samples, alt_k):
@@ -94,10 +98,14 @@ def read_vcf_codes(path: str, max_variants: Optional[int] = None,
             rsid.append(parts[2])
             allele.append(f"{ref},{alt_k}")
         if max_variants and len(rows) >= max_variants:
+            del rows[max_variants:]       # a split row can overshoot
+            del chrom[max_variants:], pos[max_variants:]
+            del rsid[max_variants:], allele[max_variants:]
             break
     codes = np.stack(rows) if rows else np.empty((0, len(samples or [])),
                                                  np.int8)
-    meta = dict(sample_id=np.asarray(samples, object),
+    meta = dict(sample_id=np.asarray(samples if samples is not None else [],
+                                     dtype=object),
                 variant_id=np.arange(1, len(rows) + 1, dtype=np.int32),
                 position=np.asarray(pos, np.int32),
                 chromosome=np.asarray(chrom, object),
@@ -149,7 +157,8 @@ def read_vcf_dosages(path: str, max_variants: Optional[int] = None,
         if max_variants and len(rows) >= max_variants:
             break
     ds = np.stack(rows) if rows else np.empty((0, len(samples or [])))
-    meta = dict(sample_id=np.asarray(samples, object),
+    meta = dict(sample_id=np.asarray(samples if samples is not None else [],
+                                     dtype=object),
                 variant_id=np.arange(1, len(rows) + 1, dtype=np.int32),
                 position=np.asarray(pos, np.int32),
                 chromosome=np.asarray(chrom, object),

@@ -50,7 +50,8 @@ class _Binomial:
     @staticmethod
     def mu_eta(eta):
         m = 1.0 / (1.0 + np.exp(-eta))
-        return m * (1.0 - m)
+        # R's make.link("logit")$mu.eta floors at .Machine$double.eps
+        return np.maximum(m * (1.0 - m), np.finfo(float).eps)
 
     @staticmethod
     def variance(mu):

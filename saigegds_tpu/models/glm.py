@@ -36,14 +36,18 @@ def glm_binomial(X: np.ndarray, y: np.ndarray, maxit: int = 25,
     eta = np.log(mu / (1.0 - mu))
     dev = _binomial_deviance(y, mu)
     beta = np.zeros(X.shape[1])
+    eps = np.finfo(float).eps
     for _ in range(maxit):
-        mu_eta = mu * (1.0 - mu)          # dmu/deta for logit
+        # R's logit mu.eta floors at .Machine$double.eps (make.link), so
+        # quasi-separated fits stay finite instead of dividing by zero
+        mu_eta = np.maximum(mu * (1.0 - mu), eps)
         z = eta + (y - mu) / mu_eta
         W = mu_eta                         # weights: mu'(eta)^2 / var(mu)
         WX = X * W[:, None]
         beta = np.linalg.solve(X.T @ WX, WX.T @ z)
         eta = X @ beta
-        mu = 1.0 / (1.0 + np.exp(-eta))
+        # R's linkinv clamps eta to ~ +-30 (plogis saturation guard)
+        mu = 1.0 / (1.0 + np.exp(-np.clip(eta, -30.0, 30.0)))
         dev_new = _binomial_deviance(y, mu)
         if abs(dev_new - dev) / (abs(dev_new) + 0.1) < epsilon:
             dev = dev_new
@@ -76,7 +80,11 @@ def get_x1(X1: np.ndarray) -> np.ndarray:
     if q1 >= 2 and np.sum(np.abs(X1[:, 0] - X1[:, 1])) == 0:
         X1 = X1[:, 1:]
         q1 -= 1
-    rank = np.linalg.matrix_rank(X1)
+    # SPAtest uses qr(X1)$rank: LINPACK pivoted QR with tol=1e-7 —
+    # much looser than numpy's matrix_rank default, so near-collinear
+    # designs reduce the way the reference reduces them
+    r_diag = np.abs(np.diag(np.linalg.qr(X1, mode="r")))
+    rank = int(np.sum(r_diag > 1e-7 * r_diag.max())) if r_diag.size else 0
     if rank < q1:
         u, s, vt = np.linalg.svd(X1, full_matrices=False)
         X1 = u[:, :rank]

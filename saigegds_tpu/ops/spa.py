@@ -44,9 +44,13 @@ def _cgf_terms(t, g, mu, mask):
     """
     tt = t[:, None]
     gt = g * tt
-    # log(1 - mu + mu * exp(g t)), stable via logaddexp:
-    #   = logaddexp(log(1-mu), log(mu) + g t)
-    k0_terms = jnp.where(mask, jnp.logaddexp(jnp.log1p(-mu), jnp.log(mu) + gt), 0.0)
+    # log(1 - mu + mu * exp(g t)) — the reference's LITERAL Korg
+    # arithmetic (src/SPATest.cpp:42-53) including its overflow: g t past
+    # ~709 drives exp to inf, K to inf, and get_saddle_prob to 0, which
+    # the caller reports as pval_noadj + converged=False.  A stabilized
+    # logaddexp would stay finite and silently "improve" those lanes —
+    # golden parity forbids that outside the opt-in mixed tier.
+    k0_terms = jnp.where(mask, jnp.log(1.0 - mu + mu * jnp.exp(gt)), 0.0)
     K0 = k0_terms.sum(axis=1)
     # mu g / ((1-mu) exp(-g t) + mu)
     e_neg = jnp.exp(-gt)

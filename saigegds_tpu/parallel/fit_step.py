@@ -1,11 +1,13 @@
 """One fully-jitted, sample-sharded GLMM training step.
 
 The host-driven fitter (``models/fitnull.py``) dispatches one device kernel
-per PCG solve — fine for the latency-tolerant outer loop on one chip.  For
-multi-chip pods this module provides the whole outer iteration (inner IRLS
-coefficient update + Hutchinson trace + AI-REML tau update — the body of
-``saige_fit_AI_PCG_binary``, reference src/saige_fitnull.cpp:999-1073) as a
-single jitted program over a ``jax.sharding.Mesh``:
+per PCG solve — fine for the latency-tolerant outer loop on one chip.  This
+module demonstrates one outer iteration (a SINGLE damped inner-IRLS step +
+Hutchinson trace + AI-REML tau update) as one jitted program over a
+``jax.sharding.Mesh``.  NOTE: the faithful whole-fit device program —
+inner IRLS iterated to tolerance, AI score from the converged working
+response, per-iteration retry semantics — is ``models/fit_device.py``;
+this step trades those for a minimal sharding blueprint:
 
 * ``std_geno [M, N]``, working vectors ``[N]``, design ``X [N, K]`` and
   probes ``U [N, R]`` are sharded on the sample axis;
@@ -94,10 +96,12 @@ def glmm_fit_step_binary(std_geno, diag_grm, y, X, tau, eta, U,
     PAPY = Si_APY[:, 0] - Si_X @ (cov @ (Si_X.T @ Si_APY[:, 0]))
     AI = APY @ PAPY
 
-    # -- tau Newton step with non-negativity (fitglmmaiRPCG, :860-890) --
+    # -- tau Newton step with non-negativity (fitglmmaiRPCG, :860-890);
+    # sub-tol values clamp to 0 like the reference (:877-885) --
     score = YPAPY - trace
     dtau = score / AI
     tau1 = jnp.maximum(tau0[1] + dtau, 0.0)
+    tau1 = jnp.where(tau1 < 0.02, 0.0, tau1)
     tau_new = jnp.stack([tau0[0], tau1])
 
     return FitStepOut(alpha=alpha, tau=tau_new, eta=eta1, mu=mu1,

@@ -12,9 +12,13 @@ log pipelines — and printed as JSON lines when verbose.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import json
 
-_current = None
+# a ContextVar so concurrent fits (threads/async) don't cross-attach
+# events or clobber each other's collector on context exit
+_current: contextvars.ContextVar = contextvars.ContextVar(
+    "saigegds_telemetry", default=None)
 
 
 class FitTelemetry:
@@ -42,15 +46,15 @@ def _jsonable(x):
 @contextlib.contextmanager
 def collect(verbose: bool = False):
     """Collect fit telemetry for the duration of the context."""
-    global _current
-    prev, _current = _current, FitTelemetry(verbose)
+    token = _current.set(FitTelemetry(verbose))
     try:
-        yield _current
+        yield _current.get()
     finally:
-        _current = prev
+        _current.reset(token)
 
 
 def emit(event: str, **kw):
     """Emit an event into the active collector (no-op outside one)."""
-    if _current is not None:
-        _current.emit(event, **kw)
+    t = _current.get()
+    if t is not None:
+        t.emit(event, **kw)
