@@ -55,7 +55,7 @@ def main(argv=None):
             q.add_argument("--mac", type=float, default=10.0)
             q.add_argument("--maf", type=float, default=float("nan"))
             q.add_argument("--shard", default="",
-                           help="i/n: scan the i-th of n variant ranges")
+                           help="i/n: scan variant range i of n (0-based)")
             q.add_argument("--chr", default="",
                            help="restrict to chromosome(s), comma-separated")
             q.add_argument("--pos-range", default="",
@@ -116,15 +116,15 @@ def main(argv=None):
 
     if args.cmd == "scan":
         kwargs = {}
+        from saigegds_tpu.io.seqarray import SeqData
+        seq = SeqData(args.gds)
         if args.shard or args.chr or args.pos_range:
             import numpy as np
-            from saigegds_tpu.io.seqarray import SeqData
-            seq = SeqData(args.gds)
             mask = np.ones(seq.n_variants, bool)
             if args.shard:
                 from saigegds_tpu.parallel.distributed import \
                     host_variant_range
-                i, n = (int(x) for x in args.shard.split("/"))
+                i, n = _parse_shard(args.shard)
                 lo, hi = host_variant_range(seq.n_variants, i, n)
                 shard = np.zeros(seq.n_variants, bool)
                 shard[lo:hi] = True
@@ -132,11 +132,10 @@ def main(argv=None):
             if args.chr or args.pos_range:
                 mask &= seq.variant_selection(
                     chromosome=args.chr.split(",") if args.chr else None,
-                    position_range=tuple(
-                        int(x) for x in args.pos_range.split(":"))
+                    position_range=_parse_pos_range(args.pos_range)
                     if args.pos_range else None)
             kwargs["variant_mask"] = mask
-        st.assoc_spa(args.gds, args.model,
+        st.assoc_spa(seq, args.model,
                      ScanConfig(mac=args.mac, maf=args.maf),
                      res_savefn=args.out, verbose=True, **kwargs)
         return 0
@@ -161,13 +160,34 @@ def main(argv=None):
         units = sliding_windows(seq, win_size=args.win_size,
                                 win_shift=args.win_shift)
     if args.unit_shard:
-        i, n = (int(x) for x in args.unit_shard.split("/"))
+        i, n = _parse_shard(args.unit_shard)
         units = shard_units(units, i, n)
     fn = {"burden": st.assoc_burden, "acat-v": st.assoc_acat_v,
           "acat-o": st.assoc_acat_o}[args.cmd]
     tab = fn(seq, args.model, units, AggregateConfig(), res_savefn=args.out)
     print(f"{args.cmd}: {len(tab)} units -> {args.out}")
     return 0
+
+
+def _parse_shard(spec: str):
+    """'i/n' with 0-based i in [0, n); friendly errors for the rest."""
+    import sys
+    try:
+        i, n = (int(x) for x in spec.split("/"))
+    except ValueError:
+        sys.exit(f"--shard expects 'i/n' (0-based), got {spec!r}")
+    if not (0 <= i < n):
+        sys.exit(f"--shard index {i} outside [0, {n}) — shards are 0-based")
+    return i, n
+
+
+def _parse_pos_range(spec: str):
+    import sys
+    lo, _, hi = spec.partition(":")
+    try:
+        return (int(lo), int(hi))
+    except ValueError:
+        sys.exit(f"--pos-range expects 'lo:hi' base pairs, got {spec!r}")
 
 
 def _read_groups(path: str) -> dict:

@@ -113,7 +113,8 @@ def units_from_groups(seq: SeqData, groups: dict) -> VariantUnits:
     vid_pos = {v: i for i, v in enumerate(seq.variant_id)}
     desp_rows, index = [], []
     for name, vids in groups.items():
-        sel = np.asarray([vid_pos[v] for v in vids if v in vid_pos])
+        sel = np.asarray([vid_pos[v] for v in vids if v in vid_pos],
+                         dtype=np.int64)
         desp_rows.append((name,))
         index.append(sel)
     return VariantUnits(desp=pd.DataFrame(desp_rows, columns=["set"]),

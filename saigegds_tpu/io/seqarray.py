@@ -39,6 +39,7 @@ class SeqData:
             self._geno_node = None
         self._ds_node = root.get("annotation/format/DS/data")
         self._geno_cache = None
+        self._code_cache = None
 
     @staticmethod
     def _read_chromosome(root):
@@ -89,6 +90,17 @@ class SeqData:
     def dosage_node_name(self, dsnode: str = "") -> str:
         """Auto-detect the dosage source (cf. .dsnode, R/assoc_single.r:69-85)."""
         if dsnode:
+            if dsnode != "$dosage_alt":
+                try:
+                    node = self.gds.node(dsnode)
+                except KeyError:
+                    node = None
+                if node is None:
+                    raise ValueError(f"dsnode {dsnode!r} not found in the "
+                                     "GDS file")
+            elif self._geno_node is None:
+                raise ValueError("dsnode '$dosage_alt' needs a genotype "
+                                 "node, which this file lacks")
             return dsnode
         if self._geno_node is not None:
             return "$dosage_alt"
@@ -105,7 +117,6 @@ class SeqData:
         """
         if self._geno_cache is None:
             from . import native
-            from .gds import read_bit2_dosage
             node = self._geno_node
             dims = tuple(node.dims)
             if node.cls == "dBit2" and len(dims) == 3:
@@ -115,19 +126,18 @@ class SeqData:
                     data, M * N, ploidy).reshape(M, N)
             else:
                 raw = node.read()  # [M, N, ploidy] uint8
-                miss = (raw == 3).any(axis=2)
                 ds = raw.sum(axis=2, dtype=np.int16).astype(np.float64)
+                # same fold rule as the dBit2 LUTs: any missing allele OR
+                # a sum past 2 (unsplit multiallelic) is missing
+                miss = (raw == 3).any(axis=2) | (ds > 2)
                 ds[miss] = np.nan
                 self._geno_cache = ds
         return self._geno_cache
 
-    def _code_cache_or_none(self):
-        return getattr(self, "_code_cache", None)
-
     def code_matrix(self) -> np.ndarray:
         """Full [M, N] int8 ALT-dosage codes (3 = missing) via the fused
         native 2-bit decode; only for files with a genotype node."""
-        if not hasattr(self, "_code_cache") or self._code_cache is None:
+        if self._code_cache is None:
             from .gds import read_bit2_dosage
             self._code_cache = read_bit2_dosage(self._geno_node)
         return self._code_cache
@@ -145,7 +155,7 @@ class SeqData:
         the cached matrix."""
         if streamed is None:
             streamed = (self.n_variants * self.n_samples > 256 << 20
-                        and self._code_cache_or_none() is None)
+                        and self._code_cache is None)
         if streamed:
             yield from self._iter_code_blocks_streamed(block_size,
                                                        variant_mask)
@@ -163,6 +173,10 @@ class SeqData:
         from . import native
 
         node = self._geno_node
+        if node.cls != "dBit2" or len(tuple(node.dims)) != 3:
+            raise ValueError(
+                f"streamed genotype decode needs a 3-D dBit2 node, got "
+                f"{node.cls!r} with dims {tuple(node.dims)}")
         M, N, ploidy = node.dims
         bits_per_var = N * ploidy * 2
         buf = bytearray()
@@ -279,8 +293,21 @@ class SeqData:
             if len(idx) == 0:
                 continue
             lo, hi = int(idx[0]), int(idx[-1]) + 1
-            blk = self.dosage_block(lo, hi, dsnode)
-            yield idx, blk[idx - lo]
+            if hi - lo <= 4 * block_size:
+                blk = self.dosage_block(lo, hi, dsnode)
+                yield idx, blk[idx - lo]
+                continue
+            # sparse mask: one lo..hi span could decode gigabytes to
+            # yield block_size rows — fetch bounded contiguous clusters
+            rows = np.empty((len(idx), self.n_samples))
+            c0 = 0
+            for k in range(1, len(idx) + 1):
+                if k == len(idx) or idx[k] - idx[c0] >= 4 * block_size:
+                    a, b = int(idx[c0]), int(idx[k - 1]) + 1
+                    blk = self.dosage_block(a, b, dsnode)
+                    rows[c0:k] = blk[idx[c0:k] - a]
+                    c0 = k
+            yield idx, rows
 
     def _iter_ds_blocks_streamed(self, block_size, node, es, variant_mask):
         """Sequential one-pass decode of a fixed-width dosage node."""

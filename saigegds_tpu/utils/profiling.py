@@ -48,6 +48,10 @@ def phase_timer(label: str, verbose: bool = True) -> Iterator[None]:
         print(f"[{label}] start")
     try:
         yield
-    finally:
+    except BaseException:
+        if verbose:
+            print(f"[{label}] FAILED after {time.perf_counter() - t0:.2f}s")
+        raise
+    else:
         if verbose:
             print(f"[{label}] done in {time.perf_counter() - t0:.2f}s")
