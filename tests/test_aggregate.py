@@ -304,3 +304,19 @@ def test_burden_collapse_reference_quirks():
         else:
             want += np.where(np.isfinite(ds[i]), 2 - ds[i], 2 - m) * w[i]
     np.testing.assert_allclose(out, want, rtol=1e-14)
+
+
+def test_aggregate_incremental_spa_flush_invariance(seq, units, monkeypatch):
+    """Aggregate phase-2 flushes incrementally under a tiny budget with
+    identical results (bounded flagged-set memory)."""
+    import saigegds_tpu.assoc.single as single_mod
+
+    want = assoc_acat_v(seq, MODEL, units)
+    monkeypatch.setattr(single_mod, "SPA_FLUSH_BYTES", 1)
+    got = assoc_acat_v(seq, MODEL, units)
+    for c in want.columns:
+        if want[c].dtype.kind == "f":
+            a, b = got[c].to_numpy(), want[c].to_numpy()
+            np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
+            m = np.isfinite(a)
+            np.testing.assert_array_equal(a[m], b[m], err_msg=c)
