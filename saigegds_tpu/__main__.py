@@ -9,6 +9,8 @@ the workflow schedulable (one shard per host, merge at the end):
         --out assoc.gds [--mac 10] [--shard i/n]
     python -m saigegds_tpu burden|acat-v|acat-o --gds ... --model ... \\
         --win-size 10000 --win-shift 5000 --out out.gds
+    python -m saigegds_tpu gxg --formula "y ~ x1 + x2" --pheno pheno.tsv \\
+        --gds grm.gds --pairs pairs.tsv --out gxg.gds [--pair-batch 8]
     python -m saigegds_tpu merge --prefix out --out merged.parquet
     python -m saigegds_tpu info
 """
@@ -70,6 +72,29 @@ def main(argv=None):
             q.add_argument("--unit-shard", default="",
                            help="'i/n': run unit range i of n (multi-host; "
                                 "merge the tables afterwards)")
+
+    p = sub.add_parser(
+        "gxg", help="SNP-pair GxG interaction tests (seqGLMM_GxG_spa)")
+    p.add_argument("--formula", required=True)
+    p.add_argument("--pheno", required=True)
+    p.add_argument("--gds", required=True,
+                   help="GRM genotype GDS (per-pair null refits)")
+    p.add_argument("--pairs", required=True,
+                   help="2-column TSV/CSV of variant-id pairs (header "
+                        "optional; ids may be integers or strings)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--assoc-gds", default="",
+                   help="GDS holding the tested SNPs (default: --gds)")
+    p.add_argument("--use-approx-tau", action="store_true",
+                   help="reuse the base fit's tau instead of per-pair refits")
+    p.add_argument("--glm-threshold", type=float, default=float("nan"),
+                   help="plain-GLM screen p-value: pairs above it skip the "
+                        "GLMM refit (reference's glm.threshold)")
+    p.add_argument("--pair-batch", type=int, default=0,
+                   help=">1: batch that many pairs per device dispatch")
+    p.add_argument("--maf", type=float, default=0.005)
+    p.add_argument("--missing-rate", type=float, default=0.01)
+    p.add_argument("--seed", type=int, default=200)
 
     p = sub.add_parser("merge", help="row-bind result shards")
     p.add_argument("--prefix", required=True)
@@ -140,6 +165,22 @@ def main(argv=None):
                      res_savefn=args.out, verbose=True, **kwargs)
         return 0
 
+    if args.cmd == "gxg":
+        import math
+        pheno = _read_pheno(args.pheno)
+        pairs = _read_pairs(args.pairs)
+        cfg = NullModelConfig(trait_type="binary", maf=args.maf,
+                              missing_rate=args.missing_rate, seed=args.seed)
+        tab = st.gxg_spa(
+            args.formula, pheno, args.gds, pairs,
+            gds_assoc=args.assoc_gds or None, config=cfg,
+            use_approx_tau=args.use_approx_tau,
+            glm_threshold=(False if math.isnan(args.glm_threshold)
+                           else args.glm_threshold),
+            res_savefn=args.out, verbose=True, pair_batch=args.pair_batch)
+        print(f"gxg: {len(tab)} pairs -> {args.out}")
+        return 0
+
     if args.cmd == "merge":
         from saigegds_tpu.parallel.distributed import merge_shards
         df = merge_shards(args.prefix)
@@ -188,6 +229,31 @@ def _parse_pos_range(spec: str):
         return (int(lo), int(hi))
     except ValueError:
         sys.exit(f"--pos-range expects 'lo:hi' base pairs, got {spec!r}")
+
+
+def _read_pairs(path: str):
+    """SNP-pair file -> 2-column DataFrame.  TSV or CSV; a header row is
+    auto-detected (a first line whose two leading fields both parse as
+    numbers is data, not a header)."""
+    import pandas as pd
+    sep = "," if path.endswith(".csv") or path.endswith(".csv.gz") else "\t"
+    with (__import__("gzip").open(path, "rt") if path.endswith(".gz")
+          else open(path)) as fh:
+        first = fh.readline().strip().split(sep)
+
+    def _is_num(s):
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
+    header = None if (len(first) >= 2 and _is_num(first[0])
+                      and _is_num(first[1])) else 0
+    df = pd.read_csv(path, sep=sep, header=header)
+    if df.shape[1] < 2:
+        sys.exit(f"--pairs expects >=2 columns of variant ids, got "
+                 f"{df.shape[1]} in {path!r}")
+    return df.iloc[:, :2]
 
 
 def _read_groups(path: str) -> dict:

@@ -167,9 +167,9 @@ def spa_refine_binary(model: ScanModel, G, mixed: bool = False,
     Mirrors src/saige_main.cpp:355-400.
     """
     if packed_n and isinstance(G, tuple):
-        from .sparse_codes import decode_codes
+        from .sparse_codes import decode_codes_auto
         entries, row_ptr = G
-        codes = decode_codes(entries, row_ptr, row_ptr.shape[0] - 1,
+        codes = decode_codes_auto(entries, row_ptr, row_ptr.shape[0] - 1,
                              packed_n)
         G = jnp.where(codes == 3, jnp.nan, codes.astype(jnp.float64))
     elif packed_n:

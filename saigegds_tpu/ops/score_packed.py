@@ -147,9 +147,9 @@ def _packed_phase1(pm: PackedScanModel, params: ScanParams, codes,
     contraction — bit-parity with the dense paths by construction.
     """
     if impl == "sparse":
-        from .sparse_codes import decode_codes
+        from .sparse_codes import decode_codes_auto
         entries, row_ptr = codes
-        codes = decode_codes(entries, row_ptr, row_ptr.shape[0] - 1,
+        codes = decode_codes_auto(entries, row_ptr, row_ptr.shape[0] - 1,
                              pm.V.shape[1])
         impl = "xla"
     B = codes.shape[0]
@@ -374,9 +374,9 @@ def burden_score_packed(model: ScanModel, params: ScanParams, payload,
     """
     N = model.XV.shape[1]
     if isinstance(payload, tuple):
-        from .sparse_codes import decode_codes
+        from .sparse_codes import decode_codes_auto
         entries, row_ptr = payload
-        codes = decode_codes(entries, row_ptr, row_ptr.shape[0] - 1, N)
+        codes = decode_codes_auto(entries, row_ptr, row_ptr.shape[0] - 1, N)
     elif payload.shape[1] != N:                    # 2-bit planar
         pi = payload.astype(jnp.int32)
         planes = jnp.concatenate([(pi >> (2 * p)) & 3 for p in range(4)],

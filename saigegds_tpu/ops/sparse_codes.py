@@ -169,6 +169,30 @@ def decode_codes(entries: jnp.ndarray, row_ptr: jnp.ndarray,
     return dense.reshape(n_rows, n_samples)
 
 
+def decode_codes_auto(entries: jnp.ndarray, row_ptr: jnp.ndarray,
+                      n_rows: int, n_samples: int) -> jnp.ndarray:
+    """Decode via the Pallas stream kernel when the backend compiles it
+    (ops/pallas_sparse — scalar-core replay, ~10x the XLA scatter), else
+    the XLA scatter.  ``SAIGE_SPARSE_DECODE`` = auto|xla|pallas|
+    pallas_interpret overrides (pallas = fail loudly if unavailable)."""
+    import os
+    impl = os.environ.get("SAIGE_SPARSE_DECODE", "auto")
+    if impl == "xla":
+        return decode_codes(entries, row_ptr, n_rows, n_samples)
+    from .pallas_sparse import (decode_codes_pallas, pallas_decode_available,
+                                pallas_decode_fits)
+    if impl == "pallas_interpret":
+        return decode_codes_pallas(entries, row_ptr, n_rows, n_samples,
+                                   interpret=True)
+    if pallas_decode_fits(n_rows, n_samples):
+        if impl == "pallas" or pallas_decode_available():
+            return decode_codes_pallas(entries, row_ptr, n_rows, n_samples)
+    elif impl == "pallas":
+        raise ValueError(f"block {n_rows}x{n_samples} exceeds the Pallas "
+                         "decode's 2^29 flat-index bound")
+    return decode_codes(entries, row_ptr, n_rows, n_samples)
+
+
 def bucket_rows(n: int, cap: int, minimum: int = 64) -> int:
     """Quarter-pow2 row-count bucket in [minimum, cap] — bounds both the
     variant-axis padding waste (<= 25%) and the number of distinct

@@ -103,6 +103,33 @@ def test_cli_info_and_fit(tmp_path, capsys):
     assert "tested" in text
 
 
+def test_cli_gxg(tmp_path, capsys):
+    """`python -m saigegds_tpu gxg` reproduces the API path on an extdata
+    pair (reference exports seqGLMM_GxG_spa at the same CLI level,
+    R/saige_interaction.r:44)."""
+    from saigegds_tpu.__main__ import main
+    pairs = tmp_path / "pairs.tsv"
+    pairs.write_text("100\t200\n")      # headerless: both fields numeric
+    out = str(tmp_path / "gxg.csv")
+    assert main(["gxg", "--formula", "y ~ x1 + x2",
+                 "--pheno", "/root/reference/inst/extdata/pheno.txt.gz",
+                 "--gds", "/root/reference/inst/extdata/grm1k_10k_snp.gds",
+                 "--pairs", str(pairs), "--out", out,
+                 "--use-approx-tau"]) == 0
+    text = capsys.readouterr().out
+    assert "gxg: 1 pairs" in text
+    import pandas as pd
+    tab = pd.read_csv(out)
+    row = tab.iloc[0]
+    assert 0.0 < row["pval"] <= 1.0 and np.isfinite(row["beta"])
+    # header row on the pairs file parses identically
+    pairs2 = tmp_path / "pairs_h.tsv"
+    pairs2.write_text("snp1\tsnp2\n100\t200\n")
+    from saigegds_tpu.__main__ import _read_pairs
+    df = _read_pairs(str(pairs2))
+    assert list(df.iloc[0]) == [100, 200] and len(df) == 1
+
+
 def test_variant_selection():
     """SeqData.variant_selection — the seqSetFilter(Chrom) analog."""
     from saigegds_tpu.io.seqarray import SeqData
