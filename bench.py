@@ -1,23 +1,35 @@
-"""Headline benchmark: END-TO-END association scan over a real GDS file.
+"""Headline benchmark, wedge-proof: co-headline fit + end-to-end scan.
 
-Measures the same workflow the reference's README claims 5-6x over SAIGE
-for (/root/reference/README.md:14): GDS genotype file -> streamed block
-decode -> 2-bit pack -> host->device upload -> batched score test + SPA
-refinement -> result table.  N = 430,000 samples (UK-Biobank scale,
-BASELINE.md north star); the default, golden-parity exact-f64 SPA tier.
+Primary metric: the END-TO-END null-model fit on real GDS data — decode
+-> 2-bit packed GRM resident in HBM -> single-dispatch AI-REML device
+fit (models/fit_device.py) -> variance-ratio phase (the same wall-clock
+the reference's `seqFitNullGLMM_SPA` reports, incl. the ~30 marker PCG
+solves of /root/reference/src/saige_fitnull.cpp:1255-1362).  The fit is
+compute-bound once the GRM is resident, so this number is meaningful on
+ANY link state — the scan, by contrast, is bound by the dev tunnel's
+host->device bandwidth (7-46 MB/s; production PCIe is >=10 GB/s).
 
-The baseline is the identical f64 algebra + Newton SPA in numpy/BLAS on
-the host CPU, reading the same GDS file — a faithful stand-in for the
-reference's AVX f64 C++ loops (no R in this image).  Multi-block and
-pinned for stability (VERDICT.md round-1 weak #2).
+The baseline is the IDENTICAL program (same packed-GRM operator, same
+jitted AI-REML while_loop, same probe pool, same variance-ratio code)
+compiled by XLA for the host CPU (all cores) on the same GDS file — a
+faithful stand-in for the reference's TBB/AVX f64 C++ (no R here).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Secondary numbers (mixed-SPA tier, phase breakdown, rooflines) go to
-stderr and BENCH_NOTES.md.
+Secondary metrics carried in the same JSON line: the end-to-end scan
+(decode+upload+score+exact SPA) at N=430k with its transport-roofline
+context (link_mbps / roofline_vps / roofline_frac / resident_block_s),
+a threaded CPU scan baseline, and the rare-variant sparse-transport scan.
+
+Wedge-proofing (VERDICT.md round-2 weak #1): every phase runs in a
+subprocess with a timeout; device phases wait for the tunnel in a
+re-probe loop (default: every 5 min for up to 45 min); completed phases
+checkpoint their results to /tmp so a killed or wedged run RESUMES
+instead of restarting.  Prints ONE JSON line on stdout.
 """
 
+import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -26,16 +38,69 @@ import numpy as np
 N_SAMPLES = int(os.environ.get("BENCH_N", 430_000))   # UK-Biobank scale
 N_VARIANTS = int(os.environ.get("BENCH_V", 4096))     # scan blocks of 1024
 BLOCK = int(os.environ.get("BENCH_B", 1024))
+N_FIT = int(os.environ.get("BENCH_FIT_N", 100_000))
+M_FIT = int(os.environ.get("BENCH_FIT_M", 16_384))
 MISS_RATE = 0.005
 N_COV = 4
 CPU_BLOCK = 64
-CPU_BLOCKS = 2
+CPU_BLOCKS = 2          # timed blocks per worker thread
 GDS_PATH = os.environ.get(
     "BENCH_GDS", f"/tmp/bench_scan_{N_VARIANTS}x{N_SAMPLES}.gds")
+FIT_GDS = f"/tmp/bench_fit_{M_FIT}x{N_FIT}.gds"
+RARE_GDS = f"/tmp/bench_rare_{N_VARIANTS}x{N_SAMPLES}.gds"
+STATE = (f"/tmp/bench_state_{N_VARIANTS}x{N_SAMPLES}"
+         f"_f{M_FIT}x{N_FIT}_b{BLOCK}.json")
+STATE_VERSION = 3
+
+PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT", 240))
+PROBE_BUDGET_S = int(os.environ.get("BENCH_PROBE_BUDGET", 2700))
+PROBE_INTERVAL_S = int(os.environ.get("BENCH_PROBE_INTERVAL", 300))
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# phase-result checkpoint (resume across wedges / kills / reruns)
+
+def state_load() -> dict:
+    try:
+        with open(STATE) as f:
+            st = json.load(f)
+        if st.get("_v") == STATE_VERSION:
+            return st
+    except (OSError, ValueError):
+        pass
+    return {"_v": STATE_VERSION}
+
+
+def state_merge(**kv):
+    st = state_load()
+    st.update(kv)
+    tmp = STATE + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(st, f)
+    os.replace(tmp, STATE)
+
+
+# ---------------------------------------------------------------------------
+# shared setup (deterministic across processes; artifacts cached in /tmp)
+
+def jax_setup():
+    import jax
+    if os.environ.get("BENCH_PLATFORM"):
+        # the container's sitecustomize force-pins JAX_PLATFORMS=axon at
+        # interpreter start; the live config is the reliable override
+        # (same trick as tests/conftest.py)
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    jax.config.update("jax_enable_x64", True)
+    try:   # persistent compile cache: warmup drops from ~18 min to seconds
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        log(f"compile cache unavailable: {e}")
+    return jax
 
 
 def make_model(n, k, rng):
@@ -47,6 +112,14 @@ def make_model(n, k, rng):
     XV = (X * W[:, None]).T
     XXVX_inv = X @ np.linalg.inv(X.T @ (X * W[:, None]))
     return dict(X=X, y=y, mu=mu, W=W, XV=XV, XXVX_inv=XXVX_inv, eta=eta)
+
+
+def scan_setup():
+    """Deterministic scan model + GDS (call order fixed: rng is shared)."""
+    rng = np.random.default_rng(7)
+    m = make_model(N_SAMPLES, N_COV, rng)
+    build_gds(rng)
+    return m, rng
 
 
 def build_gds(rng):
@@ -70,8 +143,130 @@ def build_gds(rng):
         f"ZIP_ra) in {time.perf_counter() - t0:.1f}s")
 
 
+def build_fit_data():
+    """Fit GDS + phenotype with polygenic signal (cached; untimed)."""
+    from saigegds_tpu.io.gds_write import write_seqarray_gds
+    if os.path.exists(FIT_GDS) and os.path.getsize(FIT_GDS) > 1 << 20 \
+            and os.path.exists(FIT_GDS + ".pheno.npz"):
+        return
+    t0 = time.perf_counter()
+    rs = np.random.default_rng(11)
+    af = rs.uniform(0.05, 0.5, size=(M_FIT, 1))
+    codes = rs.binomial(2, af, size=(M_FIT, N_FIT)).astype(np.int8)
+    write_seqarray_gds(FIT_GDS, codes, compress="ZIP_ra")
+    # phenotype WITH polygenic signal (true tau_G ~ 0.6) so the AI-REML
+    # workload is representative
+    X = np.column_stack([np.ones(N_FIT), rs.normal(size=(N_FIT, 3))])
+    b = rs.normal(size=M_FIT) * np.sqrt(0.6 / M_FIT) \
+        / np.sqrt(2 * af[:, 0] * (1 - af[:, 0]))
+    eta_true = X @ (rs.normal(size=4) * 0.3) - 1.5 \
+        + (codes.astype(np.float64).T @ b)
+    y = (rs.random(N_FIT) < 1 / (1 + np.exp(-eta_true))).astype(np.float64)
+    np.savez(FIT_GDS + ".pheno.npz", X=X, y=y)
+    log(f"setup: wrote fit GDS ({M_FIT} x {N_FIT}, {y.mean():.2f} case "
+        f"rate) in {time.perf_counter() - t0:.1f}s")
+
+
+def make_nullmodel(m):
+    from saigegds_tpu.models.nullmodel import NullModel
+    n, k = m["X"].shape
+    return NullModel(
+        trait_type="binary", coefficients=np.zeros(k),
+        coef_names=[f"x{i}" for i in range(k)],
+        tau=np.array([1.0, 0.5]), linear_predictors=m["eta"],
+        fitted_values=m["mu"], residuals=m["y"] - m["mu"],
+        cov=np.eye(k), converged=True,
+        y=m["y"], mu=m["mu"], res=m["y"] - m["mu"], V=m["W"],
+        X1=m["X"], XV=m["XV"], XXVX_inv=m["XXVX_inv"],
+        var_ratio={"ratio": [0.93]}, sample_id=None)
+
+
 # ---------------------------------------------------------------------------
-# CPU baseline: same algebra in numpy f64 (reference-class SIMD), same file
+# PRIMARY: end-to-end null-model fit (device and, via JAX_PLATFORMS=cpu in
+# the `fitbase` phase, the identical program on the host CPU)
+
+def fit_pipeline():
+    """GDS decode -> packed GRM -> device AI-REML fit -> variance ratio.
+
+    Mirrors the production `fit_null_glmm` pipeline (models/fitnull.py)
+    with the single-dispatch device fitter as the AI-REML engine; the
+    variance-ratio phase is the stock `calc_var_ratio` (batched-PCG
+    marker chunks), exactly the phases the reference counts in its fit
+    wall-clock (src/saige_fitnull.cpp:948-1362)."""
+    import jax.numpy as jnp
+
+    from saigegds_tpu.config import NullModelConfig
+    from saigegds_tpu.io.seqarray import SeqData
+    from saigegds_tpu.models import fitnull
+    from saigegds_tpu.models.fit_device import fit_glmm_binary_device
+    from saigegds_tpu.models.glm import glm_binomial, obj_nok_binary
+    from saigegds_tpu.ops.packed_grm import build_packed2_grm
+    from saigegds_tpu.utils.rrandom import RRandom
+
+    build_fit_data()
+    ph = np.load(FIT_GDS + ".pheno.npz")
+    X, y = ph["X"], ph["y"]
+    # Rademacher probe pool: 30 initial + CV-escalation headroom; FIXED
+    # across backends so device and CPU baseline do identical arithmetic
+    U = np.random.default_rng(12).choice([-1.0, 1.0], size=(N_FIT, 60))
+
+    t0 = time.perf_counter()
+    seq = SeqData(FIT_GDS)
+    codes = np.concatenate(
+        [np.asarray(G, np.int8) for _, G in seq.iter_code_blocks(4096)],
+        axis=0)
+    t_dec = time.perf_counter() - t0
+    grm = build_packed2_grm(codes)    # 2-bit planar residency in HBM
+
+    fit0 = glm_binomial(X, y)         # GLM warm start (R/saige_main.r:480)
+    nok = obj_nok_binary(X, y)
+    fit = fit_glmm_binary_device(
+        grm, jnp.asarray(y), jnp.asarray(X), jnp.asarray([1.0, 0.5]),
+        jnp.asarray(fit0.linear_predictors), jnp.asarray(U), 0.02, 1e-5)
+    tau = np.asarray(fit.tau)         # sync: the fit dispatch completes here
+    t_fit = time.perf_counter() - t0
+
+    glmm = fitnull.GlmmFit(
+        coefficients=np.asarray(fit.coefficients), tau=tau,
+        linear_predictors=np.asarray(fit.eta), fitted_values=np.asarray(fit.mu),
+        residuals=y - np.asarray(fit.mu), cov=np.asarray(fit.cov),
+        converged=bool(np.asarray(fit.converged)))
+    cfg = NullModelConfig()
+    marker_order = RRandom(cfg.seed).sample_int(M_FIT, M_FIT)
+    vr = fitnull.calc_var_ratio(grm, codes, fit0, glmm, nok, cfg,
+                                marker_order, binary=True)
+    dt = time.perf_counter() - t0
+    ratio = float(np.mean(vr["ratio"]))
+    log(f"end-to-end fit: decode {t_dec:.1f}s + AI-REML {t_fit - t_dec:.1f}s"
+        f" + var-ratio {dt - t_fit:.1f}s = {dt:.1f}s total at N={N_FIT} "
+        f"M={M_FIT} (tau_G={tau[1]:.3f}, converged={glmm.converged}, "
+        f"{len(vr['ratio'])} markers, mean ratio {ratio:.3f})")
+    return dict(fit_s=round(dt, 2), fit_decode_s=round(t_dec, 2),
+                fit_aireml_s=round(t_fit - t_dec, 2),
+                fit_vr_s=round(dt - t_fit, 2), fit_tau_g=round(float(tau[1]), 4),
+                fit_converged=glmm.converged, fit_vr_markers=len(vr["ratio"]),
+                fit_vr_ratio=round(ratio, 4))
+
+
+def phase_fit():
+    jax_setup()
+    r = fit_pipeline()
+    state_merge(**r, fit_done=True)
+
+
+def phase_fitbase():
+    # identical program, XLA-compiled for the host CPU (JAX_PLATFORMS=cpu
+    # set by the parent); OpenBLAS/Eigen use every core
+    jax_setup()
+    r = fit_pipeline()
+    state_merge(fitbase_s=r["fit_s"], fitbase_tau_g=r["fit_tau_g"],
+                fitbase_dnf=False, fitbase_threads=os.cpu_count(),
+                fitbase_done=True)
+    log(f"cpu fit baseline: {r['fit_s']:.1f}s on {os.cpu_count()} cores")
+
+
+# ---------------------------------------------------------------------------
+# SECONDARY: end-to-end scan + threaded CPU baseline + rare-variant file
 
 def cpu_scan_block(m, G):
     isnan = np.isnan(G)
@@ -106,41 +301,45 @@ def cpu_scan_block(m, G):
     return pval
 
 
-def run_cpu_baseline(m, seq):
-    """Bounded-memory baseline: streamed block decode + f64 scan per block
-    (each timed block includes its own decode, same as the TPU path)."""
+def phase_scanbase():
+    """CPU scan baseline threaded over ALL cores (VERDICT round-2 weak #3):
+    one worker per core, each streaming + scanning its own variant range
+    (numpy/LZMA release the GIL; matmuls use threaded OpenBLAS)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from saigegds_tpu.io.seqarray import SeqData
+
+    m, _ = scan_setup()
+    workers = os.cpu_count()
+
     def to_f64(codes):
         return np.where(codes == 3, np.nan, codes.astype(np.float64))
 
-    it = seq.iter_code_blocks(CPU_BLOCK, streamed=True)
-    _, codes = next(it)               # warm numpy/scipy paths (untimed)
-    cpu_scan_block(m, to_f64(codes))
-    times = []
-    for _ in range(CPU_BLOCKS):
-        t0 = time.perf_counter()
-        _, codes = next(it)
-        cpu_scan_block(m, to_f64(codes))
-        times.append(time.perf_counter() - t0)
-    vps = CPU_BLOCK / np.mean(times)
-    log(f"cpu baseline: {CPU_BLOCKS} x {CPU_BLOCK} variants, "
-        f"per-block {['%.1fs' % t for t in times]} -> {vps:.2f} v/s")
-    return vps
+    span = CPU_BLOCKS * CPU_BLOCK
+    stride = (CPU_BLOCKS + 1) * CPU_BLOCK
 
+    def run_range(w):
+        seq = SeqData(GDS_PATH)
+        mask = np.zeros(N_VARIANTS, bool)
+        lo = (w * stride) % max(1, N_VARIANTS - span + 1)
+        mask[lo: lo + span] = True
+        n = 0
+        for _, codes in seq.iter_code_blocks(CPU_BLOCK, streamed=True,
+                                             variant_mask=mask):
+            cpu_scan_block(m, to_f64(codes))
+            n += codes.shape[0]
+        return n
 
-# ---------------------------------------------------------------------------
-
-def make_nullmodel(m):
-    from saigegds_tpu.models.nullmodel import NullModel
-    n, k = m["X"].shape
-    return NullModel(
-        trait_type="binary", coefficients=np.zeros(k),
-        coef_names=[f"x{i}" for i in range(k)],
-        tau=np.array([1.0, 0.5]), linear_predictors=m["eta"],
-        fitted_values=m["mu"], residuals=m["y"] - m["mu"],
-        cov=np.eye(k), converged=True,
-        y=m["y"], mu=m["mu"], res=m["y"] - m["mu"], V=m["W"],
-        X1=m["X"], XV=m["XV"], XXVX_inv=m["XXVX_inv"],
-        var_ratio={"ratio": [0.93]}, sample_id=None)
+    run_range(workers)    # warm numpy/scipy/decoder paths (untimed)
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(workers) as ex:
+        total = sum(ex.map(run_range, range(workers)))
+    dt = time.perf_counter() - t0
+    vps = total / dt
+    log(f"cpu scan baseline: {total} variants on {workers} threads in "
+        f"{dt:.1f}s -> {vps:.2f} v/s")
+    state_merge(scan_cpu_vps=round(vps, 2), baseline_threads=workers,
+                scanbase_done=True)
 
 
 def run_tpu(model, mixed: bool):
@@ -180,132 +379,61 @@ def probe_link_bandwidth():
     return bw, lat
 
 
-def run_rare_secondary(model, rng, link_bw):
-    """Secondary metric (stderr): a rare-variant file (MAF 0.05-2%), the
-    regime of WGS/aggregate scans.  The gap-coded sparse transport
-    (ops/sparse_codes) ships ~2*nnz bytes/variant instead of N/4, raising
-    the transport roofline several-fold; report sparse vs 2-bit."""
-    from saigegds_tpu.assoc.single import assoc_spa
-    from saigegds_tpu.config import ScanConfig
-    from saigegds_tpu.io.gds_write import write_seqarray_gds
-    from saigegds_tpu.io.seqarray import SeqData
-
-    path = f"/tmp/bench_rare_{N_VARIANTS}x{N_SAMPLES}.gds"
-    if not (os.path.exists(path) and os.path.getsize(path) > 1 << 20):
-        t0 = time.perf_counter()
-        af = rng.uniform(0.00025, 0.01, size=(N_VARIANTS, 1))
-        codes = rng.binomial(2, af, size=(N_VARIANTS, N_SAMPLES)) \
-            .astype(np.int8)
-        write_seqarray_gds(path, codes, compress="ZIP_ra")
-        nnz = float((codes != 0).mean())
-        log(f"setup: wrote rare GDS ({nnz * 100:.1f}% nonzero) in "
-            f"{time.perf_counter() - t0:.1f}s")
-    for sparse in (True, False):
-        best = float("inf")
-        for _ in range(2):
-            seq = SeqData(path)
-            cfg = ScanConfig(block_size=BLOCK, packed_sparse=sparse)
-            t0 = time.perf_counter()
-            df = assoc_spa(seq, model, cfg)
-            best = min(best, time.perf_counter() - t0)
-        label = "sparse gap-coded" if sparse else "2-bit planar"
-        log(f"rare-variant scan ({label} transport): "
-            f"{len(df) / best:.0f} v/s ({N_VARIANTS} variants, {best:.1f}s)")
-
-
-def run_fit_secondary(rng):
-    """Secondary metric (stderr): end-to-end null-model fit through the
-    real data path — GDS decode -> 2-bit packed GRM in HBM -> the
-    single-dispatch device AI-REML fit (models/fit_device.py).  BASELINE
-    framing: SAIGE-class biobank fits are reported in CPU-cluster hours."""
+def measure_resident_block(model, seq):
+    """Device-RESIDENT phase-1 throughput: time the packed score kernel on
+    an already-uploaded 2-bit block, amortized over a fori_loop so the
+    tunnel's ~2s dispatch latency cancels (difference of two loop sizes).
+    This is the engine number a fast (PCIe) link would expose."""
     import jax
     import jax.numpy as jnp
 
-    from saigegds_tpu.io.gds_write import write_seqarray_gds
-    from saigegds_tpu.io.seqarray import SeqData
-    from saigegds_tpu.models.fit_device import fit_glmm_binary_device
-    from saigegds_tpu.ops.packed_grm import build_packed2_grm
+    from saigegds_tpu.ops.pallas_score import pallas_available
+    from saigegds_tpu.ops.score import ScanParams
+    from saigegds_tpu.ops.score_packed import (pack_scan_model,
+                                               score_stats_binary_packed)
+    from saigegds_tpu.ops.packed_grm import pack_codes_2bit
 
-    N_FIT = int(os.environ.get("BENCH_FIT_N", 100_000))
-    M_FIT = int(os.environ.get("BENCH_FIT_M", 16_384))
-    path = f"/tmp/bench_fit_{M_FIT}x{N_FIT}.gds"
-    if not (os.path.exists(path) and os.path.getsize(path) > 1 << 20):
-        t0 = time.perf_counter()
-        rs = np.random.default_rng(11)
-        af = rs.uniform(0.05, 0.5, size=(M_FIT, 1))
-        codes = rs.binomial(2, af, size=(M_FIT, N_FIT)).astype(np.int8)
-        write_seqarray_gds(path, codes, compress="ZIP_ra")
-        # phenotype WITH polygenic signal (true tau_G ~ 0.6) so the
-        # AI-REML workload is representative, cached beside the file
-        X = np.column_stack([np.ones(N_FIT), rs.normal(size=(N_FIT, 3))])
-        b = rs.normal(size=M_FIT) * np.sqrt(0.6 / M_FIT) \
-            / np.sqrt(2 * af[:, 0] * (1 - af[:, 0]))
-        eta_true = X @ (rs.normal(size=4) * 0.3) - 1.5 \
-            + (codes.astype(np.float64).T @ b)
-        y = (rs.random(N_FIT) <
-             1 / (1 + np.exp(-eta_true))).astype(np.float64)
-        np.savez(path + ".pheno.npz", X=X, y=y)
-        log(f"setup: wrote fit GDS ({M_FIT} x {N_FIT}, {y.mean():.2f} "
-            f"case rate) in {time.perf_counter() - t0:.1f}s")
-    ph = np.load(path + ".pheno.npz")
-    X, y = ph["X"], ph["y"]
-    eta0 = np.full(N_FIT, np.log(y.mean() / (1 - y.mean())))
-    U = np.random.default_rng(12).choice([-1.0, 1.0], size=(N_FIT, 40))
+    _, G = next(iter(seq.iter_code_blocks(BLOCK)))
+    G = np.asarray(G, np.int8)[:BLOCK]
+    payload = jax.device_put(pack_codes_2bit(G))
+    jax.block_until_ready(payload)
+    pm = jax.device_put(pack_scan_model(model.scan_model()))
+    params = ScanParams(maf=-1.0, mac=-1.0, missing=1.0, spa_pval=0.05)
+    impl = "pallas2" if pallas_available() else "xla2"
 
-    t0 = time.perf_counter()
-    seq = SeqData(path)
-    blocks = [np.asarray(G, np.int8)
-              for _, G in seq.iter_code_blocks(4096)]
-    codes = np.concatenate(blocks, axis=0)
-    t_dec = time.perf_counter() - t0
-    grm = build_packed2_grm(codes)    # 2-bit planar residency in HBM
-    fit = fit_glmm_binary_device(grm, jnp.asarray(y), jnp.asarray(X),
-                                 jnp.asarray([1.0, 0.5]),
-                                 jnp.asarray(eta0), jnp.asarray(U),
-                                 0.02, 1e-5)
-    tau = np.asarray(fit.tau)
-    dt = time.perf_counter() - t0
-    log(f"end-to-end device fit: GDS decode {t_dec:.1f}s + packed-GRM "
-        f"AI-REML at N={N_FIT} M={M_FIT} -> {dt:.1f}s total "
-        f"(tau_G={tau[1]:.3f}, converged={bool(np.asarray(fit.converged))})")
+    @jax.jit
+    def reps(pm_d, codes, n):
+        def body(i, acc):
+            # roll by i bytes: a fresh input per iteration (XLA cannot
+            # hoist the kernel out of the loop), cost ~ one HBM copy
+            c = jnp.roll(codes, i, axis=1)
+            st = score_stats_binary_packed(pm_d, params, c, impl=impl)
+            return acc + st.beta[0]
+        return jax.lax.fori_loop(0, n, body, 0.0)
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(reps(pm, payload, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    timed(2)                       # compile + warm
+    t_small, t_big = timed(2), timed(22)
+    per_block = max(t_big - t_small, 1e-9) / 20
+    log(f"device-resident phase-1 block ({impl}): {per_block * 1e3:.1f} ms "
+        f"/ {BLOCK} variants = {BLOCK / per_block:.0f} v/s engine roofline")
+    return per_block
 
 
-def probe_device_reachable(timeout_s: int = 240) -> bool:
-    """The tunneled TPU occasionally wedges for hours (jax.devices() hangs
-    on a futex); probe it in a subprocess so a dead tunnel fails fast
-    with a clear message instead of eating the caller's whole timeout."""
-    import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-
-
-def main():
-    rng = np.random.default_rng(7)
-    if not probe_device_reachable():
-        log("FATAL: the TPU tunnel is unreachable (device query hung "
-            ">240s) — known transient wedge, see BENCH_NOTES.md; rerun "
-            "when it recovers")
-        sys.exit(3)
-    m = make_model(N_SAMPLES, N_COV, rng)
-    build_gds(rng)
-
-    from saigegds_tpu.io.seqarray import SeqData
-    cpu_vps = run_cpu_baseline(m, SeqData(GDS_PATH))
-
-    import jax
-    jax.config.update("jax_enable_x64", True)
-    try:   # persistent compile cache: warmup drops from ~18 min to seconds
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:
-        log(f"compile cache unavailable: {e}")
-    link_bw, link_lat = probe_link_bandwidth()
+def phase_scan():
+    jax_setup()
+    m, _ = scan_setup()
     model = make_nullmodel(m)
+
+    from saigegds_tpu.io.seqarray import SeqData
+    link_bw, link_lat = probe_link_bandwidth()
 
     # decode-only pass (phase breakdown: the host side of the pipeline)
     seq = SeqData(GDS_PATH)
@@ -322,6 +450,8 @@ def main():
     t0 = time.perf_counter()
     run_tpu(model, mixed=False)
     log(f"warmup: {time.perf_counter() - t0:.1f}s")
+
+    resident_s = measure_resident_block(model, SeqData(GDS_PATH))
 
     # best-of-N: the dev tunnel's throughput jitters 2-7x run to run
     # (BENCH_NOTES.md); the best pass is the engine's number, the spread
@@ -341,18 +471,190 @@ def main():
     log(f"end-to-end mixed SPA (opt-in tier, best of {reps}): "
         f"{vps_mixed:.0f} v/s")
 
-    if os.environ.get("BENCH_RARE", "1") == "1":
-        run_rare_secondary(model, rng, link_bw)
-    if os.environ.get("BENCH_FIT", "1") == "1":
-        run_fit_secondary(rng)
+    state_merge(scan_vps=round(vps, 2), scan_vps_mixed=round(vps_mixed, 2),
+                link_mbps=round(link_bw / 1e6, 1),
+                link_lat_s=round(link_lat, 3),
+                roofline_vps=round(roofline, 1),
+                roofline_frac=round(vps / roofline, 3),
+                resident_block_s=round(resident_s, 4),
+                resident_vps=round(BLOCK / resident_s, 1),
+                scan_done=True)
 
-    print(json.dumps({
-        "metric": f"end-to-end GDS scan (decode+upload+score+exact SPA), "
-                  f"N={N_SAMPLES} samples",
-        "value": round(vps, 2),
-        "unit": "variants/s",
-        "vs_baseline": round(vps / cpu_vps, 3),
-    }))
+
+def phase_rare():
+    """Rare-variant file (MAF 0.025-1%), the regime of WGS/aggregate scans.
+    The gap-coded sparse transport (ops/sparse_codes) ships ~2*nnz
+    bytes/variant instead of N/4, raising the transport roofline
+    several-fold; report sparse vs forced 2-bit."""
+    jax_setup()
+    m, rng = scan_setup()
+    model = make_nullmodel(m)
+
+    from saigegds_tpu.assoc.single import assoc_spa
+    from saigegds_tpu.config import ScanConfig
+    from saigegds_tpu.io.gds_write import write_seqarray_gds
+    from saigegds_tpu.io.seqarray import SeqData
+
+    if not (os.path.exists(RARE_GDS) and os.path.getsize(RARE_GDS) > 1 << 20):
+        t0 = time.perf_counter()
+        af = rng.uniform(0.00025, 0.01, size=(N_VARIANTS, 1))
+        codes = rng.binomial(2, af, size=(N_VARIANTS, N_SAMPLES)) \
+            .astype(np.int8)
+        write_seqarray_gds(RARE_GDS, codes, compress="ZIP_ra")
+        nnz = float((codes != 0).mean())
+        log(f"setup: wrote rare GDS ({nnz * 100:.1f}% nonzero) in "
+            f"{time.perf_counter() - t0:.1f}s")
+    out = {}
+    for sparse in (True, False):
+        best = float("inf")
+        for _ in range(2):
+            seq = SeqData(RARE_GDS)
+            cfg = ScanConfig(block_size=BLOCK, packed_sparse=sparse)
+            t0 = time.perf_counter()
+            df = assoc_spa(seq, model, cfg)
+            best = min(best, time.perf_counter() - t0)
+        label = "sparse gap-coded" if sparse else "2-bit planar"
+        key = "rare_sparse_vps" if sparse else "rare_dense_vps"
+        out[key] = round(len(df) / best, 1)
+        log(f"rare-variant scan ({label} transport): "
+            f"{len(df) / best:.0f} v/s ({N_VARIANTS} variants, {best:.1f}s)")
+    state_merge(**out, rare_done=True)
+
+
+# ---------------------------------------------------------------------------
+# orchestration
+
+def probe_device_reachable(timeout_s: int = PROBE_TIMEOUT_S) -> bool:
+    """The tunneled TPU occasionally wedges for hours (jax.devices() hangs
+    on a futex); probe in a subprocess so a dead tunnel fails fast."""
+    code = ("import os, jax\n"
+            "p = os.environ.get('BENCH_PLATFORM')\n"
+            "if p: jax.config.update('jax_platforms', p)\n"
+            "jax.devices()\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_for_device(deadline: float) -> bool:
+    """Re-probe the tunnel every PROBE_INTERVAL_S until `deadline` — the
+    round-2 wedge was transient and a single 240s probe forfeited the
+    whole round's evidence (VERDICT.md weak #1)."""
+    while True:
+        if probe_device_reachable():
+            return True
+        wait = min(PROBE_INTERVAL_S, deadline - time.time())
+        if wait <= 0:
+            return False
+        log(f"tunnel wedged (probe timed out); re-probing in {wait:.0f}s "
+            f"(budget ends in {deadline - time.time():.0f}s)")
+        time.sleep(wait)
+
+
+# (name, needs_device, timeout_s); device phases first so a capture
+# window with a live tunnel is not wasted on CPU-only work
+PHASES = [
+    ("fit", True, int(os.environ.get("BENCH_FIT_TIMEOUT", 2400))),
+    ("scan", True, int(os.environ.get("BENCH_SCAN_TIMEOUT", 2700))),
+    ("rare", True, int(os.environ.get("BENCH_RARE_TIMEOUT", 1500))),
+    ("scanbase", False, int(os.environ.get("BENCH_SCANBASE_TIMEOUT", 1500))),
+    ("fitbase", False, int(os.environ.get("BENCH_FITBASE_TIMEOUT", 2700))),
+]
+
+
+def run_phase(name: str, needs_device: bool, timeout_s: int,
+              probe_deadline: float) -> bool:
+    if state_load().get(f"{name}_done"):
+        log(f"phase {name}: cached (resume from {STATE})")
+        return True
+    attempts = 2 if needs_device else 1
+    for attempt in range(attempts):
+        if needs_device and not wait_for_device(probe_deadline):
+            log(f"phase {name}: tunnel unreachable within the probe budget")
+            return False
+        env = os.environ.copy()
+        if not needs_device:
+            env["BENCH_PLATFORM"] = "cpu"   # never touch the tunnel
+        log(f"=== phase {name} (attempt {attempt + 1}, "
+            f"timeout {timeout_s}s) ===")
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phase", name],
+                timeout=timeout_s, env=env, stdout=sys.stderr,
+                stderr=subprocess.STDOUT)
+        except subprocess.TimeoutExpired:
+            if name == "fitbase":
+                # the CPU fit did not finish: its elapsed time is a LOWER
+                # BOUND on the baseline -> the reported speedup is a floor
+                state_merge(fitbase_s=float(timeout_s), fitbase_dnf=True,
+                            fitbase_threads=os.cpu_count(), fitbase_done=True)
+                log(f"phase fitbase: DNF after {timeout_s}s -> lower-bound "
+                    f"baseline")
+                return True
+            log(f"phase {name}: timed out after {timeout_s}s")
+            continue
+        if r.returncode == 0 and state_load().get(f"{name}_done"):
+            return True
+        log(f"phase {name}: rc={r.returncode}")
+    return False
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", default=None)
+    args = ap.parse_args()
+    if args.phase:
+        globals()[f"phase_{args.phase}"]()
+        return
+
+    if os.environ.get("BENCH_RESET") == "1" and os.path.exists(STATE):
+        os.remove(STATE)
+    probe_deadline = time.time() + PROBE_BUDGET_S
+    for name, needs_device, timeout_s in PHASES:
+        run_phase(name, needs_device, timeout_s, probe_deadline)
+
+    st = state_load()
+    have_fit = bool(st.get("fit_done"))
+    have_scan = st.get("scan_done") and st.get("scanbase_done")
+    if not (st.get("fit_done") or st.get("scan_done")):
+        log("FATAL: no device phase completed (tunnel wedged through the "
+            "whole probe budget) — state checkpointed, rerun to resume")
+        sys.exit(3)
+
+    extra = {k: st[k] for k in (
+        "fit_s", "fit_decode_s", "fit_aireml_s", "fit_vr_s", "fit_tau_g",
+        "fit_converged", "fit_vr_markers", "fitbase_s", "fitbase_dnf",
+        "fitbase_threads", "scan_vps", "scan_vps_mixed", "scan_cpu_vps",
+        "baseline_threads", "link_mbps", "link_lat_s", "roofline_vps",
+        "roofline_frac", "resident_block_s", "resident_vps",
+        "rare_sparse_vps", "rare_dense_vps") if k in st}
+    if have_scan:
+        extra["scan_vs_baseline"] = round(
+            st["scan_vps"] / st["scan_cpu_vps"], 2)
+    if have_fit:
+        out = {
+            "metric": f"null-model fit wall-clock (GDS decode + packed GRM "
+                      f"+ AI-REML + variance ratio), N={N_FIT} x M={M_FIT}"
+                      + (", CPU baseline DNF (speedup is a floor)"
+                         if st.get("fitbase_dnf") else ""),
+            "value": st["fit_s"],
+            "unit": "s",
+            "vs_baseline": round(st["fitbase_s"] / st["fit_s"], 2)
+            if st.get("fitbase_done") else None,
+        }
+    else:   # fallback: the scan is the headline if the fit never captured
+        out = {
+            "metric": f"end-to-end GDS scan (decode+upload+score+exact "
+                      f"SPA), N={N_SAMPLES} samples",
+            "value": st.get("scan_vps"),
+            "unit": "variants/s",
+            "vs_baseline": extra.get("scan_vs_baseline"),
+        }
+    out.update(extra)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
