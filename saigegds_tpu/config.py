@@ -32,6 +32,12 @@ class NullModelConfig:
     tol_pcg: float = 1e-5         # PCG residual tolerance
     maxiter_pcg: int = 500        # PCG iteration bound
     num_marker: int = 30          # initial markers for the variance ratio
+    # opt-in MAC-categorized variance ratios (newer-than-v1.12.5 SAIGEgds
+    # feature; () = the reference's single pooled ratio over MAC>20
+    # markers).  Ascending minor-AC bin bounds: e.g. (10.5, 20.5) makes
+    # categories (0, 10.5], (10.5, 20.5], (20.5, inf); the scan then looks
+    # each variant's ratio up by its MAC (models/fitnull.calc_var_ratio_cat)
+    var_ratio_mac_cat: Tuple[float, ...] = ()
     tau_init: Tuple[float, float] = (0.0, 0.0)
     trace_cv_cutoff: float = 0.0025
     ratio_cv_cutoff: float = 0.001

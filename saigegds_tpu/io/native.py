@@ -26,11 +26,13 @@ def _load() -> Optional[ctypes.CDLL]:
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO):
-        try:
-            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR), "-s"],
-                           check=True, capture_output=True, timeout=120)
-        except Exception:
+    # always invoke make: its dependency tracking is a no-op when the .so
+    # is current and rebuilds a stale one (e.g. after a source update)
+    try:
+        subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR), "-s"],
+                       check=True, capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(_SO):
             return None
     try:
         lib = ctypes.CDLL(_SO)
@@ -54,8 +56,56 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.sg_sparse_encode.argtypes = [i8p, ctypes.c_int64, ctypes.c_int64,
                                      u16p, i64p]
     lib.sg_sparse_encode.restype = ctypes.c_int64
+    try:   # round-3 kernels; a stale .so degrades to the numpy fallbacks
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.sg_variant_moments.argtypes = [i8p, ctypes.c_int64,
+                                           ctypes.c_int64, f64p, f64p, f64p,
+                                           i64p]
+        lib.sg_missing_pairs.argtypes = [i8p, ctypes.c_int64, ctypes.c_int64,
+                                         i64p, i32p, i32p]
+        lib.sg_pack2_zeroed.argtypes = [i8p, ctypes.c_int64, ctypes.c_int64,
+                                        u8p]
+    except AttributeError:
+        pass
     _lib = lib
     return _lib
+
+
+def variant_moments(codes: np.ndarray):
+    """Threaded one-pass GRM-build moments (af, inv, diag, missing pairs)
+    from int8 codes [M, N]; None when the library isn't available."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sg_variant_moments"):
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    M, N = codes.shape
+    af = np.empty(M, np.float64)
+    inv = np.empty(M, np.float64)
+    diag = np.zeros(N, np.float64)
+    mc = np.empty(M, np.int64)
+    lib.sg_variant_moments(codes, M, N, af, inv, diag, mc)
+    offs = np.zeros(M, np.int64)
+    np.cumsum(mc[:-1], out=offs[1:])
+    nnz = int(offs[-1] + mc[-1]) if M else 0
+    mv = np.empty(nnz, np.int32)
+    ms = np.empty(nnz, np.int32)
+    if nnz:
+        lib.sg_missing_pairs(codes, M, N, offs, mv, ms)
+    return af, inv, diag, mv, ms
+
+
+def pack2_zeroed(codes: np.ndarray):
+    """Threaded planar 2-bit pack of int8 codes with missing zeroed
+    (ops/packed_grm.pack_codes_2bit on np.where(codes < 3, codes, 0));
+    None when the library isn't available."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sg_pack2_zeroed"):
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    M, N = codes.shape
+    out = np.empty((M, -(-N // 4)), np.uint8)
+    lib.sg_pack2_zeroed(codes, M, N, out)
+    return out
 
 
 def sparse_encode(codes: np.ndarray,

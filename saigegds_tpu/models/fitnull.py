@@ -564,6 +564,113 @@ def calc_var_ratio(grm: GRMOperator, codes: np.ndarray, fit0: GlmFit,
     return rows
 
 
+def calc_var_ratio_cat(grm: GRMOperator, codes: np.ndarray, fit0: GlmFit,
+                       glmm: GlmmFit, nok: ObjNoK, cfg: NullModelConfig,
+                       marker_order: np.ndarray, binary: bool,
+                       verbose=False):
+    """Variance ratios per MAC category (opt-in via
+    ``NullModelConfig.var_ratio_mac_cat`` — a newer-than-v1.12.5 SAIGEgds
+    feature; the reference at /root/reference estimates ONE pooled ratio
+    over markers with MAC>20, src/saige_fitnull.cpp:1316).
+
+    Category ``c`` spans minor-allele count in ``(edges[c-1], edges[c]]``
+    plus a trailing open ``(edges[-1], inf)`` category.  Each category
+    runs the same estimation loop as :func:`calc_var_ratio` — initial
+    ``num_marker`` markers, +10 escalation until the ratio CV is under
+    ``ratio_cv_cutoff`` — with the MAC-range predicate replacing the
+    fixed ``mac > 20`` cut.  Rows carry ``mac_cat`` (the category index);
+    markers fall in exactly one category, so one walk of the shared
+    ``marker_order`` per category never tests a marker twice."""
+    edges = [float(e) for e in cfg.var_ratio_mac_cat]
+    if not edges or edges != sorted(edges):
+        raise ValueError("var_ratio_mac_cat must be ascending MAC bounds")
+    family = _Binomial() if binary else _Gaussian()
+    eta = fit0.linear_predictors
+    mu = fit0.fitted_values
+    mu_eta = family.mu_eta(eta)
+    W = (mu_eta * mu_eta) / family.variance(mu)
+    tau = glmm.tau
+    X1 = nok.X1
+    Sigma_iX = _pcg(grm, W, tau, X1, cfg.tol_pcg, cfg.maxiter_pcg)
+    xsx_inv = _mat_inv(X1.T @ Sigma_iX)
+
+    bounds = [(0.0 if c == 0 else edges[c - 1],
+               edges[c] if c < len(edges) else math.inf)
+              for c in range(len(edges) + 1)]
+    rows = dict(id=[], maf=[], mac=[], var1=[], var2=[], ratio=[],
+                mac_cat=[])
+    n_rand = len(marker_order)
+    for c, (lo, hi) in enumerate(bounds):
+        num_marker = cfg.num_marker
+        snp_pos = 0
+        cat_ratio = []
+        while snp_pos < n_rand:
+            pending = []
+            while len(cat_ratio) + len(pending) < num_marker \
+                    and snp_pos < n_rand:
+                i_snp = int(marker_order[snp_pos])  # 1-based
+                snp_pos += 1
+                g = codes[i_snp - 1].astype(np.float64)
+                isnan = g >= 3
+                num = int((~isnan).sum())
+                if num == 0:
+                    continue
+                ac = float(np.where(isnan, 0, g).sum())
+                af = ac / (2 * num)
+                g = np.where(isnan, ac / num, g)  # mean impute
+                if af > 0.5:
+                    g = 2.0 - g
+                    ac = 2 * num - ac
+                    af = 1 - af
+                if not (lo < ac <= hi) or ac <= 0:
+                    continue
+                pending.append((i_snp, af, ac, g))
+            if pending:
+                G0 = np.stack([p[3] for p in pending], axis=1)   # [N, B]
+                G = G0 - nok.XXVX_inv @ (nok.XV @ G0)
+                SiG = _pcg(grm, W, tau, G, cfg.tol_pcg, cfg.maxiter_pcg)
+                adj = Sigma_iX @ (xsx_inv @ (X1.T @ SiG))
+                for k, (i_snp, af, ac, _) in enumerate(pending):
+                    var1 = (float(G[:, k] @ SiG[:, k]) -
+                            float(G[:, k] @ adj[:, k])) / ac
+                    gn = G[:, k] / math.sqrt(ac)
+                    if binary:
+                        var2 = float(np.sum(mu * (1 - mu) * gn * gn))
+                    else:
+                        var2 = float(gn @ gn)
+                    rows["id"].append(i_snp)
+                    rows["maf"].append(af)
+                    rows["mac"].append(ac)
+                    rows["var1"].append(var1)
+                    rows["var2"].append(var2)
+                    rows["ratio"].append(var1 / var2)
+                    rows["mac_cat"].append(c)
+                    cat_ratio.append(var1 / var2)
+                    telemetry.emit("var_ratio_marker", id=i_snp, maf=af,
+                                   mac=ac, var1=var1, var2=var2,
+                                   ratio=var1 / var2, mac_cat=c)
+            if len(cat_ratio) >= num_marker:
+                cv = _calc_cv(cat_ratio)
+                if cv > cfg.ratio_cv_cutoff:
+                    num_marker += 10
+                    telemetry.emit("ratio_escalation", mac_cat=c,
+                                   num_marker=num_marker, cv=cv,
+                                   cutoff=cfg.ratio_cv_cutoff)
+                else:
+                    break
+            elif snp_pos >= n_rand:
+                break
+        if not cat_ratio:
+            warnings.warn(
+                f"variance-ratio MAC category ({lo}, {hi}] matched no GRM "
+                f"marker; the scan falls back to the overall mean there")
+        elif len(cat_ratio) < cfg.num_marker:
+            warnings.warn(
+                f"variance-ratio MAC category ({lo}, {hi}] found only "
+                f"{len(cat_ratio)}/{cfg.num_marker} markers")
+    return rows
+
+
 # ---------------------------------------------------------------------------
 # top-level driver
 
@@ -915,8 +1022,10 @@ def _fit_dispatch(cfg, grm, codes, y_raw, X_new, X_qrr, X_names,
                           verbose=verbose)
         rng = RRandom(cfg.seed)
         marker_order = rng.sample_int(n_var, n_var)
-        vr = calc_var_ratio(grm, codes, fit0, glmm, nok, cfg, marker_order,
-                            binary=True, verbose=verbose)
+        vr_fn = calc_var_ratio_cat if cfg.var_ratio_mac_cat \
+            else calc_var_ratio
+        vr = vr_fn(grm, codes, fit0, glmm, nok, cfg, marker_order,
+                   binary=True, verbose=verbose)
     elif cfg.trait_type == "quantitative":
         yq = y_raw.copy()
         if cfg.inv_norm:
@@ -934,8 +1043,10 @@ def _fit_dispatch(cfg, grm, codes, y_raw, X_new, X_qrr, X_names,
                           verbose=verbose)
         rng = RRandom(cfg.seed)
         marker_order = rng.sample_int(n_var, n_var)
-        vr = calc_var_ratio(grm, codes, fit0, glmm, nok, cfg, marker_order,
-                            binary=False, verbose=verbose)
+        vr_fn = calc_var_ratio_cat if cfg.var_ratio_mac_cat \
+            else calc_var_ratio
+        vr = vr_fn(grm, codes, fit0, glmm, nok, cfg, marker_order,
+                   binary=False, verbose=verbose)
     else:
         raise ValueError(f"Invalid trait type {cfg.trait_type!r}")
 
@@ -944,6 +1055,9 @@ def _fit_dispatch(cfg, grm, codes, y_raw, X_new, X_qrr, X_names,
     ord_ = np.argsort(np.asarray(vr["id"], dtype=np.int64), kind="stable")
     var_ratio = {k: np.asarray(v)[ord_] for k, v in vr.items()}
     var_ratio["id"] = variant_id[var_ratio["id"].astype(np.int64) - 1]
+    if cfg.var_ratio_mac_cat:
+        # category bin bounds travel with the model (not per-row data)
+        var_ratio["mac_bins"] = np.asarray(cfg.var_ratio_mac_cat, float)
 
     # un-rotate coefficients through qr.R (R/saige_main.r:616-623)
     if x_transform:

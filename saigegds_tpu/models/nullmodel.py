@@ -119,6 +119,9 @@ class NullModel:
 
         vr = m["var.ratio"]
         vrd = {k: np.asarray(strip(vr[k])) for k in vr.names} if vr is not None else {}
+        if vr is not None and isinstance(vr, RObject) \
+                and "mac.bins" in vr.attributes:
+            vrd["mac_bins"] = np.asarray(strip(vr.attributes["mac.bins"]))
         return cls(
             trait_type=str(strip(m["trait.type"])[0]),
             coefficients=np.asarray(strip(coef), dtype=np.float64),
@@ -146,11 +149,16 @@ class NullModel:
         of :meth:`from_r_object`; layout per R/saige_main.r:616-628)."""
         K = len(self.coefficients)
         vr = dict(self.var_ratio)
+        # category bin bounds aren't per-row data: carry them as an R
+        # attribute on the data.frame (wrong length for a column)
+        mac_bins = vr.pop("mac_bins", None)
         vr_n = len(np.asarray(vr.get("ratio", [])))
-        var_ratio = RObject(
-            {k: np.asarray(v) for k, v in vr.items()},
-            {"class": "data.frame",
-             "row.names": np.asarray([-2147483648, -vr_n], np.int32)})
+        vr_attrs = {"class": "data.frame",
+                    "row.names": np.asarray([-2147483648, -vr_n], np.int32)}
+        if mac_bins is not None:
+            vr_attrs["mac.bins"] = np.asarray(mac_bins, np.float64)
+        var_ratio = RObject({k: np.asarray(v) for k, v in vr.items()},
+                            vr_attrs)
         obj_nok = {
             "y": self.y, "mu": self.mu, "res": self.res, "V": self.V,
             "X1": self.X1, "XV": self.XV, "XXVX_inv": self.XXVX_inv,
@@ -249,7 +257,25 @@ class NullModel:
         ii = np.arange(self.n_samples) if sample_index is None else sample_index
         y = self.y[ii]
         mu = self.fitted_values[ii]
+        vr_edges = vr_ratios = None
         if not np.isfinite(var_ratio):
+            vrd = self.var_ratio
+            if len(np.asarray(vrd.get("mac_bins", []))) \
+                    and "mac_cat" in vrd:
+                # MAC-categorized ratios (fitnull.calc_var_ratio_cat):
+                # per-category means, empty categories fall back to the
+                # overall mean
+                edges = np.asarray(vrd["mac_bins"], float)
+                cat = np.asarray(vrd["mac_cat"], int)
+                rat = np.asarray(vrd["ratio"], float)
+                means = np.full(len(edges) + 1, self.mean_var_ratio)
+                for c in range(len(means)):
+                    rc = rat[cat == c]
+                    rc = rc[np.isfinite(rc)]
+                    if rc.size:
+                        means[c] = rc.mean()
+                vr_edges = jnp.asarray(edges)
+                vr_ratios = jnp.asarray(means)
             var_ratio = self.mean_var_ratio
         return ScanModel(
             trait_binary=(self.trait_type == "binary"),
@@ -261,6 +287,8 @@ class NullModel:
             XV=jnp.asarray(self.XV[:, ii]),
             XXVX_inv=jnp.asarray(self.XXVX_inv[ii, :]),
             var_ratio=float(var_ratio),
+            vr_edges=vr_edges,
+            vr_ratios=vr_ratios,
         )
 
 

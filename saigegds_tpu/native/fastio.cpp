@@ -8,9 +8,12 @@
 //
 // Build: `make -C saigegds_tpu/native` (g++ -O3 -march=native -shared).
 
+#include <cmath>
 #include <cstddef>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 #if defined(__SSSE3__) || defined(__SSE2__)
 #include <immintrin.h>
@@ -278,6 +281,134 @@ int64_t sg_sparse_encode(const int8_t* codes, int64_t rows, int64_t cols,
         row_ptr[r + 1] = k;
     }
     return k;
+}
+
+// Per-variant GRM-build moments, fused in one threaded pass: allele
+// frequency, 1/sd, per-sample diag(GRM) partials and per-variant missing
+// counts from an int8 code matrix [M, N] (values 0/1/2, >=3 missing; the
+// reference computes the same quantities in its standardized-lookup build,
+// src/saige_fitnull.cpp:159-230).  Replaces a numpy formulation that
+// materialized f64 [M, N] standardized copies (~8 B/genotype of transient
+// traffic; minutes at biobank scale).  `diag` must be zero-initialized;
+// thread partials reduce in thread order (f64 sum order differs from
+// numpy's pairwise sums at the ~1e-16 level, inside every test tolerance).
+void sg_variant_moments(const int8_t* codes, int64_t M, int64_t N,
+                        double* af, double* inv, double* diag,
+                        int64_t* miss_cnt) {
+    int T = (int)std::thread::hardware_concurrency();
+    if (T < 1) T = 1;
+    if ((int64_t)T > M) T = (int)M;
+    std::vector<std::vector<double>> dbuf((size_t)T);
+    std::vector<std::thread> threads;
+    int64_t chunk = (M + T - 1) / T;
+    for (int t = 0; t < T; ++t) {
+        threads.emplace_back([&, t]() {
+            std::vector<double>& db = dbuf[(size_t)t];
+            db.assign((size_t)N, 0.0);
+            int64_t lo = t * chunk, hi = lo + chunk;
+            if (hi > M) hi = M;
+            for (int64_t m = lo; m < hi; ++m) {
+                const int8_t* row = codes + m * N;
+                int64_t nv = 0, s = 0;
+                for (int64_t n = 0; n < N; ++n) {
+                    int c = row[n];
+                    if (c < 3) { ++nv; s += c; }
+                }
+                miss_cnt[m] = N - nv;
+                double a = 0.0, iv = 0.0;
+                if (nv > 0) {
+                    a = (double)s / (2.0 * (double)nv);
+                    double v2 = 2.0 * a * (1.0 - a);
+                    if (v2 > 0.0) iv = 1.0 / std::sqrt(v2);
+                    else a = 0.0;     // degenerate: zeroed like the
+                }                     // numpy path (non-finite -> 0)
+                af[m] = a;
+                inv[m] = iv;
+                if (iv == 0.0) continue;    // zero std values: no diag term
+                const double w0 = (0.0 - 2.0 * a) * iv * ((0.0 - 2.0 * a) * iv);
+                const double w1 = (1.0 - 2.0 * a) * iv * ((1.0 - 2.0 * a) * iv);
+                const double w2 = (2.0 - 2.0 * a) * iv * ((2.0 - 2.0 * a) * iv);
+                for (int64_t n = 0; n < N; ++n) {
+                    int c = row[n];
+                    if (c >= 3) continue;
+                    // contract: codes are 0/1/2; mirror the numpy formula
+                    // exactly for anything else below 3
+                    double w = c == 0 ? w0 : c == 1 ? w1 : c == 2 ? w2
+                        : ((double)c - 2.0 * a) * iv
+                          * (((double)c - 2.0 * a) * iv);
+                    db[(size_t)n] += w;
+                }
+            }
+        });
+    }
+    for (auto& th : threads) th.join();
+    for (int t = 0; t < T; ++t) {
+        const double* db = dbuf[(size_t)t].data();
+        for (int64_t n = 0; n < N; ++n) diag[n] += db[n];
+    }
+}
+
+// Missing-entry pair fill (row-major order, matching np.nonzero(codes>=3)):
+// offs[m] = exclusive prefix sum of sg_variant_moments' miss_cnt.
+void sg_missing_pairs(const int8_t* codes, int64_t M, int64_t N,
+                      const int64_t* offs, int32_t* mv, int32_t* ms) {
+    int T = (int)std::thread::hardware_concurrency();
+    if (T < 1) T = 1;
+    if ((int64_t)T > M) T = (int)M;
+    std::vector<std::thread> threads;
+    int64_t chunk = (M + T - 1) / T;
+    for (int t = 0; t < T; ++t) {
+        threads.emplace_back([&, t]() {
+            int64_t lo = t * chunk, hi = lo + chunk;
+            if (hi > M) hi = M;
+            for (int64_t m = lo; m < hi; ++m) {
+                const int8_t* row = codes + m * N;
+                int64_t k = offs[m];
+                for (int64_t n = 0; n < N; ++n) {
+                    if (row[n] >= 3) {
+                        mv[k] = (int32_t)m;
+                        ms[k] = (int32_t)n;
+                        ++k;
+                    }
+                }
+            }
+        });
+    }
+    for (auto& th : threads) th.join();
+}
+
+// Planar 2-bit pack with missing zeroed in one threaded pass: byte column
+// j of row m holds samples j, N4+j, 2*N4+j, 3*N4+j in bit pairs 0/2/4/6
+// (N4 = ceil(N/4)); the exact native twin of ops/packed_grm.pack_codes_2bit
+// applied to np.where(codes < 3, codes, 0).
+void sg_pack2_zeroed(const int8_t* codes, int64_t M, int64_t N,
+                     uint8_t* out) {
+    const int64_t N4 = (N + 3) / 4;
+    int T = (int)std::thread::hardware_concurrency();
+    if (T < 1) T = 1;
+    if ((int64_t)T > M) T = (int)M;
+    std::vector<std::thread> threads;
+    int64_t chunk = (M + T - 1) / T;
+    for (int t = 0; t < T; ++t) {
+        threads.emplace_back([&, t]() {
+            int64_t lo = t * chunk, hi = lo + chunk;
+            if (hi > M) hi = M;
+            for (int64_t m = lo; m < hi; ++m) {
+                const int8_t* row = codes + m * N;
+                uint8_t* o = out + m * N4;
+                auto g = [&](int64_t n) -> uint8_t {
+                    if (n >= N) return 0;
+                    int8_t c = row[n];
+                    return (c >= 0 && c < 3) ? (uint8_t)c : 0;
+                };
+                for (int64_t j = 0; j < N4; ++j)
+                    o[j] = (uint8_t)(g(j) | (g(N4 + j) << 2) |
+                                     (g(2 * N4 + j) << 4) |
+                                     (g(3 * N4 + j) << 6));
+            }
+        });
+    }
+    for (auto& th : threads) th.join();
 }
 
 }  // extern "C"

@@ -76,9 +76,9 @@ def build_packed_grm(codes: np.ndarray, pad_multiple: int = 256) -> PackedGRM:
     """Build the packed operator from int8 codes [M, N] (3 = missing)."""
     codes = np.ascontiguousarray(codes, dtype=np.int8)
     M, N = codes.shape
-    af, inv, diag_part, mv, ms, valid = _variant_moments(codes)
+    af, inv, diag_part, mv, ms = _variant_moments(codes)
     miss_var, miss_samp, miss_pad = _pad_miss(mv, ms, pad_multiple)
-    return PackedGRM(codes=jnp.asarray(np.where(valid, codes, 0),
+    return PackedGRM(codes=jnp.asarray(_zeroed_codes(codes),
                                        dtype=jnp.bfloat16),
                      af=jnp.asarray(af), inv=jnp.asarray(inv),
                      diag=jnp.asarray(diag_part / M),
@@ -107,7 +107,7 @@ def build_packed_grm_streamed(block_iter, n_samples: int,
     row0 = 0
     for _idx, codes in block_iter:
         codes = np.ascontiguousarray(codes, dtype=np.int8)
-        af, inv, diag_part, mv, ms, valid = _variant_moments(codes)
+        af, inv, diag_part, mv, ms = _variant_moments(codes)
         diag += diag_part
         miss_v.append(mv.astype(np.int64) + row0)
         miss_s.append(ms.astype(np.int64))
@@ -115,8 +115,7 @@ def build_packed_grm_streamed(block_iter, n_samples: int,
         inv_parts.append(inv)
         # the hook receives HOST bf16 (a sharded putter must place it
         # without a default-device stop-over)
-        dev_blocks.append(put(np.where(valid, codes, 0)
-                              .astype(jnp.bfloat16)))
+        dev_blocks.append(put(_zeroed_codes(codes).astype(jnp.bfloat16)))
         row0 += codes.shape[0]
 
     M = row0
@@ -257,20 +256,61 @@ def unpack_codes_2bit(packed: np.ndarray, n_samples: int) -> np.ndarray:
 
 
 def _variant_moments(codes: np.ndarray):
-    """Per-variant af / inv std / missing pairs from int8 codes [b, N]."""
-    valid = codes < 3
-    n_valid = valid.sum(axis=1)
-    s = np.where(valid, codes, 0).sum(axis=1, dtype=np.int64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        af = s / (2.0 * n_valid)
-        inv = 1.0 / np.sqrt(2.0 * af * (1.0 - af))
-    bad = ~np.isfinite(af) | ~np.isfinite(inv)
-    af = np.where(bad, 0.0, af)
-    inv = np.where(bad, 0.0, inv)
-    std = np.where(valid, (codes - 2.0 * af[:, None]) * inv[:, None], 0.0)
-    diag_part = (std * std).sum(axis=0)
-    mv, ms = np.nonzero(~valid)
-    return af, inv, diag_part, mv, ms, valid
+    """Per-variant af / inv std / diag partials / missing pairs from int8
+    codes [b, N] (>= 3 missing).
+
+    Native threaded one-pass kernel when available (native/fastio.cpp
+    ``sg_variant_moments``, the analog of the reference's standardized
+    lookup + diag build, src/saige_fitnull.cpp:159-230); blockwise numpy
+    otherwise.  A whole-matrix formulation would materialize f64 [M, N]
+    standardized copies — 8 B/genotype of first-touch transient traffic
+    that dominated biobank-scale GRM builds (minutes at N=100k, M=16k)."""
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    from ..io import native
+    r = native.variant_moments(codes)
+    if r is not None:
+        return r
+    M, N = codes.shape
+    af = np.empty(M)
+    inv = np.empty(M)
+    diag = np.zeros(N)
+    mvs, mss = [], []
+    B = max(1, min(M, (1 << 28) // max(8 * N, 1)))   # ~256 MB f64 temps
+    for i in range(0, M, B):
+        c = codes[i:i + B]
+        valid = c < 3
+        n_valid = valid.sum(axis=1)
+        s = np.where(valid, c, 0).sum(axis=1, dtype=np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            a = s / (2.0 * n_valid)
+            iv = 1.0 / np.sqrt(2.0 * a * (1.0 - a))
+        bad = ~np.isfinite(a) | ~np.isfinite(iv)
+        a = np.where(bad, 0.0, a)
+        iv = np.where(bad, 0.0, iv)
+        std = np.where(valid, (c - 2.0 * a[:, None]) * iv[:, None], 0.0)
+        diag += (std * std).sum(axis=0)
+        mv, ms = np.nonzero(~valid)
+        mvs.append((mv + i).astype(np.int32))
+        mss.append(ms.astype(np.int32))
+        af[i:i + B] = a
+        inv[i:i + B] = iv
+    mv = np.concatenate(mvs) if mvs else np.empty(0, np.int32)
+    ms = np.concatenate(mss) if mss else np.empty(0, np.int32)
+    return af, inv, diag, mv, ms
+
+
+def _zeroed_codes(codes: np.ndarray) -> np.ndarray:
+    """Codes with missing (>= 3) zeroed, for the device genotype stores."""
+    return np.where(codes < 3, codes, 0)
+
+
+def _pack2_zeroed(codes: np.ndarray) -> np.ndarray:
+    """Planar 2-bit pack with missing zeroed (native kernel or numpy)."""
+    from ..io import native
+    out = native.pack2_zeroed(codes)
+    if out is not None:
+        return out
+    return pack_codes_2bit(_zeroed_codes(codes))
 
 
 def _pad_miss(mv, ms, pad_multiple: int):
@@ -299,10 +339,10 @@ def build_packed2_grm(codes: np.ndarray,
     codes = np.ascontiguousarray(codes, dtype=np.int8)
     M, N = codes.shape
     _resolve_packed2_impl()
-    af, inv, diag, mv, ms, valid = _variant_moments(codes)
+    af, inv, diag, mv, ms = _variant_moments(codes)
     miss_var, miss_samp, miss_pad = _pad_miss(mv, ms, pad_multiple)
     return Packed2GRM(
-        packed=jnp.asarray(pack_codes_2bit(np.where(valid, codes, 0))),
+        packed=jnp.asarray(_pack2_zeroed(codes)),
         af=jnp.asarray(af), inv=jnp.asarray(inv),
         diag=jnp.asarray(diag / M),
         miss_var=jnp.asarray(miss_var), miss_samp=jnp.asarray(miss_samp),
@@ -324,14 +364,13 @@ def build_packed2_grm_streamed(block_iter, n_samples: int,
     row0 = 0
     for _idx, codes in block_iter:
         codes = np.ascontiguousarray(codes, dtype=np.int8)
-        af, inv, diag_part, mv, ms, valid = _variant_moments(codes)
+        af, inv, diag_part, mv, ms = _variant_moments(codes)
         diag += diag_part
         miss_v.append(mv.astype(np.int64) + row0)
         miss_s.append(ms.astype(np.int64))
         af_parts.append(af)
         inv_parts.append(inv)
-        dev_blocks.append(put(jnp.asarray(
-            pack_codes_2bit(np.where(valid, codes, 0)))))
+        dev_blocks.append(put(jnp.asarray(_pack2_zeroed(codes))))
         row0 += codes.shape[0]
     M = row0
     packed = jnp.concatenate(dev_blocks, axis=0) if len(dev_blocks) > 1 \

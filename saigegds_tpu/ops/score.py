@@ -21,7 +21,7 @@ and ``.init_nullmod`` (R/assoc_single.r:17-67).
 """
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,22 @@ class ScanModel(NamedTuple):
     XV: jnp.ndarray           # [K, N]
     XXVX_inv: jnp.ndarray     # [N, K]
     var_ratio: float
+    # MAC-categorized variance ratios (opt-in; newer-than-v1.12.5 SAIGEgds
+    # feature — the reference applies ONE mean ratio to every variant,
+    # R/assoc_single.r:156-157).  When set, category c spans MAC in
+    # (vr_edges[c-1], vr_edges[c]] with a trailing open category, and the
+    # kernels look each variant's ratio up by its minor allele count.
+    vr_edges: Optional[jnp.ndarray] = None    # [C-1] ascending MAC bounds
+    vr_ratios: Optional[jnp.ndarray] = None   # [C] per-category ratios
+
+
+def variant_var_ratio(model: ScanModel, mac):
+    """Per-variant variance ratio: the model's scalar, or a MAC-category
+    lookup when the model carries categorized ratios."""
+    if model.vr_edges is None:
+        return model.var_ratio
+    return jnp.take(model.vr_ratios,
+                    jnp.searchsorted(model.vr_edges, mac, side="left"))
 
 
 class ScanParams(NamedTuple):
@@ -130,7 +146,7 @@ def score_stats_binary(model: ScanModel, params: ScanParams, G):
     g_tilde = _adjusted_genotype(model, g)
     S = jnp.sum(model.y_mu[None, :] * g_tilde, axis=1)
     var = jnp.sum(model.mu2[None, :] * g_tilde * g_tilde, axis=1)
-    var1 = var * model.var_ratio
+    var1 = var * variant_var_ratio(model, mac)
     pval_noadj = pchisq1_sf(S * S / var1)
     beta = S / var1
     beta = jnp.where(flip, -beta, beta)
@@ -181,7 +197,7 @@ def spa_refine_binary(model: ScanModel, G, mixed: bool = False,
     q = jnp.sum(model.y[None, :] * g_norm, axis=1)
     m1 = jnp.sum(model.mu[None, :] * g_norm, axis=1)
     var2 = jnp.sum(model.mu2[None, :] * g_norm * g_norm, axis=1)
-    var1 = var2 * model.var_ratio
+    var1 = var2 * variant_var_ratio(model, ac2)
     Tstat = q - m1
     qtilde = Tstat / jnp.sqrt(var1) * jnp.sqrt(var2) + m1
 
@@ -231,7 +247,7 @@ def score_stats_quant(model: ScanModel, params: ScanParams, G):
     var2 = jnp.sum(g_tilde * g_tilde, axis=1)
     inv_mac = 1.0 / mac
     inv_sqrt_mac = jnp.sqrt(inv_mac)
-    var1 = var2 * inv_mac * model.var_ratio
+    var1 = var2 * inv_mac * variant_var_ratio(model, mac)
     Tstat = S * inv_sqrt_mac / model.tau[0]
     pval = pchisq1_sf(Tstat * Tstat / var1)
     beta = Tstat / var1 * inv_sqrt_mac

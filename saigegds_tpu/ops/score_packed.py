@@ -35,7 +35,7 @@ import numpy as np
 
 from .packed_grm import _slice_i8
 from .score import (ScanModel, ScanParams, ScoreStats, score_stats_binary,
-                    score_stats_quant)
+                    score_stats_quant, variant_var_ratio)
 from .special import pchisq1_sf, qnorm
 
 N_SLICES = 8
@@ -270,7 +270,7 @@ def score_stats_binary_packed(pm: PackedScanModel, params: ScanParams, codes,
     """
     m = _packed_phase1(pm, params, codes, impl)
     S, var, flip = m["S"], m["var"], m["flip"]
-    var1 = var * pm.var_ratio
+    var1 = var * variant_var_ratio(pm.dense, m["mac"])
     pval_noadj = pchisq1_sf(S * S / var1)
     beta = S / var1
     beta = jnp.where(flip, -beta, beta)
@@ -293,7 +293,7 @@ def score_stats_quant_packed(pm: PackedScanModel, params: ScanParams, codes,
     S, var, flip, mac = m["S"], m["var"], m["flip"], m["mac"]
     inv_mac = 1.0 / mac
     inv_sqrt_mac = jnp.sqrt(inv_mac)
-    var1 = var * inv_mac * pm.var_ratio
+    var1 = var * inv_mac * variant_var_ratio(pm.dense, mac)
     Tstat = S * inv_sqrt_mac / pm.tau[0]
     pval = pchisq1_sf(Tstat * Tstat / var1)
     beta = Tstat / var1 * inv_sqrt_mac
