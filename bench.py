@@ -200,7 +200,6 @@ def fit_pipeline():
     from saigegds_tpu.models import fitnull
     from saigegds_tpu.models.fit_device import fit_glmm_binary_device
     from saigegds_tpu.models.glm import glm_binomial, obj_nok_binary
-    from saigegds_tpu.ops.packed_grm import build_packed2_grm
     from saigegds_tpu.utils.rrandom import RRandom
 
     build_fit_data()
@@ -222,14 +221,22 @@ def fit_pipeline():
     t0 = time.perf_counter()
     seq = SeqData(FIT_GDS)
     codes = np.empty((M_FIT, N_FIT), np.int8)
-    r0 = 0
-    for _, G in seq.iter_code_blocks(4096, streamed=True):
-        codes[r0:r0 + G.shape[0]] = G
-        r0 += G.shape[0]
-    t_dec = time.perf_counter() - t0
-    grm = build_packed2_grm(codes)    # 2-bit planar residency in HBM
+    state = {"r0": 0}
+
+    def blocks():
+        # streamed ingest: the per-block device_put is async, so the next
+        # block's decode overlaps the previous block's 2-bit upload; the
+        # host copy feeds the variance-ratio marker reads later
+        for idx, G in seq.iter_code_blocks(4096, streamed=True):
+            r0 = state["r0"]
+            codes[r0:r0 + G.shape[0]] = G
+            state["r0"] = r0 + G.shape[0]
+            yield idx, G
+
+    from saigegds_tpu.ops.packed_grm import build_packed2_grm_streamed
+    grm = build_packed2_grm_streamed(blocks(), N_FIT)
     jax.block_until_ready(grm)
-    t_grm = time.perf_counter() - t0 - t_dec
+    t_ing = time.perf_counter() - t0
 
     fit0 = glm_binomial(X, y)         # GLM warm start (R/saige_main.r:480)
     nok = obj_nok_binary(X, y)
@@ -257,18 +264,17 @@ def fit_pipeline():
     # cache in production); the warm pass is the recurring fit cost
     tau, glmm, vr, fit_c, vr_c = run_once()
     tau, glmm, vr, fit_w, vr_w = run_once()
-    dt = t_dec + t_grm + fit_w + vr_w
+    dt = t_ing + fit_w + vr_w
     ratio = float(np.mean(vr["ratio"]))
-    log(f"end-to-end fit: decode {t_dec:.1f}s + GRM pack+upload {t_grm:.1f}s"
-        f" + AI-REML {fit_w:.1f}s + var-ratio {vr_w:.1f}s = {dt:.1f}s warm "
-        f"(cold adds compile: AI-REML {fit_c:.1f}s, var-ratio {vr_c:.1f}s) "
-        f"at N={N_FIT} M={M_FIT} (tau_G={tau[1]:.3f}, "
-        f"converged={glmm.converged}, {len(vr['ratio'])} markers, "
-        f"mean ratio {ratio:.3f})")
-    return dict(fit_s=round(dt, 2), fit_decode_s=round(t_dec, 2),
-                fit_grm_s=round(t_grm, 2),
+    log(f"end-to-end fit: ingest (decode+pack+upload, pipelined) "
+        f"{t_ing:.1f}s + AI-REML {fit_w:.1f}s + var-ratio {vr_w:.1f}s = "
+        f"{dt:.1f}s warm (cold adds compile: AI-REML {fit_c:.1f}s, "
+        f"var-ratio {vr_c:.1f}s) at N={N_FIT} M={M_FIT} "
+        f"(tau_G={tau[1]:.3f}, converged={glmm.converged}, "
+        f"{len(vr['ratio'])} markers, mean ratio {ratio:.3f})")
+    return dict(fit_s=round(dt, 2), fit_ingest_s=round(t_ing, 2),
                 fit_aireml_s=round(fit_w, 2), fit_vr_s=round(vr_w, 2),
-                fit_cold_s=round(t_dec + t_grm + fit_c + vr_c, 2),
+                fit_cold_s=round(t_ing + fit_c + vr_c, 2),
                 fit_tau_g=round(float(tau[1]), 4),
                 fit_converged=glmm.converged, fit_vr_markers=len(vr["ratio"]),
                 fit_vr_ratio=round(ratio, 4))
@@ -651,7 +657,7 @@ def main():
         sys.exit(3)
 
     extra = {k: st[k] for k in (
-        "fit_s", "fit_decode_s", "fit_grm_s", "fit_aireml_s", "fit_vr_s",
+        "fit_s", "fit_ingest_s", "fit_aireml_s", "fit_vr_s",
         "fit_cold_s", "fit_tau_g",
         "fit_converged", "fit_vr_markers", "fitbase_s", "fitbase_dnf",
         "fitbase_threads", "scan_vps", "scan_vps_mixed", "scan_cpu_vps",
