@@ -142,8 +142,8 @@ def _decode_pallas_call(w: jnp.ndarray, n_rows: int, n_samples: int,
     total = n_rows * n_samples
     out = pl.pallas_call(
         _decode_kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((total,), jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((ECHUNK,), jnp.int32),
