@@ -292,6 +292,8 @@ def phase_fitbase():
     jax_setup()
     r = fit_pipeline()
     state_merge(fitbase_s=r["fit_s"], fitbase_tau_g=r["fit_tau_g"],
+                fitbase_aireml_s=r["fit_aireml_s"],
+                fitbase_vr_s=r["fit_vr_s"],
                 fitbase_dnf=False, fitbase_threads=os.cpu_count(),
                 fitbase_done=True)
     log(f"cpu fit baseline: {r['fit_s']:.1f}s on {os.cpu_count()} cores")
@@ -669,6 +671,7 @@ def main():
         "fit_s", "fit_ingest_s", "fit_aireml_s", "fit_vr_s",
         "fit_cold_s", "fit_tau_g",
         "fit_converged", "fit_vr_markers", "fitbase_s", "fitbase_dnf",
+        "fitbase_aireml_s", "fitbase_vr_s",
         "fitbase_threads", "scan_vps", "scan_vps_mixed", "scan_cpu_vps",
         "baseline_threads", "link_mbps", "link_lat_s", "roofline_vps",
         "roofline_frac", "resident_block_s", "resident_vps",
@@ -677,6 +680,20 @@ def main():
     if have_scan:
         extra["scan_vs_baseline"] = round(
             st["scan_vps"] / st["scan_cpu_vps"], 2)
+    if st.get("scan_done"):
+        # link throughput the scan actually sustained (the probe samples a
+        # different moment; the tunnel swings 2-7x within a session)
+        extra["scan_eff_mbps"] = round(
+            st["scan_vps"] * (N_SAMPLES / 4) / 1e6, 1)
+    if st.get("fitbase_aireml_s") and st.get("fit_done"):
+        # compute-only ratio (AI-REML + variance ratio): what survives on
+        # ANY link — the ingest term is this dev tunnel's 40 MB/s upload,
+        # which production PCIe (>=10 GB/s) makes invisible
+        comp_d = st["fit_aireml_s"] + st["fit_vr_s"]
+        comp_c = st["fitbase_aireml_s"] + st["fitbase_vr_s"]
+        extra["fit_compute_s"] = round(comp_d, 2)
+        extra["fitbase_compute_s"] = round(comp_c, 2)
+        extra["fit_compute_vs_baseline"] = round(comp_c / comp_d, 2)
     if have_fit:
         out = {
             "metric": f"null-model fit wall-clock (GDS decode + packed GRM "
