@@ -373,17 +373,21 @@ class _SpaAccum:
         pending = deque()
 
         def drain():
-            r, res4 = pending.popleft()
+            r, stacked = pending.popleft()
             m = len(r)
+            a = np.asarray(stacked)   # one stacked [4, B] readback
             self.results.append(
-                (r,) + tuple(np.asarray(x)[:m] for x in res4))
+                (r, a[0][:m], a[1][:m] != 0, a[2][:m], a[3][:m]))
 
+        import jax.numpy as jnp
         for s in range(0, len(rows), B):
             Gi = Gs[s : s + B]
             cap = _spa_cap(Gi)
             blk = _pad_block(_shrink_f32(Gi), B)
             res = spa_refine_binary(self.k.scan_model, blk, cap=cap)
-            pending.append((rows[s : s + B], res))
+            pending.append((rows[s : s + B],
+                            jnp.stack([res[0], res[1].astype(jnp.float64),
+                                       res[2], res[3]])))
             if len(pending) >= 3:
                 drain()
         while pending:

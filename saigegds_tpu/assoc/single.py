@@ -230,6 +230,7 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
     # dispatch + result sync of block k; the window then bounds in-flight
     # device blocks
     import jax
+    import jax.numpy as jnp
     from collections import deque
     window = deque()
     DEPTH = 3
@@ -311,10 +312,10 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
         pending = deque()
 
         def _drain_spa():
-            r, res4 = pending.popleft()
+            r, stacked = pending.popleft()
             m = len(r)
-            p, conv, b, e = (np.asarray(x)[:m] for x in res4)
-            spa_out.append((r, p, conv, b, e))
+            a = np.asarray(stacked)
+            spa_out.append((r, a[0][:m], a[1][:m] != 0, a[2][:m], a[3][:m]))
 
         def _spa_payloads():
             # payload build + upload in the prefetch worker, like phase 1
@@ -351,7 +352,12 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
         for r, Gb, cap, pn in _prefetch_blocks(_spa_payloads()):
             res = spa_refine_binary(scan_model, Gb, mixed=spa_mixed,
                                     cap=cap, packed_n=pn)
-            pending.append((r, res))
+            # one stacked [4, Bs] readback at drain time: four small
+            # fetches each pay the device round-trip (large over the
+            # tunnel), same idea as ops.score.stack_stats
+            pending.append((r, jnp.stack([res[0],
+                                          res[1].astype(jnp.float64),
+                                          res[2], res[3]])))
             if len(pending) >= DEPTH:
                 _drain_spa()
         while pending:
