@@ -17,7 +17,7 @@ jax.config.update("jax_enable_x64", True)
 
 from .config import NullModelConfig, ScanConfig  # noqa: E402
 from .models.nullmodel import NullModel, fit_null_glmm  # noqa: E402
-from .assoc.single import assoc_spa, assoc_spa_user  # noqa: E402
+from .assoc.single import assoc_spa, assoc_spa_multi, assoc_spa_user  # noqa: E402
 from .assoc.aggregate import (assoc_burden, assoc_acat_v,  # noqa: E402
                               assoc_acat_o, sliding_windows,
                               units_from_groups)

@@ -55,7 +55,13 @@ def main(argv=None):
                       ("acat-v", "ACAT-V tests"), ("acat-o", "ACAT-O tests")):
         q = sub.add_parser(name, help=hlp)
         q.add_argument("--gds", required=True)
-        q.add_argument("--model", required=True)
+        if name == "scan":
+            q.add_argument("--model", required=True, action="append",
+                           help="null model (npz/rds); repeat for a "
+                                "PheWAS-mode multi-model scan sharing one "
+                                "genotype pass (--out then needs '{}')")
+        else:
+            q.add_argument("--model", required=True)
         q.add_argument("--out", required=True)
         if name == "scan":
             q.add_argument("--mac", type=float, default=10.0)
@@ -166,9 +172,14 @@ def main(argv=None):
                     position_range=_parse_pos_range(args.pos_range)
                     if args.pos_range else None)
             kwargs["variant_mask"] = mask
-        st.assoc_spa(seq, args.model,
-                     ScanConfig(mac=args.mac, maf=args.maf),
-                     res_savefn=args.out, verbose=True, **kwargs)
+        if len(args.model) > 1:
+            st.assoc_spa_multi(seq, args.model,
+                               ScanConfig(mac=args.mac, maf=args.maf),
+                               res_savefn=args.out, verbose=True, **kwargs)
+        else:
+            st.assoc_spa(seq, args.model[0],
+                         ScanConfig(mac=args.mac, maf=args.maf),
+                         res_savefn=args.out, verbose=True, **kwargs)
         return 0
 
     if args.cmd == "gxg":

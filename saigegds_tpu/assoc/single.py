@@ -145,6 +145,106 @@ def assoc_spa(gdsfile, modobj: Union[NullModel, str],
     return df
 
 
+def assoc_spa_multi(gdsfile, modobjs, config: ScanConfig = ScanConfig(),
+                    res_savefn: str = "", verbose: bool = False,
+                    variant_mask: Optional[np.ndarray] = None,
+                    mesh=None) -> list:
+    """PheWAS-mode scan: score-test + SPA for SEVERAL null models over ONE
+    pass of the genotype stream.
+
+    At biobank N the scan's binding resource is moving genotypes (host
+    decode + transport + upload); those costs are paid once here and every
+    model's phase-1 kernel runs on the resident block, so P phenotypes
+    cost about one scan instead of P.  The reference has no counterpart —
+    ``seqAssocGLMM_SPA`` re-streams the GDS per phenotype/model
+    (R/assoc_single.r:202-222); this is the natural batching for an
+    accelerator with the payload already in HBM.
+
+    ``modobjs``: list of NullModel objects or paths.  Binary and
+    quantitative models may mix; every model must select the SAME GDS
+    sample columns (same sample universe — per-model covariates and
+    phenotypes differ freely).  Filters (maf/mac/missing) come from the
+    shared ``config``, so all result tables cover the identical variant
+    set, in the same order.
+
+    ``res_savefn``: optional pattern containing ``{}`` (formatted with the
+    model's index, e.g. ``"out_{}.gds"``).
+
+    Returns a list of DataFrames, one per model, each shaped exactly like
+    :func:`assoc_spa`'s output.
+    """
+    if not modobjs:
+        raise ValueError("assoc_spa_multi: empty model list")
+    if res_savefn and "{}" not in res_savefn:
+        raise ValueError("res_savefn must contain '{}' (model index)")
+    models = [NullModel.load(m) for m in modobjs]
+    seq = gdsfile if isinstance(gdsfile, SeqData) else SeqData(gdsfile)
+
+    cols0 = None
+    scan_models = []
+    for i, model in enumerate(models):
+        cols, ii = _match_samples(seq.sample_id, model.sample_id)
+        if i == 0:
+            cols0 = cols
+        elif not ((cols is None and cols0 is None) or
+                  (cols is not None and cols0 is not None and
+                   np.array_equal(cols, cols0))):
+            raise ValueError(
+                "assoc_spa_multi: all models must select the same GDS "
+                "sample columns (fit them on one sample universe, or scan "
+                "separately with assoc_spa)")
+        scan_models.append(model.scan_model(sample_index=ii,
+                                            var_ratio=config.var_ratio))
+
+    params = ScanParams(
+        maf=-1.0 if math.isnan(config.maf) else config.maf,
+        mac=-1.0 if math.isnan(config.mac) else config.mac,
+        missing=1.0 if math.isnan(config.missing) else config.missing,
+        spa_pval=config.spa_pval,
+    )
+    if verbose:
+        kinds = ",".join(m.trait_type for m in models)
+        print(f"SPA association scan x{len(models)} models ({kinds}): "
+              f"{seq.n_variants} variants, one genotype pass")
+
+    packed = config.use_packed and seq.has_genotype() \
+        and not config.dsnode and cols0 is None
+    if packed:
+        blocks = seq.iter_code_blocks(config.block_size,
+                                      variant_mask=variant_mask)
+    else:
+        blocks = seq.iter_dosage_blocks(config.block_size,
+                                        dsnode=config.dsnode,
+                                        variant_mask=variant_mask)
+    dfs = _scan_blocks_multi(
+        [(sm, m.trait_type == "binary")
+         for sm, m in zip(scan_models, models)],
+        params, config.block_size, blocks, mesh=mesh, packed=packed,
+        packed_2bit=config.packed_2bit, packed_sparse=config.packed_sparse,
+        spa_mixed=config.spa_mixed, spa_compact=config.spa_compact,
+        cols=cols0)
+
+    ref, alt = seq.ref_alt
+    results = []
+    for i, df in enumerate(dfs):
+        idx = df.pop("__idx__").to_numpy()
+        meta = pd.DataFrame({
+            "id": seq.variant_id[idx],
+            "chr": seq.chromosome[idx],
+            "pos": seq.position[idx],
+            "rs.id": seq.rs_id[idx],
+            "ref": ref[idx],
+            "alt": alt[idx],
+        })
+        out = pd.concat([meta, df], axis=1)
+        if res_savefn:
+            save_assoc(out, res_savefn.format(i))
+        results.append(out)
+    if verbose:
+        print(f"    tested {len(results[0])} variants per model")
+    return results
+
+
 def assoc_spa_user(geno_fn, n_variants: int, modobj: Union[NullModel, str],
                    config: ScanConfig = ScanConfig(),
                    variant_id=None, res_savefn: str = "") -> pd.DataFrame:
@@ -188,7 +288,29 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
                  mesh=None, packed: bool = False, packed_2bit: bool = False,
                  packed_sparse: bool = False, spa_mixed: bool = False,
                  spa_compact: bool = True, cols=None) -> pd.DataFrame:
+    """Single-model two-phase scan core (see :func:`_scan_blocks_multi`)."""
+    return _scan_blocks_multi(
+        [(scan_model, binary)], params, B, block_iter, mesh=mesh,
+        packed=packed, packed_2bit=packed_2bit, packed_sparse=packed_sparse,
+        spa_mixed=spa_mixed, spa_compact=spa_compact, cols=cols)[0]
+
+
+def _scan_blocks_multi(models, params, B: int, block_iter,
+                       mesh=None, packed: bool = False,
+                       packed_2bit: bool = False,
+                       packed_sparse: bool = False, spa_mixed: bool = False,
+                       spa_compact: bool = True, cols=None):
     """Shared two-phase scan core: batched score kernel + compact SPA.
+
+    ``models`` is a list of ``(scan_model, binary)`` pairs that all scan
+    the SAME genotype stream: the host decode, transport build, and
+    host->device upload happen ONCE per block, and phase 1 dispatches one
+    kernel per model on the resident payload (PheWAS mode — the transfer
+    is the binding resource at biobank N, so P phenotypes cost ~one scan;
+    the reference re-streams the GDS per phenotype, R/assoc_single.r:202).
+    The validity filters (maf/mac/missing) are genotype-only, so every
+    model tests the identical variant set; per-model outputs differ in
+    beta/SE/pval and the SPA-flagged subsets refined in phase 2.
 
     With ``mesh``, each padded block is sharded over its variant axis and
     the model replicated — embarrassingly parallel, the mesh analog of the
@@ -200,28 +322,36 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
     src/saige_main.cpp:299, recast as transport) and common rows ship
     2-bit planar; both decode on device into the same exact contraction.
     """
+    P = len(models)
+    scan_models = [sm for sm, _b in models]
+    binaries = [b for _sm, b in models]
     if packed:
         from ..ops.pallas_score import pallas_available
         from ..ops.score_packed import (pack_scan_model,
                                         score_stats_binary_packed,
                                         score_stats_quant_packed)
-        pm = pack_scan_model(scan_model)
+        pms = [pack_scan_model(sm) for sm in scan_models]
         if packed_2bit:
             dense_impl = "pallas2" if pallas_available() else "xla2"
         else:
             dense_impl = "pallas" if pallas_available() else "xla"
-        pk = score_stats_binary_packed if binary else score_stats_quant_packed
+        pks = [score_stats_binary_packed if b else score_stats_quant_packed
+               for b in binaries]
     else:
-        kernel = score_stats_binary if binary else score_stats_quant
+        kernels = [score_stats_binary if b else score_stats_quant
+                   for b in binaries]
     if mesh is not None:
         from ..parallel.mesh import replicate, shard_variant_batch
-        scan_model = replicate(mesh, scan_model)
+        scan_models = [replicate(mesh, sm) for sm in scan_models]
         _place = lambda Gp: shard_variant_batch(mesh, Gp)
         packed_sparse = False     # entry streams don't shard by variant
     else:
         _place = lambda Gp: Gp
-    rows_idx, outs = [], []
-    spa_G, spa_rows = [], []  # flagged variants for phase-2 refinement
+    rows_idx = []
+    outs = [[] for _ in range(P)]
+    # flagged variants for phase-2 refinement, per model
+    spa_G = [[] for _ in range(P)]
+    spa_rows = [[] for _ in range(P)]
     row0 = 0
 
     # dispatch pipeline: payload construction AND the host->device
@@ -259,51 +389,58 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
         nonlocal row0
         idx, G, parts = window.popleft()
         n = len(idx)
-        valid = np.empty(n, bool)
-        need = np.empty(n, bool)
-        f = {k: np.empty(n) for k in ("af", "mac", "num",
-                                      "beta", "se", "pval")}
-        for rows, stacked in parts:
-            from ..ops.score import unstack_stats
-            res = unstack_stats(stacked)      # ONE device->host transfer
-            m = len(rows)
-            valid[rows] = res.valid[:m]
-            need[rows] = res.need_spa[:m]
-            for k in f:
-                f[k][rows] = getattr(res, k)[:m]
-        rows_idx.append(idx[valid])
-        out = {k: v[valid] for k, v in f.items()}
-        out["converged"] = np.isfinite(out["pval"])
-        out["pval_noadj"] = out["pval"].copy()
-        needv = need[valid]
-        if needv.any():
-            Gf = G[valid][needv]
-            if packed and packed_2bit:
-                pass          # keep int8 codes; phase 2 ships them 2-bit
-            elif packed:
-                Gf = np.where(Gf == 3, np.nan, Gf).astype(np.float64)
-            spa_G.append(Gf)
-            spa_rows.append(row0 + np.flatnonzero(needv))
-            spa_state["bytes"] += Gf.nbytes
-        outs.append(out)
-        row0 += int(valid.sum())
+        n_valid = 0
+        for p in range(P):
+            valid = np.empty(n, bool)
+            need = np.empty(n, bool)
+            f = {k: np.empty(n) for k in ("af", "mac", "num",
+                                          "beta", "se", "pval")}
+            for rows, stacks in parts:
+                from ..ops.score import unstack_stats
+                res = unstack_stats(stacks[p])  # ONE device->host transfer
+                m = len(rows)
+                valid[rows] = res.valid[:m]
+                need[rows] = res.need_spa[:m]
+                for k in f:
+                    f[k][rows] = getattr(res, k)[:m]
+            if p == 0:
+                # validity is genotype-only (maf/mac/missing), identical
+                # across models — index bookkeeping follows model 0
+                rows_idx.append(idx[valid])
+                n_valid = int(valid.sum())
+            out = {k: v[valid] for k, v in f.items()}
+            out["converged"] = np.isfinite(out["pval"])
+            out["pval_noadj"] = out["pval"].copy()
+            needv = need[valid]
+            if needv.any():
+                Gf = G[valid][needv]
+                if packed and packed_2bit:
+                    pass      # keep int8 codes; phase 2 ships them 2-bit
+                elif packed:
+                    Gf = np.where(Gf == 3, np.nan, Gf).astype(np.float64)
+                spa_G[p].append(Gf)
+                spa_rows[p].append(row0 + np.flatnonzero(needv))
+                spa_state[p]["bytes"] += Gf.nbytes
+            outs[p].append(out)
+        row0 += n_valid
         # bound host memory: refine incrementally once the flagged set
         # grows past the budget (a whole-scan ~5% flagged set at biobank
         # scale would otherwise hold tens of GB until phase 2)
-        if spa_state["bytes"] >= SPA_FLUSH_BYTES:
-            _flush_spa()
+        for p in range(P):
+            if spa_state[p]["bytes"] >= SPA_FLUSH_BYTES:
+                _flush_spa(p)
 
-    spa_state = {"bytes": 0}
-    spa_out = []   # (global rows, pval, converged, beta, se) per flush
+    spa_state = [{"bytes": 0} for _ in range(P)]
+    spa_out = [[] for _ in range(P)]  # (rows, pval, conv, beta, se)/flush
 
-    def _flush_spa():
-        nonlocal spa_G, spa_rows
-        if not spa_G:
+    def _flush_spa(p):
+        if not spa_G[p]:
             return
-        Gs = np.concatenate(spa_G, axis=0)
-        rows = np.concatenate(spa_rows)
-        spa_G, spa_rows = [], []
-        spa_state["bytes"] = 0
+        scan_model = scan_models[p]
+        Gs = np.concatenate(spa_G[p], axis=0)
+        rows = np.concatenate(spa_rows[p])
+        spa_G[p], spa_rows[p] = [], []
+        spa_state[p]["bytes"] = 0
         # compact batches grouped by nonzero count, so rare variants run
         # the compacted CGF even when the flagged set mixes in common ones
         if spa_compact and len(rows) > 1:
@@ -315,7 +452,8 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
             r, stacked = pending.popleft()
             m = len(r)
             a = np.asarray(stacked)
-            spa_out.append((r, a[0][:m], a[1][:m] != 0, a[2][:m], a[3][:m]))
+            spa_out[p].append((r, a[0][:m], a[1][:m] != 0,
+                               a[2][:m], a[3][:m]))
 
         def _spa_payloads():
             # payload build + upload in the prefetch worker, like phase 1
@@ -365,46 +503,54 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
 
     from ..ops.score import stack_stats
     for idx, G, pl in block_iter:
-        parts = [(rows, stack_stats(
-                      pk(pm, params, payload, impl=impl) if impl is not None
-                      else kernel(scan_model, params, payload)))
+        # one payload upload, P phase-1 dispatches on the resident block
+        parts = [(rows,
+                  [stack_stats(
+                      pks[p](pms[p], params, payload, impl=impl)
+                      if impl is not None
+                      else kernels[p](scan_models[p], params, payload))
+                   for p in range(P)])
                  for rows, payload, impl in pl]
         window.append((idx, G, parts))
         if len(window) >= DEPTH:
             _drain_one()
     while window:
         _drain_one()
-    _flush_spa()   # phase 2 over the remaining flagged subset
+    for p in range(P):
+        _flush_spa(p)  # phase 2 over the remaining flagged subsets
 
     idx = np.concatenate(rows_idx) if rows_idx else np.empty(0, int)
+    dfs = []
+    for p in range(P):
+        def col(k):
+            return np.concatenate([o[k] for o in outs[p]]) if outs[p] \
+                else np.empty(0)
 
-    def col(k):
-        return np.concatenate([o[k] for o in outs]) if outs else np.empty(0)
+        pval = col("pval")
+        pval_noadj = col("pval_noadj")
+        beta = col("beta")
+        se = col("se")
+        converged = col("converged")
+        for r, pv, conv, b, e in spa_out[p]:
+            pval[r] = pv
+            converged[r] = conv
+            beta[r] = b
+            se[r] = e
 
-    pval = col("pval")
-    pval_noadj = col("pval_noadj")
-    beta = col("beta")
-    se = col("se")
-    converged = col("converged")
-    for r, p, conv, b, e in spa_out:
-        pval[r] = p
-        converged[r] = conv
-        beta[r] = b
-        se[r] = e
-
-    tab = {
-        "__idx__": idx,
-        "AF.alt": col("af"),
-        "mac": col("mac"),
-        "num": col("num").astype(np.int32),
-        "beta": beta,
-        "SE": se,
-        "pval": pval,
-    }
-    if binary:
-        tab["p.norm"] = pval_noadj
-        tab["converged"] = converged.astype(bool)
-    return pd.DataFrame(tab)
+        tab = {
+            "__idx__": idx,
+            "AF.alt": col("af"),
+            "mac": col("mac"),
+            "num": col("num").astype(np.int32),
+            "beta": beta,
+            "SE": se,
+            "pval": pval,
+        }
+        if binaries[p]:
+            tab["p.norm"] = pval_noadj
+            tab["converged"] = converged.astype(bool)
+        dfs.append(pd.DataFrame(tab))
+    return dfs
 
 
 SPLIT_SAVE_BYTES = 4 << 20   # min upload saving to justify a 2nd dispatch
