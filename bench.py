@@ -505,7 +505,29 @@ def phase_scan():
     log(f"end-to-end mixed SPA (opt-in tier, best of {reps}): "
         f"{vps_mixed:.0f} v/s")
 
+    # PheWAS mode: 4 distinct phenotypes in ONE genotype pass
+    # (assoc_spa_multi) — decode/transport/upload shared, one resident
+    # phase-1 kernel per model; no reference counterpart (it re-streams
+    # the GDS per model, R/assoc_single.r:202-222)
+    from saigegds_tpu.assoc.single import assoc_spa_multi
+    from saigegds_tpu.config import ScanConfig
+    models4 = [make_nullmodel(make_model(N_SAMPLES, N_COV,
+                                         np.random.default_rng(s)))
+               for s in (7, 8, 9, 10)]
+    best4 = float("inf")
+    for _ in range(reps):
+        seq = SeqData(GDS_PATH)
+        t0 = time.perf_counter()
+        assoc_spa_multi(seq, models4, ScanConfig(block_size=BLOCK))
+        best4 = min(best4, time.perf_counter() - t0)
+    mvps = 4 * N_VARIANTS / best4
+    log(f"PheWAS multi-scan (4 models, one pass, best of {reps}): "
+        f"{best4:.1f}s = {mvps:.0f} model-variants/s "
+        f"({best4 * vps / N_VARIANTS:.2f}x one scan's time for 4 models)")
+
     state_merge(scan_vps=round(vps, 2), scan_vps_mixed=round(vps_mixed, 2),
+                scan_multi4_mvps=round(mvps, 1),
+                scan_multi4_s=round(best4, 2),
                 link_mbps=round(link_bw / 1e6, 1),
                 link_lat_s=round(link_lat, 3),
                 roofline_vps=round(roofline, 1),
@@ -672,7 +694,8 @@ def main():
         "fit_cold_s", "fit_tau_g",
         "fit_converged", "fit_vr_markers", "fitbase_s", "fitbase_dnf",
         "fitbase_aireml_s", "fitbase_vr_s",
-        "fitbase_threads", "scan_vps", "scan_vps_mixed", "scan_cpu_vps",
+        "fitbase_threads", "scan_vps", "scan_vps_mixed",
+        "scan_multi4_mvps", "scan_multi4_s", "scan_cpu_vps",
         "baseline_threads", "link_mbps", "link_lat_s", "roofline_vps",
         "roofline_frac", "resident_block_s", "resident_vps",
         "rare_sparse_vps", "rare_dense_vps", "sparse_decode_pallas")
