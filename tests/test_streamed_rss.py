@@ -54,13 +54,22 @@ print(f"RESULT {{resource.getrusage(resource.RUSAGE_SELF).ru_maxrss}} "
 """
 
 
-def _run(mode):
+def _run_once(mode):
     r = subprocess.run([sys.executable, "-c", CHILD, mode],
                        capture_output=True, text=True, timeout=540)
     assert r.returncode == 0, r.stderr[-2000:]
     m = re.search(r"RESULT (\d+) (\S+)", r.stdout)
     assert m, r.stdout
     return int(m.group(1)), m.group(2)
+
+
+def _run(mode):
+    # min of two runs: ru_maxrss is a high-water mark, so allocator noise
+    # (glibc arena growth under ambient machine load) only inflates it;
+    # the smaller measurement is the truer build footprint
+    a, b = _run_once(mode), _run_once(mode)
+    assert a[1] == b[1], (mode, a[1], b[1])   # deterministic operator
+    return min(a[0], b[0]), a[1]
 
 
 @pytest.mark.parametrize("seed", [0])  # single case; parametrize for shape
