@@ -214,9 +214,13 @@ def fit_pipeline():
     from saigegds_tpu.io import native as _native
 
     # untimed environment warmup, identical on both backends: first-touch
-    # page faults run at ~60 MB/s on this virtualized host (io/native.py)
+    # page faults run at ~60 MB/s on this virtualized host (io/native.py).
+    # The ingest working set is codes [M,N] + packed [M,N/4] + two in-flight
+    # decode blocks + frame spans ~= 2.6x M*N; prefault 4x so no stage
+    # first-touches cold pages (2x left the codes matrix cold: the block
+    # copy ran at fault speed, 11 s of the round-3 ingest's 16.8)
     _native.enable_heap_reuse()
-    _native.prefault_heap(2 * M_FIT * N_FIT, background=False)
+    _native.prefault_heap(4 * M_FIT * N_FIT, background=False)
 
     t0 = time.perf_counter()
     seq = SeqData(FIT_GDS)
