@@ -49,6 +49,11 @@ def main(argv=None):
                    help="comma-separated ascending MAC bin bounds (e.g. "
                         "'10.5,20.5') for MAC-categorized variance ratios "
                         "(opt-in newer-SAIGEgds feature; default pooled)")
+    p.add_argument("--pheno-cols", default="",
+                   help="comma-separated response columns for a PheWAS-mode "
+                        "batched fit over ONE resident GRM (binary traits; "
+                        "--formula supplies the shared covariates, its "
+                        "response is replaced; --out then needs '{}')")
 
     for name, hlp in (("scan", "single-variant score+SPA scan"),
                       ("burden", "burden tests over sliding windows"),
@@ -63,6 +68,10 @@ def main(argv=None):
         else:
             q.add_argument("--model", required=True)
         q.add_argument("--out", required=True)
+        q.add_argument("--res-compress", default="LZMA",
+                       choices=["LZMA", "LZMA_RA", "ZIP", "ZIP_RA", "none"],
+                       help="result-file compression (gds pipes; rds/rda "
+                            "stream, reference res.compress)")
         if name == "scan":
             q.add_argument("--mac", type=float, default=10.0)
             q.add_argument("--maf", type=float, default=float("nan"))
@@ -146,9 +155,19 @@ def main(argv=None):
             stream_geno=True if args.stream else "auto",
             var_ratio_mac_cat=tuple(
                 float(x) for x in args.var_ratio_mac_cat.split(",") if x))
-        model = st.fit_null_glmm(args.formula, pheno, args.gds, cfg,
-                                 model_savefn=args.out, verbose=True)
-        print(model)
+        if args.pheno_cols:
+            rhs = args.formula.split("~", 1)[1].strip()
+            formulas = [f"{c.strip()} ~ {rhs}"
+                        for c in args.pheno_cols.split(",") if c.strip()]
+            models = st.fit_null_glmm_multi(formulas, pheno, args.gds, cfg,
+                                            model_savefn=args.out,
+                                            verbose=True)
+            for m in models:
+                print(m)
+        else:
+            model = st.fit_null_glmm(args.formula, pheno, args.gds, cfg,
+                                     model_savefn=args.out, verbose=True)
+            print(model)
         return 0
 
     if args.cmd == "scan":
@@ -175,11 +194,13 @@ def main(argv=None):
         if len(args.model) > 1:
             st.assoc_spa_multi(seq, args.model,
                                ScanConfig(mac=args.mac, maf=args.maf),
-                               res_savefn=args.out, verbose=True, **kwargs)
+                               res_savefn=args.out, verbose=True,
+                               res_compress=args.res_compress, **kwargs)
         else:
             st.assoc_spa(seq, args.model[0],
                          ScanConfig(mac=args.mac, maf=args.maf),
-                         res_savefn=args.out, verbose=True, **kwargs)
+                         res_savefn=args.out, verbose=True,
+                         res_compress=args.res_compress, **kwargs)
         return 0
 
     if args.cmd == "gxg":
@@ -222,7 +243,8 @@ def main(argv=None):
         units = shard_units(units, i, n)
     fn = {"burden": st.assoc_burden, "acat-v": st.assoc_acat_v,
           "acat-o": st.assoc_acat_o}[args.cmd]
-    tab = fn(seq, args.model, units, AggregateConfig(), res_savefn=args.out)
+    tab = fn(seq, args.model, units, AggregateConfig(), res_savefn=args.out,
+             res_compress=args.res_compress)
     print(f"{args.cmd}: {len(tab)} units -> {args.out}")
     return 0
 

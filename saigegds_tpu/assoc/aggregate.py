@@ -650,7 +650,8 @@ def _prepare(gdsfile, modobj, config: AggregateConfig):
 
 def assoc_burden(gdsfile, modobj, units: VariantUnits,
                  config: AggregateConfig = AggregateConfig(),
-                 res_savefn: str = "", verbose: bool = False) -> pd.DataFrame:
+                 res_savefn: str = "", verbose: bool = False,
+                 res_compress: str = "LZMA") -> pd.DataFrame:
     """Burden tests over variant units (seqAssocGLMM_spaBurden).
 
     Streams one unit at a time — host memory is bounded by the device
@@ -713,7 +714,8 @@ def assoc_burden(gdsfile, modobj, units: VariantUnits,
             tab[f"cvg{s}"] = out["converged"][sel]
     if res_savefn:
         from .single import save_assoc
-        save_assoc(tab, res_savefn, file_format="SAIGE_OUTPUT_SET")
+        save_assoc(tab, res_savefn, file_format="SAIGE_OUTPUT_SET",
+                   res_compress=res_compress)
     return tab
 
 
@@ -907,7 +909,8 @@ class _AcatVRunner:
 
 def assoc_acat_v(gdsfile, modobj, units: VariantUnits,
                  config: AggregateConfig = AggregateConfig(),
-                 res_savefn: str = "", verbose: bool = False) -> pd.DataFrame:
+                 res_savefn: str = "", verbose: bool = False,
+                 res_compress: str = "LZMA") -> pd.DataFrame:
     """ACAT-V tests over variant units (seqAssocGLMM_spaACAT_V, binary only)."""
     seq, model, kernel, wbeta, wnames, binary, src = \
         _prepare(gdsfile, modobj, config)
@@ -936,13 +939,15 @@ def assoc_acat_v(gdsfile, modobj, units: VariantUnits,
         tab[f"p.max{s}"] = [r[4][w] for r in rows]
     if res_savefn:
         from .single import save_assoc
-        save_assoc(tab, res_savefn, file_format="SAIGE_OUTPUT_SET")
+        save_assoc(tab, res_savefn, file_format="SAIGE_OUTPUT_SET",
+                   res_compress=res_compress)
     return tab
 
 
 def assoc_acat_o(gdsfile, modobj, units: VariantUnits,
                  config: AggregateConfig = AggregateConfig(),
-                 res_savefn: str = "", verbose: bool = False) -> pd.DataFrame:
+                 res_savefn: str = "", verbose: bool = False,
+                 res_compress: str = "LZMA") -> pd.DataFrame:
     """ACAT-O tests (seqAssocGLMM_spaACAT_O, binary only): Cauchy combination
     of the burden and ACAT-V p-values across weight schemes."""
     seq, model, kernel, wbeta, wnames, binary, src = \
@@ -973,5 +978,6 @@ def assoc_acat_o(gdsfile, modobj, units: VariantUnits,
         tab[f"pval.v{nm}"] = [r[3][w] for r in rows]
     if res_savefn:
         from .single import save_assoc
-        save_assoc(tab, res_savefn, file_format="SAIGE_OUTPUT_SET")
+        save_assoc(tab, res_savefn, file_format="SAIGE_OUTPUT_SET",
+                   res_compress=res_compress)
     return tab

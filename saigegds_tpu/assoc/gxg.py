@@ -209,7 +209,7 @@ def _device_taus(grm, y, X_list, eta0_list, tau_init, cfg):
 
 def _gxg_run_batched(grm, ori_X, y, pairs, fetch, tau_init, use_approx_tau,
                      glm_threshold, cfg, pair_batch, res_savefn,
-                     extra_cols) -> pd.DataFrame:
+                     extra_cols, res_compress="LZMA") -> pd.DataFrame:
     """Chunked batched GxG: P pairs per device dispatch instead of several
     dispatches per pair (reference R/saige_interaction.r:413-521 is
     strictly per-pair).  With ``use_approx_tau`` / the GLM screen the
@@ -271,14 +271,15 @@ def _gxg_run_batched(grm, ori_X, y, pairs, fetch, tau_init, use_approx_tau,
             rows.append(row)
         if res_savefn:
             from .single import save_assoc
-            save_assoc(pd.DataFrame(rows), res_savefn)
+            save_assoc(pd.DataFrame(rows), res_savefn,
+                       res_compress=res_compress)
 
     out = pd.DataFrame(rows)
     for c, vals in extra_cols.items():
         out[c] = vals[: len(out)]
     if res_savefn:
         from .single import save_assoc
-        save_assoc(out, res_savefn)
+        save_assoc(out, res_savefn, res_compress=res_compress)
     return out
 
 
@@ -287,7 +288,8 @@ def gxg_spa(formula: str, data: pd.DataFrame, gds_grm, snp_pair,
             use_approx_tau: bool = False,
             glm_threshold: Union[bool, float] = False,
             res_savefn: str = "", verbose: bool = False,
-            variant_id=None, pair_batch: int = 0) -> pd.DataFrame:
+            variant_id=None, pair_batch: int = 0,
+            res_compress: str = "LZMA") -> pd.DataFrame:
     """GxG interaction scan over SNP pairs (binary traits).
 
     snp_pair: DataFrame whose first two columns are variant ids in
@@ -401,7 +403,7 @@ def gxg_spa(formula: str, data: pd.DataFrame, gds_grm, snp_pair,
                                 [row for _, row in snp_pair.iterrows()],
                                 _fetch, tau_init, use_approx_tau,
                                 glm_threshold, cfg, pair_batch, res_savefn,
-                                extra)
+                                extra, res_compress)
 
     rows = []
     for _, pair in snp_pair.iterrows():
@@ -444,7 +446,8 @@ def gxg_spa(formula: str, data: pd.DataFrame, gds_grm, snp_pair,
             # incremental checkpoint after every pair, like the reference
             # (R/saige_interaction.r:612-631) — a crash loses no results
             from .single import save_assoc
-            save_assoc(pd.DataFrame(rows), res_savefn)
+            save_assoc(pd.DataFrame(rows), res_savefn,
+                       res_compress=res_compress)
 
     out = pd.DataFrame(rows)
     if snp_pair.shape[1] > 2:
@@ -452,5 +455,5 @@ def gxg_spa(formula: str, data: pd.DataFrame, gds_grm, snp_pair,
             out[c] = snp_pair[c].to_numpy()[: len(out)]
     if res_savefn:
         from .single import save_assoc
-        save_assoc(out, res_savefn)
+        save_assoc(out, res_savefn, res_compress=res_compress)
     return out

@@ -144,11 +144,21 @@ def rds_bytes(obj) -> bytes:
     return bytes(w.out)
 
 
-def write_rds(path: str, obj, compress: bool = True):
-    """Write an .rds file (gzip-compressed like R's saveRDS default)."""
-    data = rds_bytes(obj)
+def _compress_stream(data: bytes, compress) -> bytes:
+    """``compress``: True/"gzip" (saveRDS default), "xz" (the reference's
+    res.compress="LZMA" mapping, R/assoc_single.r:313), or False."""
+    if compress == "xz":
+        import lzma
+        return lzma.compress(data, format=lzma.FORMAT_XZ, preset=6)
     if compress:
-        data = gzip.compress(data, 6)
+        return gzip.compress(data, 6)
+    return data
+
+
+def write_rds(path: str, obj, compress=True):
+    """Write an .rds file (gzip-compressed like R's saveRDS default;
+    ``compress="xz"`` for saveRDS's xz mode)."""
+    data = _compress_stream(rds_bytes(obj), compress)
     with open(path, "wb") as f:
         f.write(data)
 
@@ -169,12 +179,11 @@ def rdata_bytes(objs: dict) -> bytes:
     return bytes(w.out)
 
 
-def write_rdata(path: str, objs: dict, compress: bool = True):
+def write_rdata(path: str, objs: dict, compress=True):
     """Write an .rda / .RData file (the reference's ``save(glmm, file=)``
     checkpoint container, R/saige_main.r:630-643); readable by R's
-    ``load()`` and by ``io.rds.read_rdata``."""
-    data = b"RDX2\n" + rdata_bytes(objs)
-    if compress:
-        data = gzip.compress(data, 6)
+    ``load()`` and by ``io.rds.read_rdata``.  ``compress`` as in
+    :func:`write_rds`."""
+    data = _compress_stream(b"RDX2\n" + rdata_bytes(objs), compress)
     with open(path, "wb") as f:
         f.write(data)

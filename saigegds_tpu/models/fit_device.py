@@ -42,6 +42,12 @@ class DeviceFit(NamedTuple):
     cov: jnp.ndarray            # [K, K]
     iterations: jnp.ndarray     # [] outer iterations taken
     converged: jnp.ndarray      # [] bool
+    # True when ANY Hutchinson trace during the fit exhausted the caller's
+    # probe pool with its CV still above trace_cv_cutoff — the host path
+    # escalates unboundedly (src/saige_fitnull.cpp:644-665) or warns at
+    # its opt-in cap (fitnull._get_trace); this flag is the device fit's
+    # equivalent signal (a higher-variance trace was used silently before)
+    trace_capped: jnp.ndarray = False  # [] bool
 
 
 def _sym_inv(m):
@@ -55,7 +61,11 @@ def _sym_inv(m):
 def _masked_trace(t_all, nrun, cutoff):
     """Mean of the first r probe estimates, escalating r += 10 while the
     CV (= sd / (mean * r), the reference's calcCV :618-623) exceeds
-    ``cutoff`` and the pool has more probes."""
+    ``cutoff`` and the pool has more probes.
+
+    Returns ``(mean, capped)``: ``capped`` is True when the pool ran out
+    with the CV still above ``cutoff`` (the estimate is higher-variance
+    than the cutoff asked for — surfaced as ``DeviceFit.trace_capped``)."""
     R = t_all.shape[0]
     idx = jnp.arange(R)
 
@@ -72,8 +82,8 @@ def _masked_trace(t_all, nrun, cutoff):
 
     r_fin = jax.lax.while_loop(cond, lambda r: r + 10,
                                jnp.minimum(jnp.asarray(nrun), R))
-    mean, _ = stats(r_fin)
-    return mean
+    mean, cv_fin = stats(r_fin)
+    return mean, cv_fin > cutoff
 
 
 @partial(jax.jit, static_argnames=("maxiter", "maxiter_pcg", "maxiter_coef"))
@@ -153,21 +163,21 @@ def fit_glmm_binary_device(op, y, X, tau_init, eta_init, U,
         AI = APY @ PAPY
         Si_U = sol[:, 1:]
         PU = Si_U - Si_X @ (cov @ (Si_X.T @ U))
-        trace = _masked_trace(jnp.sum(AU_const * PU, axis=0), nrun,
-                              trace_cv_cutoff)
+        trace, capped = _masked_trace(jnp.sum(AU_const * PU, axis=0), nrun,
+                                      trace_cv_cutoff)
         score = YPAPY - trace
         # Newton step; sub-tol values clamp to 0 (fitglmmaiRPCG, :860-890)
         t1n = tau[1] + score / AI
         t1n = jnp.where(t1n < tol, 0.0, t1n)
         # moment step (:1024)
         t1m = jnp.maximum(tau[1] + tau[1] ** 2 * score / N, 0.0)
-        return jnp.stack([tau[0], jnp.where(moment, t1m, t1n)])
+        return jnp.stack([tau[0], jnp.where(moment, t1m, t1n)]), capped
 
     def outer_body(state):
-        tau, eta, alpha, it, retries, done, failed = state
+        tau, eta, alpha, it, retries, done, failed, capped = state
         eta1, alpha1, Y, W, cov, Si_Y, Si_X = get_coeff(tau, eta, alpha)
-        tau1 = ai_update(tau, Y, W, cov, Si_Y, Si_X,
-                         jnp.zeros((), bool))
+        tau1, cap1 = ai_update(tau, Y, W, cov, Si_Y, Si_X,
+                               jnp.zeros((), bool))
         blow = jnp.max(tau1) > tol_inv_2
         can_retry = blow & (retries < 10)
         fail = blow & (retries >= 10)
@@ -188,31 +198,31 @@ def fit_glmm_binary_device(op, y, X, tau_init, eta_init, U,
                 # (src/saige_fitnull.cpp:1039-1066: itry resets each
                 # outer iteration); reset once the iteration completes
                 jnp.where(can_retry, retries + 1, 0),
-                done1, failed | fail)
+                done1, failed | fail, capped | (keep & cap1))
 
     def outer_cond(state):
-        _, _, _, it, _, done, _ = state
+        _, _, _, it, _, done, _, _ = state
         return (~done) & (it < maxiter)
 
     # pre-loop: coefficient solve at tau_init + first moment update (:1024)
     alpha0 = jnp.zeros(K, X.dtype)
     _eta_i, alpha_i, Y, W, cov, Si_Y, Si_X = get_coeff(tau_init, eta_init,
                                                        alpha0)
-    tau_m = ai_update(tau_init, Y, W, cov, Si_Y, Si_X,
-                      jnp.ones((), bool))
+    tau_m, cap0 = ai_update(tau_init, Y, W, cov, Si_Y, Si_X,
+                            jnp.ones((), bool))
 
     state = (tau_m, eta_init, alpha_i, jnp.zeros((), jnp.int32),
              jnp.zeros((), jnp.int32), jnp.zeros((), bool),
-             jnp.zeros((), bool))
-    tau, eta, alpha, iters, _retries, done, failed = jax.lax.while_loop(
-        outer_cond, outer_body, state)
+             jnp.zeros((), bool), cap0)
+    tau, eta, alpha, iters, _retries, done, failed, capped = \
+        jax.lax.while_loop(outer_cond, outer_body, state)
 
     # final coefficient solve at the converged tau
     eta_f, alpha_f, Y, W, cov, Si_Y, Si_X = get_coeff(tau, eta, alpha)
     mu_f = jax.nn.sigmoid(eta_f)
     return DeviceFit(coefficients=alpha_f, tau=tau, eta=eta_f, mu=mu_f,
                      cov=cov, iterations=iters,
-                     converged=done & ~failed)
+                     converged=done & ~failed, trace_capped=capped)
 
 
 @partial(jax.jit, static_argnames=("maxiter", "maxiter_pcg"))
@@ -267,7 +277,9 @@ def fit_glmm_quant_device(op, y, X, tau_init, U,
 
         r_fin = jax.lax.while_loop(cond, lambda r: r + 10,
                                    jnp.minimum(jnp.asarray(nrun), R))
-        return stats(t0, r_fin)[0], stats(t1, r_fin)[0]
+        m0, cv0 = stats(t0, r_fin)
+        m1, cv1 = stats(t1, r_fin)
+        return m0, m1, jnp.maximum(cv0, cv1) > trace_cv_cutoff
 
     def ai_step(tau):
         alpha, eta, cov, Si_Y, Si_X, Si_U = coeff(tau)
@@ -276,7 +288,7 @@ def fit_glmm_quant_device(op, y, X, tau_init, U,
         APY = op.matvec(PY)
         YPAPY = PY @ APY
         YPA0PY = PY @ PY
-        trace0, trace1 = traces(Si_X, cov, Si_U)
+        trace0, trace1, capped = traces(Si_X, cov, Si_U)
         B2 = jnp.stack([PY, APY], axis=1)
         sol2, _, _ = pcg_solve_op(op, jnp.ones(N, y.dtype), tau, B2,
                                   tol_pcg, maxiter_pcg)
@@ -306,21 +318,21 @@ def fit_glmm_quant_device(op, y, X, tau_init, U,
             return jnp.any(carry[0] < 0.0)
         t1, _ = jax.lax.while_loop(neg, halve, (clamp(tau + dtau), 1.0))
         t1 = jnp.where(t1 < tol, 0.0, t1)
-        return t1, alpha, eta, cov
+        return t1, alpha, eta, cov, capped
 
     def body(state):
-        tau, alpha, eta, cov, it, done = state
-        tau1, alpha1, eta1, cov1 = ai_step(tau)
+        tau, alpha, eta, cov, it, done, capped = state
+        tau1, alpha1, eta1, cov1, cap1 = ai_step(tau)
         delta = jnp.max(jnp.abs(tau1 - tau) /
                         (jnp.abs(tau1) + jnp.abs(tau) + tol))
         done1 = done | (delta < tol)
         keep = ~done
         sel = lambda a, b: jnp.where(keep, b, a)
         return (sel(tau, tau1), sel(alpha, alpha1), sel(eta, eta1),
-                sel(cov, cov1), it + 1, done1)
+                sel(cov, cov1), it + 1, done1, capped | (keep & cap1))
 
     def cond(state):
-        *_, it, done = state
+        *_, it, done, _capped = state
         return (~done) & (it < maxiter)
 
     # initial moment-based update (reference saige_fit_AI_PCG_quant
@@ -330,16 +342,212 @@ def fit_glmm_quant_device(op, y, X, tau_init, U,
         proj = lambda v, Siv: Siv - Si_X @ (cov @ (Si_X.T @ v))
         PY = proj(y, Si_Y)
         APY = op.matvec(PY)
-        trace0, trace1 = traces(Si_X, cov, Si_U)
+        trace0, trace1, capped = traces(Si_X, cov, Si_U)
         s0 = PY @ PY - trace0
         s1 = PY @ APY - trace1
         return jnp.maximum(
-            tau + tau ** 2 * jnp.stack([s0, s1]) / N, 0.0)
+            tau + tau ** 2 * jnp.stack([s0, s1]) / N, 0.0), capped
 
-    tau1 = moment_update(tau_init)
+    tau1, cap0 = moment_update(tau_init)
     state = (tau1, jnp.zeros(K, X.dtype), y, jnp.eye(K, dtype=X.dtype),
-             jnp.zeros((), jnp.int32), jnp.zeros((), bool))
-    tau, alpha, eta, cov, iters, done = jax.lax.while_loop(cond, body, state)
+             jnp.zeros((), jnp.int32), jnp.zeros((), bool), cap0)
+    tau, alpha, eta, cov, iters, done, capped = jax.lax.while_loop(
+        cond, body, state)
     alpha_f, eta_f, cov_f, *_ = coeff(tau)
     return DeviceFit(coefficients=alpha_f, tau=tau, eta=eta_f, mu=eta_f,
-                     cov=cov_f, iterations=iters, converged=done)
+                     cov=cov_f, iterations=iters, converged=done,
+                     trace_capped=capped)
+
+
+# ---------------------------------------------------------------------------
+# PheWAS-mode batched fit: P phenotypes over ONE resident GRM
+
+def _stack_cols(A):
+    """[P, N, C] per-phenotype RHS blocks -> [N, P*C] stacked columns."""
+    P, N, C = A.shape
+    return jnp.transpose(A, (1, 0, 2)).reshape(N, P * C)
+
+
+def _unstack_cols(S, P, C):
+    """[N, P*C] -> [P, N, C]."""
+    N = S.shape[0]
+    return jnp.transpose(S.reshape(N, P, C), (1, 0, 2))
+
+
+def _pcg_multi(op, W, tau, B, tol_pcg, maxiter_pcg):
+    """Solve P phenotypes' systems in ONE batched PCG sharing the GRM
+    stream: ``W [P, N]``, ``tau [P, 2]``, ``B [P, N, C]``.  The PCG's
+    per-column (weights, tau) form (ops/pcg.py:_pcg_body) makes each
+    column's arithmetic identical to its own solve; the GRM matvec is
+    linear, so all P*C columns ride one matmul per iteration."""
+    P, N, C = B.shape
+    Wc = jnp.repeat(W.T, C, axis=1)         # [N, P*C]
+    tc = jnp.repeat(tau.T, C, axis=1)       # [2, P*C]
+    sol, _, _ = pcg_solve_op(op, Wc, tc, _stack_cols(B), tol_pcg,
+                             maxiter_pcg)
+    return _unstack_cols(sol, P, C)
+
+
+@partial(jax.jit, static_argnames=("maxiter", "maxiter_pcg", "maxiter_coef"))
+def fit_glmm_binary_device_multi(op, Y, X, tau_init, eta_init, U,
+                                 tol, tol_pcg,
+                                 maxiter: int = 20, maxiter_pcg: int = 500,
+                                 maxiter_coef: int = 20, nrun=30,
+                                 trace_cv_cutoff=0.0025) -> DeviceFit:
+    """Fit P binary null GLMMs sharing ONE GRM, as one device program.
+
+    ``Y [P, N]`` phenotypes; ``tau_init [P, 2]``; ``eta_init [P, N]``;
+    ``X [N, K]`` covariates and ``U [N, R]`` probe pool are SHARED.
+    Returns a :class:`DeviceFit` whose every field carries a leading
+    ``P`` axis.
+
+    Design: the expensive resource is streaming the GRM (2-bit decode +
+    integer-sliced bf16 matmuls); every stage here stacks all phenotypes'
+    right-hand sides into one batched PCG / one ``op.matvec`` call, so the
+    GRM is read once per iteration for ALL phenotypes — P fits cost about
+    one fit.  Per-phenotype control flow (inner-IRLS convergence, tau
+    blow-up retries, outer stopping, the reference's exact update order,
+    src/saige_fitnull.cpp:948-1110) runs lock-step with per-lane masks:
+    each lane performs exactly the arithmetic its serial fit would (the
+    PCG freezes columns per-column), so lane p reproduces
+    :func:`fit_glmm_binary_device` on phenotype p to float tolerance.
+    The reference fits strictly one phenotype per call
+    (R/saige_main.r:223); at biobank N each call re-streams its GRM.
+    """
+    P, N = Y.shape
+    K = X.shape[1]
+    tol_inv_2 = 1.0 / (tol * tol)
+    Xb = jnp.broadcast_to(X, (P, N, K))
+
+    def bsel(keep, old, new):
+        """Per-lane select with leading-P broadcast."""
+        k = keep.reshape((P,) + (1,) * (old.ndim - 1))
+        return jnp.where(k, new, old)
+
+    def get_coeff(tau, eta, alpha0):
+        """Per-lane inner IRLS (get_coeff, :766-813), lock-step."""
+        def step(eta, alpha_prev):
+            mu = jax.nn.sigmoid(eta)
+            W = mu * (1.0 - mu)
+            Yw = eta + (Y - mu) / W
+            B = jnp.concatenate([Yw[:, :, None], Xb], axis=2)
+            sol = _pcg_multi(op, W, tau, B, tol_pcg, maxiter_pcg)
+            Si_Y, Si_X = sol[:, :, 0], sol[:, :, 1:]
+            cov = jax.vmap(_sym_inv)(jnp.einsum("nk,pnj->pkj", X, Si_X))
+            alpha = jnp.einsum("pkj,pj->pk", cov,
+                               jnp.einsum("pnk,pn->pk", Si_X, Yw))
+            eta1 = Yw - tau[:, 0:1] * \
+                (Si_Y - jnp.einsum("pnk,pk->pn", Si_X, alpha)) / W
+            return eta1, alpha, (Yw, W, cov, Si_Y, Si_X)
+
+        def body(carry):
+            eta, alpha, aux, it, done = carry
+            eta1, alpha1, aux1 = step(eta, alpha)
+            delta = jnp.max(jnp.abs(alpha1 - alpha) /
+                            (jnp.abs(alpha1) + jnp.abs(alpha) + 0.1),
+                            axis=1)
+            done1 = done | (delta < 0.1)
+            keep = ~done
+            aux_o = jax.tree_util.tree_map(
+                lambda a, b: bsel(keep, a, b), aux, aux1)
+            return (bsel(keep, eta, eta1), bsel(keep, alpha, alpha1),
+                    aux_o, it + 1, done1)
+
+        def wcond(carry):
+            *_, it, done = carry
+            return jnp.any(~done) & (it < maxiter_coef)
+
+        mu0 = jax.nn.sigmoid(eta)
+        W0 = mu0 * (1.0 - mu0)
+        aux0 = (eta, W0, jnp.broadcast_to(jnp.eye(K, dtype=X.dtype),
+                                          (P, K, K)),
+                eta, jnp.zeros((P, N, K), X.dtype))
+        eta1, alpha1, aux, _, _ = jax.lax.while_loop(
+            wcond, body, (eta, alpha0, aux0, jnp.zeros((), jnp.int32),
+                          jnp.zeros(P, bool)))
+        Yw, W, cov, Si_Y, Si_X = aux
+        return eta1, alpha1, Yw, W, cov, Si_Y, Si_X
+
+    # GRM @ probes is tau- and phenotype-invariant: ONE stream for the fit
+    AU_const = op.matvec(U)
+
+    def proj_multi(Si_X, cov, v, Siv):
+        return Siv - jnp.einsum(
+            "pnk,pk->pn", Si_X,
+            jnp.einsum("pkj,pj->pk", cov,
+                       jnp.einsum("pnj,pn->pj", Si_X, v)))
+
+    def ai_update(tau, Yw, W, cov, Si_Y, Si_X, moment):
+        """AI-REML tau step (:816-890) for all lanes, one batched PCG."""
+        PY = proj_multi(Si_X, cov, Yw, Si_Y)
+        APY = op.matvec(PY.T).T                 # [P, N], one GRM stream
+        YPAPY = jnp.sum(PY * APY, axis=1)
+        R = U.shape[1]
+        B = jnp.concatenate([APY[:, :, None],
+                             jnp.broadcast_to(U, (P, N, R))], axis=2)
+        sol = _pcg_multi(op, W, tau, B, tol_pcg, maxiter_pcg)
+        PAPY = proj_multi(Si_X, cov, sol[:, :, 0], sol[:, :, 0])
+        AI = jnp.sum(APY * PAPY, axis=1)
+        Si_U = sol[:, :, 1:]                    # [P, N, R]
+        PU = Si_U - jnp.einsum(
+            "pnk,pkr->pnr", Si_X,
+            jnp.einsum("pkj,pjr->pkr", cov,
+                       jnp.einsum("pnj,nr->pjr", Si_X, U)))
+        t_all = jnp.einsum("nr,pnr->pr", AU_const, PU)
+        trace, capped = jax.vmap(_masked_trace, in_axes=(0, None, None))(
+            t_all, nrun, trace_cv_cutoff)
+        score = YPAPY - trace
+        t1n = tau[:, 1] + score / AI
+        t1n = jnp.where(t1n < tol, 0.0, t1n)
+        t1m = jnp.maximum(tau[:, 1] + tau[:, 1] ** 2 * score / N, 0.0)
+        tau1 = jnp.stack([tau[:, 0], jnp.where(moment, t1m, t1n)], axis=1)
+        return tau1, capped
+
+    def outer_body(state):
+        tau, eta, alpha, it, retries, done, failed, capped = state
+        eta1, alpha1, Yw, W, cov, Si_Y, Si_X = get_coeff(tau, eta, alpha)
+        tau1, cap1 = ai_update(tau, Yw, W, cov, Si_Y, Si_X,
+                               jnp.zeros((), bool))
+        blow = jnp.max(tau1, axis=1) > tol_inv_2
+        can_retry = blow & (retries < 10)
+        fail = blow & (retries >= 10)
+        delta = jnp.max(jnp.abs(tau1 - tau) /
+                        (jnp.abs(tau1) + jnp.abs(tau) + tol), axis=1)
+        done1 = done | (~blow & ((delta < tol) | (tau1[:, 1] == 0.0))) | fail
+        # lanes at their iteration cap freeze too (serial loop would have
+        # exited); they finish converged=False like the serial fit
+        keep = (~done) & (it < maxiter)
+        tau_n = jnp.where(can_retry[:, None],
+                          jnp.stack([tau[:, 0], tau[:, 1] * 0.5], axis=1),
+                          tau1)
+        eta_n = jnp.where(can_retry[:, None], eta, eta1)
+        alpha_n = jnp.where(can_retry[:, None], alpha, alpha1)
+        return (bsel(keep, tau, tau_n), bsel(keep, eta, eta_n),
+                bsel(keep, alpha, alpha_n),
+                it + jnp.where(keep & ~can_retry, 1, 0),
+                jnp.where(keep, jnp.where(can_retry, retries + 1, 0),
+                          retries),
+                jnp.where(keep, done1, done), failed | (keep & fail),
+                capped | (keep & cap1))
+
+    def outer_cond(state):
+        _, _, _, it, _, done, _, _ = state
+        return jnp.any((~done) & (it < maxiter))
+
+    alpha0 = jnp.zeros((P, K), X.dtype)
+    _eta_i, alpha_i, Yw, W, cov, Si_Y, Si_X = get_coeff(tau_init, eta_init,
+                                                        alpha0)
+    tau_m, cap0 = ai_update(tau_init, Yw, W, cov, Si_Y, Si_X,
+                            jnp.ones((), bool))
+
+    state = (tau_m, eta_init, alpha_i, jnp.zeros(P, jnp.int32),
+             jnp.zeros(P, jnp.int32), jnp.zeros(P, bool),
+             jnp.zeros(P, bool), cap0)
+    tau, eta, alpha, iters, _retries, done, failed, capped = \
+        jax.lax.while_loop(outer_cond, outer_body, state)
+
+    eta_f, alpha_f, Yw, W, cov, Si_Y, Si_X = get_coeff(tau, eta, alpha)
+    mu_f = jax.nn.sigmoid(eta_f)
+    return DeviceFit(coefficients=alpha_f, tau=tau, eta=eta_f, mu=mu_f,
+                     cov=cov, iterations=iters,
+                     converged=done & ~failed, trace_capped=capped)

@@ -295,3 +295,8 @@ class NullModel:
 def fit_null_glmm(*args, **kwargs):
     from .fitnull import fit_null_glmm as _fit
     return _fit(*args, **kwargs)
+
+
+def fit_null_glmm_multi(*args, **kwargs):
+    from .fitnull import fit_null_glmm_multi as _fit
+    return _fit(*args, **kwargs)

@@ -191,11 +191,18 @@ _PALLAS_OK = None
 
 
 def pallas_available() -> bool:
-    """Probe once whether gridded Pallas kernels compile on this backend.
+    """Whether compiled Pallas kernels are enabled AND compile here.
 
-    Some remote-compile stacks (and CPU) reject grid-mode Mosaic kernels;
-    callers fall back to the XLA formulation then.
+    EXPERIMENTAL, off by default: no backend this project has run on
+    compiles these kernels (grid-mode Mosaic is rejected by the tunneled
+    remote-AOT stack, and CPU has no Mosaic), so the hot paths use the
+    tuned XLA formulations directly and skip the probe compile.  Set
+    ``SAIGEGDS_TPU_EXPERIMENTAL_PALLAS=1`` on a standard TPU stack to
+    probe-and-enable the fused kernels (decision log: ROADMAP.md round 4).
     """
+    import os
+    if not os.environ.get("SAIGEGDS_TPU_EXPERIMENTAL_PALLAS"):
+        return False
     global _PALLAS_OK
     if _PALLAS_OK is None:
         try:

@@ -190,7 +190,18 @@ _PALLAS_DECODE_OK: Optional[bool] = None
 
 def pallas_decode_available() -> bool:
     """Probe once whether the gridless decode kernel compiles and runs
-    correctly on this backend (compiled, not interpret mode)."""
+    correctly on this backend (compiled, not interpret mode).
+
+    EXPERIMENTAL, off by default (``SAIGEGDS_TPU_EXPERIMENTAL_PALLAS=1``
+    enables the probe): no backend this project has run on compiles it
+    (BENCH_r03 ``sparse_decode_pallas: false``); the default decode is
+    the segmented-cumsum XLA path (``sparse_codes.decode_codes``), which
+    carries the measured 1.8x rare-file win on its own.  An explicit
+    ``SAIGE_SPARSE_DECODE=pallas`` still forces this kernel regardless.
+    """
+    import os
+    if not os.environ.get("SAIGEGDS_TPU_EXPERIMENTAL_PALLAS"):
+        return False
     global _PALLAS_DECODE_OK
     if _PALLAS_DECODE_OK is None:
         try:

@@ -169,27 +169,40 @@ def decode_codes(entries: jnp.ndarray, row_ptr: jnp.ndarray,
     return dense.reshape(n_rows, n_samples)
 
 
+# which implementation decode_codes_auto last baked into a traced program
+# ("xla" | "pallas" | "pallas_interpret") — bench/JSON evidence of what a
+# scan's compiled decode actually is, not a parallel re-derivation
+LAST_DECODE_IMPL: str = ""
+
+
 def decode_codes_auto(entries: jnp.ndarray, row_ptr: jnp.ndarray,
                       n_rows: int, n_samples: int) -> jnp.ndarray:
-    """Decode via the Pallas stream kernel when the backend compiles it
-    (ops/pallas_sparse — scalar-core replay, ~10x the XLA scatter), else
-    the XLA scatter.  ``SAIGE_SPARSE_DECODE`` = auto|xla|pallas|
-    pallas_interpret overrides (pallas = fail loudly if unavailable)."""
+    """Decode via the segmented-cumsum XLA path (the default — carries the
+    measured 1.8x rare-file win, BENCH_NOTES round 3) or, when the
+    EXPERIMENTAL Pallas flag is on and the backend compiles it, the
+    gridless stream kernel (ops/pallas_sparse).  ``SAIGE_SPARSE_DECODE``
+    = auto|xla|pallas|pallas_interpret overrides (pallas = fail loudly if
+    unavailable)."""
     import os
+    global LAST_DECODE_IMPL
     impl = os.environ.get("SAIGE_SPARSE_DECODE", "auto")
-    if impl == "xla":
-        return decode_codes(entries, row_ptr, n_rows, n_samples)
-    from .pallas_sparse import (decode_codes_pallas, pallas_decode_available,
-                                pallas_decode_fits)
-    if impl == "pallas_interpret":
-        return decode_codes_pallas(entries, row_ptr, n_rows, n_samples,
-                                   interpret=True)
-    if pallas_decode_fits(n_rows, n_samples):
-        if impl == "pallas" or pallas_decode_available():
-            return decode_codes_pallas(entries, row_ptr, n_rows, n_samples)
-    elif impl == "pallas":
-        raise ValueError(f"block {n_rows}x{n_samples} exceeds the Pallas "
-                         "decode's 2^29 flat-index bound")
+    if impl != "xla":
+        from .pallas_sparse import (decode_codes_pallas,
+                                    pallas_decode_available,
+                                    pallas_decode_fits)
+        if impl == "pallas_interpret":
+            LAST_DECODE_IMPL = "pallas_interpret"
+            return decode_codes_pallas(entries, row_ptr, n_rows, n_samples,
+                                       interpret=True)
+        if pallas_decode_fits(n_rows, n_samples):
+            if impl == "pallas" or pallas_decode_available():
+                LAST_DECODE_IMPL = "pallas"
+                return decode_codes_pallas(entries, row_ptr, n_rows,
+                                           n_samples)
+        elif impl == "pallas":
+            raise ValueError(f"block {n_rows}x{n_samples} exceeds the "
+                             "Pallas decode's 2^29 flat-index bound")
+    LAST_DECODE_IMPL = "xla"
     return decode_codes(entries, row_ptr, n_rows, n_samples)
 
 

@@ -220,3 +220,39 @@ def test_save_assoc_rds_rda_roundtrip(tmp_path):
         np.testing.assert_allclose(back["pval"].to_numpy(),
                                    df["pval"].to_numpy(), rtol=0)
         assert (back["id"].to_numpy() == df["id"].to_numpy()).all()
+
+
+def test_save_assoc_res_compress(tmp_path):
+    """res_compress plumbs the reference's choices through every container
+    (R/assoc_single.r:93,105-106,313): gds column pipes, rds/rda streams."""
+    import numpy as np
+    import pytest as _pytest
+    import saigegds_tpu as st
+    from saigegds_tpu.assoc.single import save_assoc
+    from saigegds_tpu.config import ScanConfig
+    from saigegds_tpu.utils.stats import load_pval
+
+    df = st.assoc_spa("/root/reference/inst/extdata/grm1k_10k_snp.gds",
+                      "/root/reference/inst/unitTests/saige_model.rds",
+                      ScanConfig(mac=4),
+                      variant_mask=np.arange(10000) < 200)
+    sizes = {}
+    for cm in ("LZMA", "LZMA_RA", "ZIP", "ZIP_RA", "none"):
+        for ext in ("gds", "rds", "rda"):
+            fn = str(tmp_path / f"res_{cm}.{ext}")
+            save_assoc(df, fn, res_compress=cm)
+            back = load_pval(fn)
+            np.testing.assert_allclose(back["pval"].to_numpy(),
+                                       df["pval"].to_numpy(), rtol=0)
+            sizes[(cm, ext)] = __import__("os").path.getsize(fn)
+    # compression must actually act in the gds container ("none" really
+    # stores raw there); for rds/rda the reference's switch maps "none"
+    # to saveRDS's gzip DEFAULT (R/assoc_single.r:313-314 falls through
+    # to TRUE), so only the xz-vs-gzip distinction is observable
+    for cm in ("LZMA", "ZIP"):
+        assert sizes[(cm, "gds")] < sizes[("none", "gds")], cm
+    for ext in ("rds", "rda"):
+        assert sizes[("LZMA", ext)] != sizes[("ZIP", ext)], ext
+        assert sizes[("ZIP", ext)] == sizes[("none", ext)], ext
+    with _pytest.raises(ValueError, match="res_compress"):
+        save_assoc(df, str(tmp_path / "x.gds"), res_compress="GZIP")
