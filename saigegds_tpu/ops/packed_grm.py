@@ -351,14 +351,31 @@ def build_packed2_grm(codes: np.ndarray,
         n_variants=M, n_samples=N)
 
 
+def _p2_store_update(store, block, row0):
+    return jax.lax.dynamic_update_slice(store, block, (row0, 0))
+
+
+_p2_store_update_j = jax.jit(_p2_store_update, donate_argnums=(0,))
+
+
 def build_packed2_grm_streamed(block_iter, n_samples: int,
                                pad_multiple: int = 256,
-                               device_put=None) -> Packed2GRM:
+                               device_put=None,
+                               n_variants: int = 0) -> Packed2GRM:
     """Streamed 2-bit build: host peak memory is one block; each block is
-    planar-packed on host and placed on device immediately."""
+    planar-packed on host and placed on device immediately.
+
+    With ``n_variants`` (total rows) given, the device store is
+    preallocated and each block donated into it in place — peak HBM is
+    the store plus ONE block.  Without it, blocks accumulate and
+    concatenate at the end (peak 2x the store: fine below ~half of HBM,
+    e.g. any N*M/4 <= 6 GB; the N=430K x M=64Ki biobank build needs the
+    preallocated path on a 16 GB chip)."""
     _resolve_packed2_impl()
     put = device_put or (lambda x: jnp.asarray(x))
     dev_blocks, af_parts, inv_parts = [], [], []
+    store = jnp.zeros((n_variants, (n_samples + 3) // 4), jnp.uint8) \
+        if n_variants else None
     diag = np.zeros(n_samples, np.float64)
     miss_v, miss_s = [], []
     row0 = 0
@@ -370,11 +387,21 @@ def build_packed2_grm_streamed(block_iter, n_samples: int,
         miss_s.append(ms.astype(np.int64))
         af_parts.append(af)
         inv_parts.append(inv)
-        dev_blocks.append(put(jnp.asarray(_pack2_zeroed(codes))))
+        if store is not None:
+            store = _p2_store_update_j(store, put(_pack2_zeroed(codes)),
+                                       jnp.asarray(row0))
+        else:
+            dev_blocks.append(put(jnp.asarray(_pack2_zeroed(codes))))
         row0 += codes.shape[0]
     M = row0
-    packed = jnp.concatenate(dev_blocks, axis=0) if len(dev_blocks) > 1 \
-        else dev_blocks[0]
+    if store is not None:
+        if M != n_variants:
+            raise ValueError(f"block iterator yielded {M} rows, "
+                             f"n_variants={n_variants}")
+        packed = store
+    else:
+        packed = jnp.concatenate(dev_blocks, axis=0) if len(dev_blocks) > 1 \
+            else dev_blocks[0]
     mv = np.concatenate(miss_v) if miss_v else np.empty(0, np.int64)
     ms = np.concatenate(miss_s) if miss_s else np.empty(0, np.int64)
     miss_var, miss_samp, miss_pad = _pad_miss(mv, ms, pad_multiple)
