@@ -97,3 +97,21 @@ def test_multi_fit_save_pattern(tmp_path):
         got = NullModel.load(pat.format(p))
         np.testing.assert_allclose(np.asarray(got.tau), np.asarray(m.tau),
                                    rtol=1e-12)
+
+
+def test_cli_pheno_cols(tmp_path, capsys):
+    """CLI `fit --pheno-cols a,b` runs the PheWAS-mode batched fit and
+    writes one model per column through the '{}' pattern."""
+    from saigegds_tpu.__main__ import main
+    df = _pheno()
+    ph = tmp_path / "pheno.tsv"
+    df.to_csv(ph, sep="\t", index=False)
+    out = str(tmp_path / "model_{}.npz")
+    rc = main(["fit", "--formula", "ignored ~ x1 + x2",
+               "--pheno-cols", "y,y2", "--pheno", str(ph),
+               "--gds", GDS, "--out", out, "--maf", "0.01"])
+    assert rc == 0
+    from saigegds_tpu.models.nullmodel import NullModel
+    for p in range(2):
+        m = NullModel.load(out.format(p))
+        assert m.converged and m.trait_type == "binary"
