@@ -20,6 +20,7 @@ import math
 import os
 import warnings
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
 
@@ -34,6 +35,7 @@ from .glm import (GlmFit, ObjNoK, glm_binomial, glm_gaussian, obj_nok_binary,
                   obj_nok_quant, qr_transform, rank_norm)
 from .nullmodel import NullModel
 
+import jax
 import jax.numpy as jnp
 
 
@@ -93,6 +95,35 @@ def _pcg(grm, w, tau, B, tol, maxiter):
     if not bool(conv.all()):
         print("PCG does not converge (may need to increase 'maxiter').")
     return X
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def _pcg_grouped_j(op, Wp, taup, col_map, B, tol, maxiter):
+    from ..ops.pcg import _pcg_body
+    return _pcg_body(op.matvec, op.diag, Wp[:, col_map], taup[:, col_map],
+                     B, tol, maxiter)
+
+
+def _pcg_grouped(grm, Wp, taup, col_map, B, tol, maxiter):
+    """Solve Sigma_p x = b for columns belonging to DIFFERENT phenotypes:
+    ``Wp [N, P]`` / ``taup [2, P]`` per-phenotype, ``col_map [R]`` the
+    column->phenotype index.  The per-column weight matrix is expanded ON
+    DEVICE (the host would otherwise ship an [N, R] f64 copy of weights —
+    8 B/sample/column of pure transport overhead on a slow link)."""
+    from ..parallel.mesh import ShardedGrmHandle
+    if isinstance(grm, ShardedGrmHandle):   # handle path: host expansion
+        X, conv = grm.pcg(np.asarray(Wp)[:, col_map],
+                          np.asarray(taup)[:, col_map], B, tol, maxiter)
+        if not bool(np.asarray(conv).all()):
+            print("PCG does not converge (may need to increase 'maxiter').")
+        return np.asarray(X)
+    X, _iters, conv = _pcg_grouped_j(grm, jnp.asarray(Wp),
+                                     jnp.asarray(taup),
+                                     jnp.asarray(col_map, jnp.int32),
+                                     jnp.asarray(B), tol, maxiter)
+    if not bool(conv.all()):
+        print("PCG does not converge (may need to increase 'maxiter').")
+    return np.asarray(X)
 
 
 def _grm_mv(grm, b):
@@ -561,6 +592,167 @@ def calc_var_ratio(grm: GRMOperator, codes: np.ndarray, fit0: GlmFit,
                 break
         elif snp_pos >= n_rand:
             break
+    return rows
+
+
+@partial(jax.jit, static_argnames=("maxiter", "binary"))
+def _vr_chunk_multi_j(op, G0, XXVX_inv_s, XV_s, X1_s, SiX_s, xsx_inv_s,
+                      Wp, taup, mu2_s, ac, tol, maxiter, binary):
+    """One fused variance-ratio marker chunk for P phenotypes: project,
+    solve (grouped PCG), and reduce to (var1, var2) [P, B] ON DEVICE.
+
+    The host ships the raw marker block ``G0 [N, B]`` ONCE (not one
+    projected copy per phenotype) and reads back only the per-marker
+    scalars — over a slow link the [N, P*B] f64 solution readback would
+    otherwise dominate the whole phase."""
+    from ..ops.pcg import _pcg_body
+    P = XXVX_inv_s.shape[0]
+    N, B = G0.shape
+    # per-phenotype covariate projection (calc_var_ratio's G line)
+    Gp = G0[None] - jnp.einsum(
+        "pnk,pkb->pnb", XXVX_inv_s,
+        jnp.einsum("pkn,nb->pkb", XV_s, G0))        # [P, N, B]
+    cols = jnp.transpose(Gp, (1, 0, 2)).reshape(N, P * B)
+    cmap = jnp.repeat(jnp.arange(P), B)
+    sol, _, conv = _pcg_body(op.matvec, op.diag, Wp[:, cmap], taup[:, cmap],
+                             cols, tol, maxiter)
+    SiG = jnp.transpose(sol.reshape(N, P, B), (1, 0, 2))   # [P, N, B]
+    adj = jnp.einsum("pnk,pkb->pnb", SiX_s,
+                     jnp.einsum("pkj,pjb->pkb", xsx_inv_s,
+                                jnp.einsum("pnj,pnb->pjb", X1_s, SiG)))
+    var1 = (jnp.sum(Gp * SiG, axis=1) - jnp.sum(Gp * adj, axis=1)) / ac
+    if binary:
+        var2 = jnp.einsum("pn,pnb->pb", mu2_s, Gp * Gp) / ac
+    else:
+        var2 = jnp.sum(Gp * Gp, axis=1) / ac
+    return var1, var2, conv
+
+
+def calc_var_ratio_multi(grm, codes, fit0s, glmms, noks,
+                         cfg: NullModelConfig, marker_order: np.ndarray,
+                         binary: bool = True, verbose=False):
+    """P phenotypes' variance ratios over ONE resident GRM, batched.
+
+    Lane-for-lane the same arithmetic as P separate :func:`calc_var_ratio`
+    calls: the marker pass (MAC>20 filter, random order, escalation by 10
+    while CV > ratioCVcutoff, src/saige_fitnull.cpp:1255-1474) is genotype
+    -driven and thus shared; every marker chunk runs ONE fused device
+    program (:func:`_vr_chunk_multi_j`) that projects per phenotype,
+    solves all lanes' systems in one grouped PCG (per-column weights/tau
+    expanded on device), and reduces to the per-marker scalars — the GRM
+    streams once per chunk for all P, the raw markers upload once, and
+    only [P, B] scalars come back.  Phenotypes whose ratio CV has
+    converged stop consuming chunks (their serial loop would have
+    exited).  No checkpointing (the PheWAS fit is a single-session path).
+
+    Requires equal covariate widths across phenotypes (the
+    `fit_null_glmm_multi` contract); returns a list of P row-dicts shaped
+    like :func:`calc_var_ratio`'s.
+    """
+    from ..parallel.mesh import ShardedGrmHandle
+    if isinstance(grm, ShardedGrmHandle):
+        # handle path: per-phenotype serial (the fused kernel closes over
+        # a single-device operator; the mesh fit is not the PheWAS path)
+        return [calc_var_ratio(grm, codes, fit0s[p], glmms[p], noks[p],
+                               cfg, marker_order, binary, verbose)
+                for p in range(len(glmms))]
+    P = len(glmms)
+    family = _Binomial() if binary else _Gaussian()
+    Ws, mus = [], []
+    for p in range(P):
+        eta = fit0s[p].linear_predictors
+        mu = fit0s[p].fitted_values
+        mu_eta = family.mu_eta(eta)
+        Ws.append((mu_eta * mu_eta) / family.variance(mu))
+        mus.append(mu)
+    if len({noks[p].X1.shape[1] for p in range(P)}) != 1:
+        raise ValueError("calc_var_ratio_multi requires equal covariate "
+                         "widths; run calc_var_ratio per phenotype")
+    Wp = jnp.asarray(np.stack(Ws, axis=1))                   # [N, P]
+    taup = jnp.asarray(np.stack([g.tau for g in glmms], axis=1))  # [2, P]
+    X1_s = jnp.asarray(np.stack([noks[p].X1 for p in range(P)]))
+    XXVX_inv_s = jnp.asarray(np.stack([noks[p].XXVX_inv for p in range(P)]))
+    XV_s = jnp.asarray(np.stack([noks[p].XV for p in range(P)]))
+    mu2_s = jnp.asarray(np.stack([m * (1 - m) for m in mus]))
+    # Sigma^-1 X1 per phenotype: one grouped PCG, kept ON DEVICE for the
+    # chunk kernel's adjustment term
+    K = noks[0].X1.shape[1]
+    col_map = np.repeat(np.arange(P, dtype=np.int32), K)
+    cols = np.concatenate([noks[p].X1 for p in range(P)], axis=1)
+    solX, _it, convX = _pcg_grouped_j(grm, Wp, taup,
+                                      jnp.asarray(col_map),
+                                      jnp.asarray(cols),
+                                      cfg.tol_pcg, cfg.maxiter_pcg)
+    if not bool(np.asarray(convX).all()):
+        print("PCG does not converge (may need to increase 'maxiter').")
+    N = cols.shape[0]
+    SiX_s = jnp.transpose(solX.reshape(N, P, K), (1, 0, 2))  # [P, N, K]
+    xsx_inv_s = jnp.asarray(np.stack([
+        _mat_inv(noks[p].X1.T @ np.asarray(SiX_s[p])) for p in range(P)]))
+
+    rows = [dict(id=[], maf=[], mac=[], var1=[], var2=[], ratio=[])
+            for _ in range(P)]
+    num_marker = [cfg.num_marker] * P
+    active = list(range(P))
+    snp_pos = 0
+    num_tested = 0
+    n_rand = len(marker_order)
+    while snp_pos < n_rand and active:
+        want = max(num_marker[p] for p in active)
+        pending = []
+        while num_tested + len(pending) < want and snp_pos < n_rand:
+            i_snp = int(marker_order[snp_pos])  # 1-based
+            snp_pos += 1
+            g = codes[i_snp - 1].astype(np.float64)
+            isnan = g >= 3
+            num = int((~isnan).sum())
+            if num == 0:
+                continue
+            ac = float(np.where(isnan, 0, g).sum())
+            af = ac / (2 * num)
+            g = np.where(isnan, ac / num, g)  # mean impute
+            if af > 0.5:
+                g = 2.0 - g
+                ac = 2 * num - ac
+                af = 1 - af
+            if ac <= 20:  # suggested by the paper
+                continue
+            pending.append((i_snp, af, ac, g))
+        if pending:
+            G0 = np.stack([q[3] for q in pending], axis=1)   # [N, B]
+            ac_v = np.asarray([q[2] for q in pending])
+            ia = np.asarray(active, np.int32)
+            var1, var2, conv = _vr_chunk_multi_j(
+                grm, jnp.asarray(G0), XXVX_inv_s[ia], XV_s[ia], X1_s[ia],
+                SiX_s[ia], xsx_inv_s[ia], Wp[:, ia], taup[:, ia],
+                mu2_s[ia], jnp.asarray(ac_v), cfg.tol_pcg,
+                cfg.maxiter_pcg, binary)
+            var1, var2 = np.asarray(var1), np.asarray(var2)
+            if not bool(np.asarray(conv).all()):
+                print("PCG does not converge (may need to increase "
+                      "'maxiter').")
+            for j, p in enumerate(active):
+                for k, (i_snp, af, ac, _) in enumerate(pending):
+                    rows[p]["id"].append(i_snp)
+                    rows[p]["maf"].append(af)
+                    rows[p]["mac"].append(ac)
+                    rows[p]["var1"].append(var1[j, k])
+                    rows[p]["var2"].append(var2[j, k])
+                    rows[p]["ratio"].append(var1[j, k] / var2[j, k])
+            num_tested += len(pending)
+        still = []
+        for p in active:
+            if num_tested >= num_marker[p]:
+                cv = _calc_cv(rows[p]["ratio"])
+                if cv > cfg.ratio_cv_cutoff:
+                    num_marker[p] = num_tested + 10
+                    telemetry.emit("ratio_escalation",
+                                   num_marker=num_marker[p], cv=cv,
+                                   cutoff=cfg.ratio_cv_cutoff)
+                    still.append(p)
+            else:
+                still.append(p)
+        active = still
     return rows
 
 
@@ -1130,26 +1322,33 @@ def fit_null_glmm_multi(formulas, data, gdsfile,
             f"{cfg.trace_cv_cutoff} for {bad}; pass a larger probe_pool=",
             RuntimeWarning)
 
+    glmms = [GlmmFit(
+        coefficients=np.asarray(fit.coefficients[p]),
+        tau=np.asarray(fit.tau[p]),
+        linear_predictors=np.asarray(fit.eta[p]),
+        fitted_values=np.asarray(fit.mu[p]),
+        residuals=ys[p] - np.asarray(fit.mu[p]),
+        cov=np.asarray(fit.cov[p]),
+        converged=bool(fit.converged[p])) for p in range(P)]
+    rng = RRandom(cfg.seed)
+    marker_order = rng.sample_int(prep["n_var"], prep["n_var"])
+    if cfg.var_ratio_mac_cat:
+        vrs = [calc_var_ratio_cat(prep["grm"], prep["codes"], fit0s[p],
+                                  glmms[p], noks[p], cfg, marker_order,
+                                  binary=True, verbose=verbose)
+               for p in range(P)]
+    else:
+        # all phenotypes' marker solves stacked into shared PCG calls —
+        # the GRM streams once per marker chunk for all P
+        vrs = calc_var_ratio_multi(prep["grm"], prep["codes"], fit0s,
+                                   glmms, noks, cfg, marker_order,
+                                   binary=True, verbose=verbose)
     models = []
     for p, r in enumerate(resps):
-        glmm = GlmmFit(
-            coefficients=np.asarray(fit.coefficients[p]),
-            tau=np.asarray(fit.tau[p]),
-            linear_predictors=np.asarray(fit.eta[p]),
-            fitted_values=np.asarray(fit.mu[p]),
-            residuals=ys[p] - np.asarray(fit.mu[p]),
-            cov=np.asarray(fit.cov[p]),
-            converged=bool(fit.converged[p]))
-        rng = RRandom(cfg.seed)
-        marker_order = rng.sample_int(prep["n_var"], prep["n_var"])
-        vr_fn = calc_var_ratio_cat if cfg.var_ratio_mac_cat \
-            else calc_var_ratio
-        vr = vr_fn(prep["grm"], prep["codes"], fit0s[p], glmm, noks[p],
-                   cfg, marker_order, binary=True, verbose=verbose)
-        model = _assemble_model(cfg, glmm, vr, noks[p], prep["X_qrr"],
-                                prep["X_names"], prep["x_transform"],
-                                prep["variant_id"], prep["sample_id"],
-                                len(prep["data"]))
+        model = _assemble_model(cfg, glmms[p], vrs[p], noks[p],
+                                prep["X_qrr"], prep["X_names"],
+                                prep["x_transform"], prep["variant_id"],
+                                prep["sample_id"], len(prep["data"]))
         if model_savefn:
             model.save(model_savefn.format(p))
         models.append(model)

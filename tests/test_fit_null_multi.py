@@ -115,3 +115,44 @@ def test_cli_pheno_cols(tmp_path, capsys):
     for p in range(2):
         m = NullModel.load(out.format(p))
         assert m.converged and m.trait_type == "binary"
+
+
+def test_calc_var_ratio_multi_matches_serial():
+    """The stacked multi-phenotype variance ratio reproduces P serial
+    calc_var_ratio passes lane for lane (same markers, same escalation,
+    ratios to float tolerance)."""
+    from saigegds_tpu.models import fitnull
+    from saigegds_tpu.models.glm import glm_binomial, obj_nok_binary
+    from saigegds_tpu.ops.packed_grm import build_packed_grm
+    from saigegds_tpu.utils.rrandom import RRandom
+
+    rng = np.random.default_rng(21)
+    n, m, P = 600, 400, 3
+    codes = rng.binomial(2, rng.uniform(0.05, 0.5, size=(m, 1)),
+                         size=(m, n)).astype(np.int8)
+    grm = build_packed_grm(codes)
+    X = np.column_stack([np.ones(n), rng.normal(size=(n, 2))])
+    cfg = NullModelConfig()
+    marker_order = RRandom(cfg.seed).sample_int(m, m)
+    fit0s, glmms, noks = [], [], []
+    for p in range(P):
+        y = (rng.random(n) < 0.3).astype(np.float64)
+        f0 = glm_binomial(X, y)
+        fit0s.append(f0)
+        noks.append(obj_nok_binary(X, y))
+        glmms.append(fitnull.GlmmFit(
+            coefficients=f0.coefficients, tau=np.array([1.0, 0.2 + 0.1 * p]),
+            linear_predictors=f0.linear_predictors,
+            fitted_values=f0.fitted_values, residuals=f0.residuals,
+            cov=np.eye(X.shape[1]), converged=True))
+    multi = fitnull.calc_var_ratio_multi(grm, codes, fit0s, glmms, noks,
+                                         cfg, marker_order, binary=True)
+    for p in range(P):
+        serial = fitnull.calc_var_ratio(grm, codes, fit0s[p], glmms[p],
+                                        noks[p], cfg, marker_order,
+                                        binary=True)
+        assert multi[p]["id"] == serial["id"]
+        np.testing.assert_allclose(multi[p]["ratio"], serial["ratio"],
+                                   rtol=1e-10)
+        np.testing.assert_allclose(multi[p]["var1"], serial["var1"],
+                                   rtol=1e-10)
