@@ -302,6 +302,8 @@ def fit_pipeline(gds=FIT_GDS, n=N_FIT, m=M_FIT, marker_cache=False,
                                      n_variants=m if marker_cache else 0)
     jax.block_until_ready(grm)
     t_ing = time.perf_counter() - t0
+    log(f"fit{tag}: ingest done in {t_ing:.1f}s (2-bit GRM "
+        f"{m * ((n + 3) // 4) / 1e9:.2f} GB resident); fitting...")
 
     fit0 = glm_binomial(X, y)         # GLM warm start (R/saige_main.r:480)
     nok = obj_nok_binary(X, y)

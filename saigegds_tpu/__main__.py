@@ -5,6 +5,8 @@ the workflow schedulable (one shard per host, merge at the end):
 
     python -m saigegds_tpu fit --formula "y ~ x1 + x2" --pheno pheno.tsv \\
         --gds grm.gds --out model.npz [--dense] [--stream] [--checkpoint ck]
+    python -m saigegds_tpu fit --formula "y ~ x1 + x2" --pheno-cols y1,y2 \\
+        --pheno pheno.tsv --gds grm.gds --out model_{}.npz   # PheWAS fit
     python -m saigegds_tpu scan --gds imputed.gds --model model.npz \\
         --out assoc.gds [--mac 10] [--shard i/n]
     python -m saigegds_tpu burden|acat-v|acat-o --gds ... --model ... \\

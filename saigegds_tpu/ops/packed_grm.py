@@ -423,15 +423,66 @@ def _decode_plane(pc_i32, p):
 
 def _chunk_cols(N4: int) -> int:
     """Byte-column chunk for pass 1: contraction stays <= EXACT_CHUNK and
-    the decoded [M, chunk] bf16 transient stays modest."""
+    the decoded [chunk_rows, chunk] bf16 transient stays modest."""
     return min(16384, max(256, N4))
 
 
 def _chunk_rows(M: int, N4: int) -> int:
-    """Variant chunk for pass 2: contraction <= EXACT_CHUNK and the
-    decoded [chunk, N4] bf16 transient stays under ~1 GB."""
+    """Variant chunk: contraction <= EXACT_CHUNK and the decoded
+    [chunk, N4] bf16 transient stays under ~1 GB."""
     cap = max(1, (512 << 20) // max(2 * N4, 1))
     return min(EXACT_CHUNK, max(256, cap), M)
+
+
+def _row_blocks(M: int, N4: int):
+    """(n_full_blocks, block_rows): an even leading-axis split with
+    block_rows <= _chunk_rows (the exact-contraction/transient bound);
+    the tail ``M - n*rows < rows`` is processed outside the scan.
+
+    Both matvec passes iterate the 2-bit store in ROW blocks via
+    lax.map/scan over a free reshape — the store is sliced only on its
+    leading axis.  The earlier formulation sliced pass-1 byte-COLUMNS,
+    and at biobank scale XLA hoisted a full transposed copy of the store
+    to serve them: 2 x 6.56 GB HBM at N=430K, M=64Ki — an OOM
+    (round-4 capture log).  Leading-axis slices keep ONE layout.
+    """
+    cm0 = _chunk_rows(M, N4)
+    nm = -(-M // cm0)
+    cm = -(-M // nm)           # ceil: cm <= cm0, nm * cm >= M
+    return M // cm, cm
+
+
+def _p1_block(pc_u8, dmat, N4):
+    """One row block of pass 1: [mc, N4] packed bytes x sliced model
+    columns -> exact f64 [mc, C] (decode in chunks bounded by
+    EXACT_CHUNK samples; every f32 partial sum is an exact integer)."""
+    pc = pc_u8.astype(jnp.int32)
+    CJ = _chunk_cols(N4)
+    acc = None
+    for j0 in range(0, N4, CJ):
+        j1 = min(j0 + CJ, N4)
+        pcj = pc[:, j0:j1]
+        for p in range(4):
+            g = _decode_plane(pcj, p)
+            part = jnp.dot(g, dmat[p * N4 + j0: p * N4 + j1],
+                           preferred_element_type=jnp.float32)
+            part = part.astype(jnp.float64)
+            acc = part if acc is None else acc + part
+    return acc
+
+
+def _p2_block(acc4, pc_u8, dm):
+    """One row block of pass 2: accumulate the transpose product
+    [4, N4, C] += decode([mc, N4])' @ dm[mc, C] per plane (contraction
+    over <= EXACT_CHUNK variants: exact f32 integers, f64 combine)."""
+    pc = pc_u8.astype(jnp.int32)
+    parts = []
+    for p in range(4):
+        g = _decode_plane(pc, p)
+        part = jax.lax.dot_general(g, dm, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        parts.append(part.astype(jnp.float64))
+    return acc4 + jnp.stack(parts)
 
 
 _PACKED2_IMPL = "xla"   # resolved at build time (pallas probe runs outside
@@ -506,17 +557,18 @@ def _packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
                             interpret=(impl == "pallas_interpret"))
         acc = acc[:, :R * S]
     else:
-        CJ = _chunk_cols(N4)
-        acc = None
-        for j0 in range(0, N4, CJ):
-            j1 = min(j0 + CJ, N4)
-            pc = packed[:, j0:j1].astype(jnp.int32)
-            for p in range(4):
-                g = _decode_plane(pc, p)              # [M, j1-j0]
-                part = jnp.dot(g, dmat[p * N4 + j0 : p * N4 + j1],
-                               preferred_element_type=jnp.float32)
-                part = part.astype(jnp.float64)
-                acc = part if acc is None else acc + part
+        # row-block scan: the store is sliced ONLY on its leading axis
+        # (a dim-1 slice made XLA hoist a full transposed copy of the
+        # 2-bit store at biobank scale — see _row_blocks)
+        nfull, cm = _row_blocks(M, N4)
+        parts = []
+        if nfull:
+            main = jax.lax.map(lambda pc: _p1_block(pc, dmat, N4),
+                               packed[:nfull * cm].reshape(nfull, cm, N4))
+            parts.append(main.reshape(nfull * cm, -1))
+        if nfull * cm < M:
+            parts.append(_p1_block(packed[nfull * cm:], dmat, N4))
+        acc = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     cv = jnp.sum(acc.reshape(M, R, S) * w, axis=-1)   # [M, R]
 
     sum_b = jnp.sum(B, axis=0)
@@ -542,20 +594,19 @@ def _packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
         pl4 = jnp.sum(acc4.reshape(4, N4, R, S) * w2c[None], axis=-1)
         out = pl4.reshape(Npad, R)[:N]                # natural order
     else:
-        CM = _chunk_rows(M, N4)
-        accs = [None] * 4
-        for m0 in range(0, M, CM):
-            m1 = min(m0 + CM, M)
-            pc = packed[m0:m1].astype(jnp.int32)
-            dm = dmat2[m0:m1]
-            for p in range(4):
-                g = _decode_plane(pc, p)              # [mc, N4]
-                part = jax.lax.dot_general(
-                    g, dm, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)   # [N4, R*S]
-                part = part.astype(jnp.float64)
-                accs[p] = part if accs[p] is None else accs[p] + part
-        planes = [jnp.sum(a.reshape(N4, R, S) * w2c, axis=-1) for a in accs]
+        nfull, cm = _row_blocks(M, N4)
+        C2 = dmat2.shape[1]
+        acc4 = jnp.zeros((4, N4, C2), jnp.float64)
+        if nfull:
+            def body(acc, xs):
+                return _p2_block(acc, xs[0], xs[1]), None
+            acc4, _ = jax.lax.scan(
+                body, acc4,
+                (packed[:nfull * cm].reshape(nfull, cm, N4),
+                 dmat2[:nfull * cm].reshape(nfull, cm, C2)))
+        if nfull * cm < M:
+            acc4 = _p2_block(acc4, packed[nfull * cm:], dmat2[nfull * cm:])
+        planes = [jnp.sum(a.reshape(N4, R, S) * w2c, axis=-1) for a in acc4]
         out = jnp.concatenate(planes, axis=0)[:N]     # natural order
 
     corr2 = jax.ops.segment_sum(w2[miss_var] * miss_pad[:, None],
