@@ -200,17 +200,26 @@ def _i8_exact_dot(A_bf16, x, n_slices: int, contract_left: bool):
 class Packed2GRM(NamedTuple):
     """GRM operator over 2-bit planar-packed genotypes resident in HBM.
 
-    ``packed[m, j]`` bit-pair ``p`` holds the (zeroed-missing) code of
-    sample ``p * N4 + j`` — four contiguous "planes" of the padded sample
-    axis share a byte, so on-device decode is four shift-and-mask slices
-    in natural sample order (no interleaving reshape).  0.25 B/genotype:
-    8x less HBM than the bf16 code store, matching the reference's
-    4-genotypes/byte footprint.  The matvec reuses the exact
-    integer-slice bf16 MXU algebra and is bit-identical to
-    :func:`packed_grm_matvec` (all partial sums are exact integers).
+    ``packed`` is a TUPLE of row-block leaves ``[rows_i, N4]`` (variant
+    blocks, concatenated order).  Each leaf's byte ``[m, j]`` bit-pair
+    ``p`` holds the (zeroed-missing) code of sample ``p * N4 + j`` — four
+    contiguous "planes" of the padded sample axis share a byte, so
+    on-device decode is four shift-and-mask slices in natural sample
+    order (no interleaving reshape).  0.25 B/genotype: 8x less HBM than
+    the bf16 code store, matching the reference's 4-genotypes/byte
+    footprint.  The matvec reuses the exact integer-slice bf16 MXU
+    algebra and is bit-identical to :func:`packed_grm_matvec` (all
+    partial sums are exact integers).
+
+    Why leaves, not one [M, N] array: at biobank scale a monolithic
+    store breaks the compiler twice — dim-1 slicing made XLA hoist a
+    full transposed copy (2 x 6.56 GB at N=430K, M=64Ki: HBM OOM), and
+    arrays above 2^31 elements crash the remote TPU compile outright.
+    Leaves are capped at 2^31 elements AND ~16Ki rows; the matvec
+    slices only their leading axis (see memory note in _leaf_rows).
     """
 
-    packed: jnp.ndarray     # [M, N4] uint8 planar-packed zeroed codes
+    packed: tuple           # tuple of [rows_i, N4] uint8 leaves
     af: jnp.ndarray         # [M] float64
     inv: jnp.ndarray        # [M] float64
     diag: jnp.ndarray       # [N] float64 diag(GRM)
@@ -341,8 +350,11 @@ def build_packed2_grm(codes: np.ndarray,
     _resolve_packed2_impl()
     af, inv, diag, mv, ms = _variant_moments(codes)
     miss_var, miss_samp, miss_pad = _pad_miss(mv, ms, pad_multiple)
+    cap = _leaf_rows((N + 3) // 4)
+    leaves = tuple(jnp.asarray(_pack2_zeroed(codes[m0:m0 + cap]))
+                   for m0 in range(0, M, cap))
     return Packed2GRM(
-        packed=jnp.asarray(_pack2_zeroed(codes)),
+        packed=leaves,
         af=jnp.asarray(af), inv=jnp.asarray(inv),
         diag=jnp.asarray(diag / M),
         miss_var=jnp.asarray(miss_var), miss_samp=jnp.asarray(miss_samp),
@@ -351,34 +363,33 @@ def build_packed2_grm(codes: np.ndarray,
         n_variants=M, n_samples=N)
 
 
-def _p2_store_update(store, block, row0):
-    return jax.lax.dynamic_update_slice(store, block, (row0, 0))
-
-
-_p2_store_update_j = jax.jit(_p2_store_update, donate_argnums=(0,))
-
-
 def build_packed2_grm_streamed(block_iter, n_samples: int,
                                pad_multiple: int = 256,
                                device_put=None,
                                n_variants: int = 0) -> Packed2GRM:
     """Streamed 2-bit build: host peak memory is one block; each block is
-    planar-packed on host and placed on device immediately.
-
-    With ``n_variants`` (total rows) given, the device store is
-    preallocated and each block donated into it in place — peak HBM is
-    the store plus ONE block.  Without it, blocks accumulate and
-    concatenate at the end (peak 2x the store: fine below ~half of HBM,
-    e.g. any N*M/4 <= 6 GB; the N=430K x M=64Ki biobank build needs the
-    preallocated path on a 16 GB chip)."""
+    planar-packed on host and placed on device immediately (async put —
+    the next block's decode overlaps the upload).  Device blocks then
+    coalesce into row-capped store LEAVES (see _leaf_rows); the
+    coalescing concat touches one leaf's worth at a time, so device peak
+    is the store plus ~one leaf.  ``n_variants``, when given, validates
+    the iterator's total row count."""
     _resolve_packed2_impl()
     put = device_put or (lambda x: jnp.asarray(x))
-    dev_blocks, af_parts, inv_parts = [], [], []
-    store = jnp.zeros((n_variants, (n_samples + 3) // 4), jnp.uint8) \
-        if n_variants else None
+    af_parts, inv_parts = [], []
     diag = np.zeros(n_samples, np.float64)
     miss_v, miss_s = [], []
     row0 = 0
+    cap = _leaf_rows((n_samples + 3) // 4)
+    leaves, group, group_rows = [], [], 0
+
+    def _seal():
+        nonlocal group, group_rows
+        if group:
+            leaves.append(group[0] if len(group) == 1
+                          else jnp.concatenate(group, axis=0))
+            group, group_rows = [], 0
+
     for _idx, codes in block_iter:
         codes = np.ascontiguousarray(codes, dtype=np.int8)
         af, inv, diag_part, mv, ms = _variant_moments(codes)
@@ -387,21 +398,23 @@ def build_packed2_grm_streamed(block_iter, n_samples: int,
         miss_s.append(ms.astype(np.int64))
         af_parts.append(af)
         inv_parts.append(inv)
-        if store is not None:
-            store = _p2_store_update_j(store, put(_pack2_zeroed(codes)),
-                                       jnp.asarray(row0))
+        b = codes.shape[0]
+        if group_rows + b > cap:
+            _seal()
+        if b >= cap:   # oversized incoming block: split into cap leaves
+            packed_b = _pack2_zeroed(codes)
+            for m0 in range(0, b, cap):
+                leaves.append(put(packed_b[m0:m0 + cap]))
         else:
-            dev_blocks.append(put(jnp.asarray(_pack2_zeroed(codes))))
-        row0 += codes.shape[0]
+            group.append(put(_pack2_zeroed(codes)))
+            group_rows += b
+        row0 += b
+    _seal()
     M = row0
-    if store is not None:
-        if M != n_variants:
-            raise ValueError(f"block iterator yielded {M} rows, "
-                             f"n_variants={n_variants}")
-        packed = store
-    else:
-        packed = jnp.concatenate(dev_blocks, axis=0) if len(dev_blocks) > 1 \
-            else dev_blocks[0]
+    if n_variants and M != n_variants:
+        raise ValueError(f"block iterator yielded {M} rows, "
+                         f"n_variants={n_variants}")
+    packed = tuple(leaves)
     mv = np.concatenate(miss_v) if miss_v else np.empty(0, np.int64)
     ms = np.concatenate(miss_s) if miss_s else np.empty(0, np.int64)
     miss_var, miss_samp, miss_pad = _pad_miss(mv, ms, pad_multiple)
@@ -434,34 +447,30 @@ def _chunk_rows(M: int, N4: int) -> int:
     return min(EXACT_CHUNK, max(256, cap), M)
 
 
-def _row_blocks(M: int, N4: int):
-    """(n_full_blocks, block_rows): an even leading-axis split with
-    block_rows <= _chunk_rows (the exact-contraction/transient bound);
-    the tail ``M - n*rows < rows`` is processed outside the scan.
+def _leaf_rows(N4: int) -> int:
+    """Row cap for one 2-bit store leaf.
 
-    Both matvec passes iterate the 2-bit store in ROW blocks via
-    lax.map/scan over a free reshape — the store is sliced only on its
-    leading axis.  The earlier formulation sliced pass-1 byte-COLUMNS,
-    and at biobank scale XLA hoisted a full transposed copy of the store
-    to serve them: 2 x 6.56 GB HBM at N=430K, M=64Ki — an OOM
-    (round-4 capture log).  Leading-axis slices keep ONE layout.
-    """
-    cm0 = _chunk_rows(M, N4)
-    nm = -(-M // cm0)
-    cm = -(-M // nm)           # ceil: cm <= cm0, nm * cm >= M
-    return M // cm, cm
+    Two hard constraints from the round-4 biobank captures: a leaf must
+    stay under 2^31 ELEMENTS (bigger arrays crash the remote TPU
+    compile helper), and the matvec must slice leaves only on their
+    LEADING axis (dim-1 slices of a big array make XLA hoist a full
+    transposed copy — 2 x 6.56 GB at N=430K/M=64Ki, an HBM OOM).  16Ki
+    rows also bounds pass-1's per-dot decode transient
+    ([rows, 16384-byte chunk] bf16 = 512 MB)."""
+    return max(256, min(16384, ((1 << 31) - 1) // max(N4, 1)))
 
 
 def _p1_block(pc_u8, dmat, N4):
     """One row block of pass 1: [mc, N4] packed bytes x sliced model
     columns -> exact f64 [mc, C] (decode in chunks bounded by
-    EXACT_CHUNK samples; every f32 partial sum is an exact integer)."""
-    pc = pc_u8.astype(jnp.int32)
+    EXACT_CHUNK samples; every f32 partial sum is an exact integer).
+    The int32 widening happens per column chunk — widening the whole
+    block first would materialize a 4x copy of the leaf."""
     CJ = _chunk_cols(N4)
     acc = None
     for j0 in range(0, N4, CJ):
         j1 = min(j0 + CJ, N4)
-        pcj = pc[:, j0:j1]
+        pcj = pc_u8[:, j0:j1].astype(jnp.int32)
         for p in range(4):
             g = _decode_plane(pcj, p)
             part = jnp.dot(g, dmat[p * N4 + j0: p * N4 + j1],
@@ -536,7 +545,9 @@ def _packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
                         samp_mask, b, impl: str):
     squeeze = b.ndim == 1
     B = b[:, None] if squeeze else b
-    M, N4 = packed.shape
+    leaves = packed
+    N4 = leaves[0].shape[1]
+    M = sum(lf.shape[0] for lf in leaves)
     Npad = 4 * N4
     N = B.shape[0]
     R = B.shape[1]
@@ -548,26 +559,17 @@ def _packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
     w = scale[None, :, None] / 64.0 \
         * (1.0 / 128.0) ** jnp.arange(S, dtype=jnp.float64)[None, None, :]
 
-    # pass 1: cv = Cm @ b, decoding byte-column chunks x 4 planes
+    # pass 1: cv = Cm @ b, decoding per (leaf, byte-column chunk, plane);
+    # leaves are never sliced on dim 1 (see _leaf_rows)
     if impl.startswith("pallas"):
         from .pallas_grm import plane_dot_fwd
         Cpad = -(-(R * S) // 128) * 128
         d4 = jnp.pad(dmat, ((0, 0), (0, Cpad - R * S))).reshape(4, N4, Cpad)
-        acc = plane_dot_fwd(packed, d4,
+        acc = plane_dot_fwd(jnp.concatenate(leaves, axis=0), d4,
                             interpret=(impl == "pallas_interpret"))
         acc = acc[:, :R * S]
     else:
-        # row-block scan: the store is sliced ONLY on its leading axis
-        # (a dim-1 slice made XLA hoist a full transposed copy of the
-        # 2-bit store at biobank scale — see _row_blocks)
-        nfull, cm = _row_blocks(M, N4)
-        parts = []
-        if nfull:
-            main = jax.lax.map(lambda pc: _p1_block(pc, dmat, N4),
-                               packed[:nfull * cm].reshape(nfull, cm, N4))
-            parts.append(main.reshape(nfull * cm, -1))
-        if nfull * cm < M:
-            parts.append(_p1_block(packed[nfull * cm:], dmat, N4))
+        parts = [_p1_block(lf, dmat, N4) for lf in leaves]
         acc = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     cv = jnp.sum(acc.reshape(M, R, S) * w, axis=-1)   # [M, R]
 
@@ -588,24 +590,25 @@ def _packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
         from .pallas_grm import plane_dot_t
         Cpad = -(-(R * S) // 128) * 128
         dm2 = jnp.pad(dmat2, ((0, 0), (0, Cpad - R * S)))
-        acc4 = plane_dot_t(packed, dm2,
+        acc4 = plane_dot_t(jnp.concatenate(leaves, axis=0), dm2,
                            interpret=(impl == "pallas_interpret"))
         acc4 = acc4[:, :, :R * S]                     # [4, N4, R*S]
         pl4 = jnp.sum(acc4.reshape(4, N4, R, S) * w2c[None], axis=-1)
         out = pl4.reshape(Npad, R)[:N]                # natural order
     else:
-        nfull, cm = _row_blocks(M, N4)
         C2 = dmat2.shape[1]
         acc4 = jnp.zeros((4, N4, C2), jnp.float64)
-        if nfull:
-            def body(acc, xs):
-                return _p2_block(acc, xs[0], xs[1]), None
-            acc4, _ = jax.lax.scan(
-                body, acc4,
-                (packed[:nfull * cm].reshape(nfull, cm, N4),
-                 dmat2[:nfull * cm].reshape(nfull, cm, C2)))
-        if nfull * cm < M:
-            acc4 = _p2_block(acc4, packed[nfull * cm:], dmat2[nfull * cm:])
+        off = 0
+        for lf in leaves:
+            rows = lf.shape[0]
+            # row sub-chunks keep the decode transient ([cmr, N4] bf16)
+            # under ~512 MB; contraction per dot <= EXACT_CHUNK variants
+            cmr = _chunk_rows(rows, N4)
+            for m0 in range(0, rows, cmr):
+                m1 = min(m0 + cmr, rows)
+                acc4 = _p2_block(acc4, lf[m0:m1],
+                                 dmat2[off + m0: off + m1])
+            off += rows
         planes = [jnp.sum(a.reshape(N4, R, S) * w2c, axis=-1) for a in acc4]
         out = jnp.concatenate(planes, axis=0)[:N]     # natural order
 

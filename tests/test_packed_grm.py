@@ -150,8 +150,9 @@ def test_packed2_streamed_build(problem):
     b = np.random.default_rng(8).normal(size=codes.shape[1])
     np.testing.assert_array_equal(np.asarray(sg.matvec(jnp.asarray(b))),
                                   np.asarray(p2.matvec(jnp.asarray(b))))
-    np.testing.assert_array_equal(np.asarray(sg.packed),
-                                  np.asarray(p2.packed))
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(lf) for lf in sg.packed]),
+        np.concatenate([np.asarray(lf) for lf in p2.packed]))
 
 
 def test_packed2_matvec_pallas_interpret_matches_xla():

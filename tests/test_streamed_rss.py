@@ -45,7 +45,8 @@ else:
 # the operator IS (packed, af, inv, diag, missing): checksum its state
 # instead of running a matvec, whose XLA-CPU compile+transients would
 # dominate both children's peaks and drown the build-phase signal
-cs = (int(np.asarray(grm.packed).sum(dtype=np.uint64)),
+cs = (int(sum(np.asarray(lf).sum(dtype=np.uint64)
+              for lf in grm.packed)),
       repr(float(np.asarray(grm.af).sum())),
       repr(float(np.asarray(grm.inv).sum())),
       repr(float(np.asarray(grm.diag)[::997].sum())))
