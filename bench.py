@@ -436,6 +436,8 @@ def phase_fit430():
     jax_setup()
     r = fit_pipeline(FIT430_GDS, N_FIT430, M_FIT430, marker_cache=True,
                      tag="430")
+    r["fit_m"] = M_FIT430
+    r["fit_n"] = N_FIT430
     _merge_best_fit({"fit430_" + k[4:].lstrip("_"): v
                      for k, v in r.items() if k.startswith("fit_")},
                     "fit430")
@@ -1114,7 +1116,7 @@ def main():
         "fit_multi4_s", "fit_multi4_vs_single",
         "fit430_s", "fit430_ingest_s", "fit430_aireml_s", "fit430_vr_s",
         "fit430_cold_s", "fit430_cold_cached_s", "fit430_tau_g",
-        "fit430_converged",
+        "fit430_converged", "fit430_m", "fit430_n",
         "fitbase_s", "fitbase_dnf", "fitbase_aireml_s", "fitbase_vr_s",
         "fitbase_threads",
         "fitblas_s", "fitblas_dnf", "fitblas_ingest_s",
@@ -1181,11 +1183,13 @@ def main():
                 (st["fit430_aireml_s"] + st["fit430_vr_s"]), 2)
     if st.get("fit430_done"):
         # the reference's claim scale (UK Biobank N=430K,
-        # /root/reference/README.md:14) is the headline when captured
+        # /root/reference/README.md:14) is the headline when captured;
+        # shapes come from the capture's own record, not this run's env
         out = {
             "metric": f"null-model fit wall-clock (GDS decode + 2-bit GRM "
                       f"resident on one chip + AI-REML + variance ratio), "
-                      f"N={N_FIT430} x M={M_FIT430}"
+                      f"N={st.get('fit430_n', N_FIT430)} x "
+                      f"M={st.get('fit430_m', M_FIT430)}"
                       + (", CPU baseline DNF (speedup is a floor)"
                          if st.get("fitbase430_dnf") else ""),
             "value": st["fit430_s"],
