@@ -215,7 +215,7 @@ def _cache_was_warm() -> bool:
 
 
 def fit_pipeline(gds=FIT_GDS, n=N_FIT, m=M_FIT, marker_cache=False,
-                 multi: int = 0, tag=""):
+                 multi: int = 0, tag="", engine: str = "device"):
     """GDS decode -> packed GRM -> device AI-REML fit -> variance ratio.
 
     Mirrors the production `fit_null_glmm` pipeline (models/fitnull.py)
@@ -310,17 +310,29 @@ def fit_pipeline(gds=FIT_GDS, n=N_FIT, m=M_FIT, marker_cache=False,
 
     def run_once():
         t1 = time.perf_counter()
-        fit = fit_glmm_binary_device(
-            grm, jnp.asarray(y), jnp.asarray(X), jnp.asarray([1.0, 0.5]),
-            jnp.asarray(fit0.linear_predictors), jnp.asarray(U), 0.02, 1e-5)
-        tau = np.asarray(fit.tau)     # sync: the fit dispatch completes here
-        t_fit = time.perf_counter() - t1
-        glmm = fitnull.GlmmFit(
-            coefficients=np.asarray(fit.coefficients), tau=tau,
-            linear_predictors=np.asarray(fit.eta),
-            fitted_values=np.asarray(fit.mu),
-            residuals=y - np.asarray(fit.mu), cov=np.asarray(fit.cov),
-            converged=bool(np.asarray(fit.converged)))
+        if engine == "host":
+            # the production host-driven engine (fit_null_glmm's): exact
+            # R-RNG replay, one pcg_solve_op dispatch per solve — the
+            # path when the single-dispatch program exceeds the
+            # backend's compile ceiling (BENCH_NOTES round 4)
+            glmm = fitnull.fit_ai_pcg(grm, fit0, X, np.array([1.0, 0.5]),
+                                      cfg, binary=True)
+            tau = np.asarray(glmm.tau)
+            t_fit = time.perf_counter() - t1
+        else:
+            fit = fit_glmm_binary_device(
+                grm, jnp.asarray(y), jnp.asarray(X),
+                jnp.asarray([1.0, 0.5]),
+                jnp.asarray(fit0.linear_predictors), jnp.asarray(U),
+                0.02, 1e-5)
+            tau = np.asarray(fit.tau)    # sync: the dispatch completes here
+            t_fit = time.perf_counter() - t1
+            glmm = fitnull.GlmmFit(
+                coefficients=np.asarray(fit.coefficients), tau=tau,
+                linear_predictors=np.asarray(fit.eta),
+                fitted_values=np.asarray(fit.mu),
+                residuals=y - np.asarray(fit.mu), cov=np.asarray(fit.cov),
+                converged=bool(np.asarray(fit.converged)))
         vr = fitnull.calc_var_ratio(grm, codes, fit0, glmm, nok, cfg,
                                     marker_order, binary=True)
         return tau, glmm, vr, t_fit, time.perf_counter() - t1 - t_fit
@@ -434,10 +446,12 @@ def phase_fit430():
     """The reference's claim scale: N=430K samples (UK Biobank), M=64Ki
     GRM SNPs — 2-bit resident GRM 6.6 GiB on ONE chip (VERDICT r3 #1)."""
     jax_setup()
+    engine = os.environ.get("BENCH_FIT430_ENGINE", "device")
     r = fit_pipeline(FIT430_GDS, N_FIT430, M_FIT430, marker_cache=True,
-                     tag="430")
+                     tag="430", engine=engine)
     r["fit_m"] = M_FIT430
     r["fit_n"] = N_FIT430
+    r["fit_engine"] = engine
     _merge_best_fit({"fit430_" + k[4:].lstrip("_"): v
                      for k, v in r.items() if k.startswith("fit_")},
                     "fit430")
@@ -1116,7 +1130,7 @@ def main():
         "fit_multi4_s", "fit_multi4_vs_single",
         "fit430_s", "fit430_ingest_s", "fit430_aireml_s", "fit430_vr_s",
         "fit430_cold_s", "fit430_cold_cached_s", "fit430_tau_g",
-        "fit430_converged", "fit430_m", "fit430_n",
+        "fit430_converged", "fit430_m", "fit430_n", "fit430_engine",
         "fitbase_s", "fitbase_dnf", "fitbase_aireml_s", "fitbase_vr_s",
         "fitbase_threads",
         "fitblas_s", "fitblas_dnf", "fitblas_ingest_s",
