@@ -888,9 +888,11 @@ def phase_scan():
         f"{dt:.1f}s -> {vps:.0f} v/s ({up_mb / dt:.0f} MB/s effective on "
         f"{up_mb:.0f} MB 2-bit upload; link transport roofline "
         f"{roofline:.0f} v/s -> {100 * vps / roofline:.0f}% of it)")
-    log(f"scan stage attribution (p50/p90 s per {BLOCK}-variant block): "
+    log(f"scan stage attribution (p50/p90 s per {BLOCK}-variant block, one "
+        f"pipelined thread per stage): "
         f"decode {_pctl(inst['decode_s'], 50)}/{_pctl(inst['decode_s'], 90)}"
-        f", build+upload {_pctl(inst['upload_s'], 50)}/"
+        f", pack {_pctl(inst['pack_s'], 50)}/{_pctl(inst['pack_s'], 90)}"
+        f", upload {_pctl(inst['upload_s'], 50)}/"
         f"{_pctl(inst['upload_s'], 90)}, dispatch "
         f"{_pctl(inst['dispatch_s'], 50)}/{_pctl(inst['dispatch_s'], 90)}, "
         f"drain {_pctl(inst['drain_s'], 50)}/{_pctl(inst['drain_s'], 90)}, "
@@ -910,6 +912,8 @@ def phase_scan():
                 scan_link_mbps=round(scan_link_mbps, 1),
                 scan_decode_p50=_pctl(inst["decode_s"], 50),
                 scan_decode_p90=_pctl(inst["decode_s"], 90),
+                scan_pack_p50=_pctl(inst["pack_s"], 50),
+                scan_pack_p90=_pctl(inst["pack_s"], 90),
                 scan_upload_p50=_pctl(inst["upload_s"], 50),
                 scan_upload_p90=_pctl(inst["upload_s"], 90),
                 scan_dispatch_p50=_pctl(inst["dispatch_s"], 50),
@@ -1143,7 +1147,8 @@ def main():
         "scan_cpu_vps",
         "baseline_threads", "link_mbps", "link_lat_s", "link_after_mbps",
         "link_after_lat_s", "scan_link_mbps",
-        "scan_decode_p50", "scan_decode_p90", "scan_upload_p50",
+        "scan_decode_p50", "scan_decode_p90", "scan_pack_p50",
+        "scan_pack_p90", "scan_upload_p50",
         "scan_upload_p90", "scan_dispatch_p50", "scan_dispatch_p90",
         "scan_drain_p50", "scan_drain_p90", "scan_spa_tail_s",
         "roofline_vps", "roofline_frac", "roofline_frac_live",

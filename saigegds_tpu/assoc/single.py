@@ -339,17 +339,19 @@ def _scan_blocks_multi(models, params, B: int, block_iter,
     2-bit planar; both decode on device into the same exact contraction.
 
     ``instrument``: optional dict; when given, per-block wall-times land
-    in lists under ``decode_s`` (GDS block read, worker thread),
-    ``upload_s`` (transport build + host->device transfer, worker
-    thread), ``dispatch_s`` (phase-1 kernel enqueue, main thread),
-    ``drain_s`` (result sync + readback), ``bytes`` (transport payload
-    sizes), plus scalar ``spa_s`` (total phase-2 time).  Stages overlap
-    (prefetch pipeline), so sums exceed wall-clock by design; the lists
-    attribute where a scan's time goes (VERDICT round 3 weak #1).
+    in lists under ``decode_s`` (GDS block read, stage-A thread),
+    ``pack_s`` (transport payload build, stage-B thread), ``upload_s``
+    (host->device transfer, stage-C thread), ``dispatch_s`` (phase-1
+    kernel enqueue, main thread), ``drain_s`` (result sync + readback),
+    ``bytes`` (transport payload sizes), plus scalar ``spa_s`` (total
+    phase-2 time).  Stages overlap (one prefetch thread each), so sums
+    exceed wall-clock by design; the lists attribute where a scan's
+    time goes (VERDICT round 3 weak #1).
     """
     import time as _time
     if instrument is not None:
-        for k in ("decode_s", "upload_s", "dispatch_s", "drain_s", "bytes"):
+        for k in ("decode_s", "pack_s", "upload_s", "dispatch_s",
+                  "drain_s", "bytes"):
             instrument.setdefault(k, [])
         instrument.setdefault("spa_s", 0.0)
     P = len(models)
@@ -384,11 +386,14 @@ def _scan_blocks_multi(models, params, B: int, block_iter,
     spa_rows = [[] for _ in range(P)]
     row0 = 0
 
-    # dispatch pipeline: payload construction AND the host->device
-    # transfer run in the prefetch worker thread (device_put is
-    # thread-safe), so upload of block k+1 overlaps the main thread's
-    # dispatch + result sync of block k; the window then bounds in-flight
-    # device blocks
+    # three-stage dispatch pipeline, one worker thread per stage: GDS
+    # decode || transport pack || host->device transfer (device_put is
+    # thread-safe; numpy/zlib release the GIL).  Round-3's two-stage
+    # form ran decode and pack+upload SEQUENTIALLY in one worker —
+    # per-block wall was their SUM (9.2 s at N=430k) while the link
+    # needed only ~2.4 s; overlapping the stages moves the block rate to
+    # the SLOWEST stage (round-4 scan attribution).  The window then
+    # bounds in-flight device blocks.
     import jax
     import jax.numpy as jnp
     from collections import deque
@@ -396,7 +401,7 @@ def _scan_blocks_multi(models, params, B: int, block_iter,
     DEPTH = 3
     _put = jax.device_put if mesh is None else _place
 
-    def _prepped(raw):
+    def _decoded(raw):
         it = iter(raw)
         while True:
             t0 = _time.perf_counter()
@@ -404,30 +409,45 @@ def _scan_blocks_multi(models, params, B: int, block_iter,
                 idx, G = next(it)            # GDS decode happens here
             except StopIteration:
                 break
-            t_dec = _time.perf_counter() - t0
+            if instrument is not None:
+                instrument["decode_s"].append(_time.perf_counter() - t0)
+            yield idx, G
+
+    def _packed_stage(it):
+        host = lambda x: x
+        for idx, G in it:
+            t0 = _time.perf_counter()
             if packed:
                 G = np.asarray(G, np.int8)
                 pl = _packed_parts(G, B, dense_impl, packed_2bit,
-                                   packed_sparse, _put)
+                                   packed_sparse, host)
             else:
                 G = np.asarray(G, np.float64)
                 if cols is not None:
                     G = G[:, cols]
                 pl = [(np.arange(len(idx)),
-                       _put(_pad_block(_shrink_f32(G), B)), None)]
-            # best-effort: complete the transfer in THIS thread so the
-            # main loop dispatches on fully-resident operands
-            jax.block_until_ready([p for _, p, _ in pl])
+                       _pad_block(_shrink_f32(G), B), None)]
             if instrument is not None:
-                instrument["decode_s"].append(t_dec)
-                instrument["upload_s"].append(
-                    _time.perf_counter() - t0 - t_dec)
-                instrument["bytes"].append(sum(
-                    sum(a.nbytes for a in jax.tree_util.tree_leaves(p))
-                    for _, p, _ in pl))
+                instrument["pack_s"].append(_time.perf_counter() - t0)
             yield idx, G, pl
 
-    block_iter = _prefetch_blocks(_prepped(block_iter))
+    def _uploaded(it):
+        for idx, G, pl_host in it:
+            t0 = _time.perf_counter()
+            pl = [(rows, _put(payload), impl)
+                  for rows, payload, impl in pl_host]
+            # complete the transfer in THIS thread so the main loop
+            # dispatches on fully-resident operands
+            jax.block_until_ready([p for _, p, _ in pl])
+            if instrument is not None:
+                instrument["upload_s"].append(_time.perf_counter() - t0)
+                instrument["bytes"].append(sum(
+                    sum(a.nbytes for a in jax.tree_util.tree_leaves(p))
+                    for _, p, _ in pl_host))
+            yield idx, G, pl
+
+    block_iter = _prefetch_blocks(_uploaded(_prefetch_blocks(
+        _packed_stage(_prefetch_blocks(_decoded(block_iter))))))
 
     def _drain_one():
         nonlocal row0
