@@ -899,11 +899,6 @@ def phase_scan():
         f"spa tail {inst['spa_s']:.2f}s; during-scan link "
         f"{scan_link_mbps:.1f} MB/s vs probe before {link_bw / 1e6:.1f} / "
         f"after {link_bw2 / 1e6:.1f} MB/s")
-    runs_m = [run_tpu(model, mixed=True) for _ in range(reps)]
-    vps_mixed = max(r[0] for r in runs_m)
-    log(f"end-to-end mixed SPA (opt-in tier, best of {reps}): "
-        f"{vps_mixed:.0f} v/s")
-
     old_vps = state_load().get("scan_vps")
     if old_vps is not None and old_vps >= vps:
         # best-of across phase re-runs: the tunnel swings 2-7x between
@@ -913,7 +908,10 @@ def phase_scan():
             f"keeping the earlier capture")
         state_merge(scan_done=True)
         return
-    state_merge(scan_vps=round(vps, 2), scan_vps_mixed=round(vps_mixed, 2),
+    # checkpoint the core capture BEFORE the mixed-tier extras: a tunnel
+    # wedge or phase timeout there must not forfeit the headline set
+    # (round-4 attempt lost a 132 v/s capture exactly this way)
+    state_merge(scan_vps=round(vps, 2),
                 link_mbps=round(link_bw / 1e6, 1),
                 link_lat_s=round(link_lat, 3),
                 link_after_mbps=round(link_bw2 / 1e6, 1),
@@ -938,6 +936,12 @@ def phase_scan():
                 resident_block_s=round(resident_s, 4),
                 resident_vps=round(BLOCK / resident_s, 1),
                 scan_done=True)
+
+    runs_m = [run_tpu(model, mixed=True) for _ in range(reps)]
+    vps_mixed = max(r[0] for r in runs_m)
+    log(f"end-to-end mixed SPA (opt-in tier, best of {reps}): "
+        f"{vps_mixed:.0f} v/s")
+    state_merge(scan_vps_mixed=round(vps_mixed, 2))
 
 
 def phase_multi():
