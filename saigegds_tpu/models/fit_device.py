@@ -551,3 +551,164 @@ def fit_glmm_binary_device_multi(op, Y, X, tau_init, eta_init, U,
     return DeviceFit(coefficients=alpha_f, tau=tau, eta=eta_f, mu=mu_f,
                      cov=cov, iterations=iters,
                      converged=done & ~failed, trace_capped=capped)
+
+
+@partial(jax.jit, static_argnames=("maxiter", "maxiter_pcg"))
+def fit_glmm_quant_device_multi(op, Y, X, tau_init, U,
+                                tol, tol_pcg,
+                                maxiter: int = 20,
+                                maxiter_pcg: int = 500, nrun=30,
+                                trace_cv_cutoff=0.0025) -> DeviceFit:
+    """Fit P quantitative null GLMMs sharing ONE GRM, as one program.
+
+    The quantitative sibling of :func:`fit_glmm_binary_device_multi`:
+    ``Y [P, N]`` phenotypes, ``tau_init [P, 2]``, shared ``X [N, K]`` /
+    ``U [N, R]``.  Every stage stacks all phenotypes' right-hand sides
+    into one batched PCG (per-column tau; gaussian weights are ones), so
+    the GRM streams once per iteration for all P; per-lane control flow
+    (2x2 AI step-halving with zero_v clamps, the 2% stopping rule —
+    src/saige_fitnull.cpp:893-928, 1160-1170) runs lock-step with masks,
+    reproducing each serial :func:`fit_glmm_quant_device` lane.
+    """
+    P, N = Y.shape
+    K = X.shape[1]
+    R = U.shape[1]
+    ones = jnp.ones(N, Y.dtype)
+
+    def bsel(keep, old, new):
+        k = keep.reshape((P,) + (1,) * (old.ndim - 1))
+        return jnp.where(k, new, old)
+
+    def coeff(tau):
+        B = jnp.concatenate(
+            [Y[:, :, None], jnp.broadcast_to(X, (P, N, K)),
+             jnp.broadcast_to(U, (P, N, R))], axis=2)
+        sol = _pcg_multi(op, jnp.broadcast_to(ones, (P, N)), tau, B,
+                         tol_pcg, maxiter_pcg)
+        Si_Y, Si_X, Si_U = sol[:, :, 0], sol[:, :, 1:1 + K], \
+            sol[:, :, 1 + K:]
+        cov = jax.vmap(_sym_inv)(jnp.einsum("nk,pnj->pkj", X, Si_X))
+        alpha = jnp.einsum("pkj,pj->pk", cov,
+                           jnp.einsum("pnk,pn->pk", Si_X, Y))
+        eta = Y - tau[:, 0:1] * \
+            (Si_Y - jnp.einsum("pnk,pk->pn", Si_X, alpha))
+        return alpha, eta, cov, Si_Y, Si_X, Si_U
+
+    AU_const = op.matvec(U)    # tau/phenotype-invariant: one GRM stream
+
+    def proj(Si_X, cov, v, Siv):
+        return Siv - jnp.einsum(
+            "pnk,pk->pn", Si_X,
+            jnp.einsum("pkj,pj->pk", cov,
+                       jnp.einsum("pnj,pn->pj", Si_X, v)))
+
+    def traces(Si_X, cov, Si_U):
+        PU = Si_U - jnp.einsum(
+            "pnk,pkr->pnr", Si_X,
+            jnp.einsum("pkj,pjr->pkr", cov,
+                       jnp.einsum("pnj,nr->pjr", Si_X, U)))
+        t1 = jnp.einsum("nr,pnr->pr", AU_const, PU)
+        t0 = jnp.einsum("nr,pnr->pr", U, PU)
+
+        def one(t1p, t0p):
+            idx = jnp.arange(R)
+
+            def stats(t, r):
+                mask = (idx < r).astype(t.dtype)
+                m = jnp.sum(t * mask) / r
+                var = jnp.sum(((t - m) * mask) ** 2) / (r - 1)
+                return m, jnp.sqrt(var) / (m * r)
+
+            def cond(r):
+                _, cv1 = stats(t1p, r)
+                _, cv0 = stats(t0p, r)
+                return (jnp.maximum(cv0, cv1) > trace_cv_cutoff) & \
+                    (r + 10 <= R)
+
+            r_fin = jax.lax.while_loop(cond, lambda r: r + 10,
+                                       jnp.minimum(jnp.asarray(nrun), R))
+            m0, cv0 = stats(t0p, r_fin)
+            m1, cv1 = stats(t1p, r_fin)
+            return m0, m1, jnp.maximum(cv0, cv1) > trace_cv_cutoff
+
+        return jax.vmap(one)(t1, t0)
+
+    def ai_step(tau):
+        alpha, eta, cov, Si_Y, Si_X, Si_U = coeff(tau)
+        PY = proj(Si_X, cov, Y, Si_Y)
+        APY = op.matvec(PY.T).T
+        YPAPY = jnp.sum(PY * APY, axis=1)
+        YPA0PY = jnp.sum(PY * PY, axis=1)
+        trace0, trace1, capped = traces(Si_X, cov, Si_U)
+        B2 = jnp.stack([PY, APY], axis=2)               # [P, N, 2]
+        sol2 = _pcg_multi(op, jnp.broadcast_to(ones, (P, N)), tau, B2,
+                          tol_pcg, maxiter_pcg)
+        PA0PY = proj(Si_X, cov, sol2[:, :, 0], sol2[:, :, 0])
+        PAPY = proj(Si_X, cov, sol2[:, :, 1], sol2[:, :, 1])
+        a00 = jnp.sum(PY * PA0PY, axis=1)
+        a01 = jnp.sum(PY * PAPY, axis=1)
+        a10 = jnp.sum(APY * PA0PY, axis=1)
+        a11 = jnp.sum(APY * PAPY, axis=1)
+        # symmetrize like the serial fit's (AI + AI.T)/2
+        s01 = (a01 + a10) / 2.0
+        det = a00 * a11 - s01 * s01
+        sc0 = YPA0PY - trace0
+        sc1 = YPAPY - trace1
+        dtau = jnp.stack([(a11 * sc0 - s01 * sc1) / det,
+                          (a00 * sc1 - s01 * sc0) / det], axis=1)
+        zero_v = tau < tol
+
+        def clamp(t):
+            return jnp.where(zero_v & (t < tol), 0.0, t)
+
+        def halve(carry):
+            t1, step = carry
+            neg = jnp.any(t1 < 0.0, axis=1)             # [P]
+            step = jnp.where(neg, step * 0.5, step)
+            t1n = clamp(tau + step[:, None] * dtau)
+            return jnp.where(neg[:, None], t1n, t1), step
+
+        def anyneg(carry):
+            return jnp.any(carry[0] < 0.0)
+
+        t1, _ = jax.lax.while_loop(anyneg, halve,
+                                   (clamp(tau + dtau), jnp.ones(P)))
+        t1 = jnp.where(t1 < tol, 0.0, t1)
+        return t1, alpha, eta, cov, capped
+
+    def body(state):
+        tau, alpha, eta, cov, it, done, capped = state
+        tau1, alpha1, eta1, cov1, cap1 = ai_step(tau)
+        delta = jnp.max(jnp.abs(tau1 - tau) /
+                        (jnp.abs(tau1) + jnp.abs(tau) + tol), axis=1)
+        done1 = done | (delta < tol)
+        keep = (~done) & (it < maxiter)
+        return (bsel(keep, tau, tau1), bsel(keep, alpha, alpha1),
+                bsel(keep, eta, eta1), bsel(keep, cov, cov1),
+                it + jnp.where(keep, 1, 0), jnp.where(keep, done1, done),
+                capped | (keep & cap1))
+
+    def cond(state):
+        _, _, _, _, it, done, _ = state
+        return jnp.any((~done) & (it < maxiter))
+
+    def moment_update(tau):
+        _, _, cov, Si_Y, Si_X, Si_U = coeff(tau)
+        PY = proj(Si_X, cov, Y, Si_Y)
+        APY = op.matvec(PY.T).T
+        trace0, trace1, capped = traces(Si_X, cov, Si_U)
+        s0 = jnp.sum(PY * PY, axis=1) - trace0
+        s1 = jnp.sum(PY * APY, axis=1) - trace1
+        return jnp.maximum(
+            tau + tau ** 2 * jnp.stack([s0, s1], axis=1) / N, 0.0), capped
+
+    tau1, cap0 = moment_update(tau_init)
+    state = (tau1, jnp.zeros((P, K), X.dtype), Y,
+             jnp.broadcast_to(jnp.eye(K, dtype=X.dtype), (P, K, K)),
+             jnp.zeros(P, jnp.int32), jnp.zeros(P, bool), cap0)
+    tau, alpha, eta, cov, iters, done, capped = jax.lax.while_loop(
+        cond, body, state)
+    alpha_f, eta_f, cov_f, *_ = coeff(tau)
+    return DeviceFit(coefficients=alpha_f, tau=tau, eta=eta_f, mu=eta_f,
+                     cov=cov_f, iterations=iters, converged=done,
+                     trace_capped=capped)

@@ -1220,7 +1220,8 @@ def fit_null_glmm_multi(formulas, data, gdsfile,
                         variant_id=None, probe_pool: int = 0) -> list:
     """PheWAS-mode null fit: P binary phenotypes over ONE resident GRM.
 
-    ``formulas``: list of formulas sharing the same covariate terms (e.g.
+    ``formulas``: list of formulas (binary or quantitative per
+    ``config.trait_type``) sharing the same covariate terms (e.g.
     ``["y1 ~ x1 + x2", "y2 ~ x1 + x2"]``), or a single formula whose
     response lists several columns (``"y1 + y2 ~ x1 + x2"`` is NOT
     supported — pass a list).  The GRM is ingested and kept resident
@@ -1246,12 +1247,13 @@ def fit_null_glmm_multi(formulas, data, gdsfile,
     """
     import jax.numpy as jnp
 
-    from .fit_device import fit_glmm_binary_device_multi
+    from .fit_device import (fit_glmm_binary_device_multi,
+                             fit_glmm_quant_device_multi)
 
     cfg = config
-    if cfg.trait_type != "binary":
-        raise ValueError("fit_null_glmm_multi supports binary traits "
-                         "(fit quantitative phenotypes separately)")
+    if cfg.trait_type not in ("binary", "quantitative"):
+        raise ValueError(f"Invalid trait type {cfg.trait_type!r}")
+    binary = cfg.trait_type == "binary"
     if isinstance(formulas, str):
         formulas = [formulas]
     if model_savefn:
@@ -1280,23 +1282,38 @@ def fit_null_glmm_multi(formulas, data, gdsfile,
     X_new = prep["X_new"]
     P = len(resps)
 
-    ys, fit0s, noks, etas = [], [], [], []
+    ys, fit0s, noks, etas, tau0s = [], [], [], [], []
     for r in resps:
         y_raw = prep["data"][r].to_numpy(np.float64)
-        if set(np.unique(y_raw)) - {0.0, 1.0}:
-            raise ValueError(f"binary trait {r!r} must be coded 0/1")
-        fit0 = glm_binomial(X_new, y_raw)
-        ys.append(y_raw)
+        if binary:
+            if set(np.unique(y_raw)) - {0.0, 1.0}:
+                raise ValueError(f"binary trait {r!r} must be coded 0/1")
+            fit0 = glm_binomial(X_new, y_raw)
+            ys.append(y_raw)
+            noks.append(obj_nok_binary(X_new, y_raw))
+            # initial tau: (1, 0.5) unless given (R/saige_main.r:489-495)
+            tau = np.array([1.0, 0.5])
+            ti = np.nan_to_num(np.asarray(cfg.tau_init, float))
+            ti[ti < 0] = 0
+            if ti[1] > 0:
+                tau[1] = ti[1]
+        else:
+            yq = y_raw.copy()
+            if cfg.inv_norm:
+                fit_pre = glm_gaussian(X_new, yq)
+                resid_sd = np.std(fit_pre.residuals, ddof=1)
+                yq = rank_norm(fit_pre.residuals) * resid_sd
+            fit0 = glm_gaussian(X_new, yq)
+            nok = obj_nok_quant(X_new, fit0)
+            ys.append(fit0.y)        # gaussian working response
+            noks.append(nok)
+            ti = np.nan_to_num(np.asarray(cfg.tau_init, float))
+            ti[ti < 0] = 0
+            tau = ti if ti.sum() > 0 else np.array([0.5, 0.5])
+            tau = np.var(fit0.y, ddof=1) * tau / tau.sum()
         fit0s.append(fit0)
-        noks.append(obj_nok_binary(X_new, y_raw))
         etas.append(fit0.linear_predictors)
-
-    # initial tau: (1, 0.5) unless tau_init given (R/saige_main.r:489-495)
-    tau = np.array([1.0, 0.5])
-    ti = np.nan_to_num(np.asarray(cfg.tau_init, float))
-    ti[ti < 0] = 0
-    if ti[1] > 0:
-        tau[1] = ti[1]
+        tau0s.append(tau)
 
     # shared Rademacher probe pool, R-RNG replay like the host fitter's
     # first nrun probes (utils/rrandom); extra columns feed CV escalation
@@ -1306,13 +1323,21 @@ def fit_null_glmm_multi(formulas, data, gdsfile,
     U = np.stack([rng.rademacher(n).astype(np.float64) for _ in range(R)],
                  axis=1)
 
-    fit = fit_glmm_binary_device_multi(
-        prep["grm"], jnp.asarray(np.stack(ys)), jnp.asarray(X_new),
-        jnp.broadcast_to(jnp.asarray(tau), (P, 2)),
-        jnp.asarray(np.stack(etas)), jnp.asarray(U),
-        cfg.tol, cfg.tol_pcg, maxiter=cfg.maxiter,
-        maxiter_pcg=cfg.maxiter_pcg, nrun=cfg.nrun,
-        trace_cv_cutoff=cfg.trace_cv_cutoff)
+    if binary:
+        fit = fit_glmm_binary_device_multi(
+            prep["grm"], jnp.asarray(np.stack(ys)), jnp.asarray(X_new),
+            jnp.asarray(np.stack(tau0s)),
+            jnp.asarray(np.stack(etas)), jnp.asarray(U),
+            cfg.tol, cfg.tol_pcg, maxiter=cfg.maxiter,
+            maxiter_pcg=cfg.maxiter_pcg, nrun=cfg.nrun,
+            trace_cv_cutoff=cfg.trace_cv_cutoff)
+    else:
+        fit = fit_glmm_quant_device_multi(
+            prep["grm"], jnp.asarray(np.stack(ys)), jnp.asarray(X_new),
+            jnp.asarray(np.stack(tau0s)), jnp.asarray(U),
+            cfg.tol, cfg.tol_pcg, maxiter=cfg.maxiter,
+            maxiter_pcg=cfg.maxiter_pcg, nrun=cfg.nrun,
+            trace_cv_cutoff=cfg.trace_cv_cutoff)
     capped = np.asarray(fit.trace_capped)
     if capped.any():
         import warnings
@@ -1335,14 +1360,14 @@ def fit_null_glmm_multi(formulas, data, gdsfile,
     if cfg.var_ratio_mac_cat:
         vrs = [calc_var_ratio_cat(prep["grm"], prep["codes"], fit0s[p],
                                   glmms[p], noks[p], cfg, marker_order,
-                                  binary=True, verbose=verbose)
+                                  binary=binary, verbose=verbose)
                for p in range(P)]
     else:
         # all phenotypes' marker solves stacked into shared PCG calls —
         # the GRM streams once per marker chunk for all P
         vrs = calc_var_ratio_multi(prep["grm"], prep["codes"], fit0s,
                                    glmms, noks, cfg, marker_order,
-                                   binary=True, verbose=verbose)
+                                   binary=binary, verbose=verbose)
     models = []
     for p, r in enumerate(resps):
         model = _assemble_model(cfg, glmms[p], vrs[p], noks[p],

@@ -118,3 +118,37 @@ def test_quant_trace_capped_flag():
                                 0.02, 1e-5, nrun=10,
                                 trace_cv_cutoff=1e-12)
     assert bool(out.trace_capped)
+
+
+def test_quant_multi_matches_serial():
+    """Quantitative PheWAS fit: each lane matches its serial
+    fit_glmm_quant_device to 1e-10."""
+    from saigegds_tpu.models.fit_device import (fit_glmm_quant_device,
+                                                fit_glmm_quant_device_multi)
+    rng = np.random.default_rng(17)
+    n, m, P = 400, 150, 3
+    codes = rng.binomial(2, rng.uniform(0.1, 0.5, size=(m, 1)),
+                         size=(m, n)).astype(np.int8)
+    grm = build_packed_grm(codes)
+    X = np.column_stack([np.ones(n), rng.normal(size=(n, 2))])
+    U = rng.choice([-1.0, 1.0], size=(n, 40))
+    Y = np.stack([X @ (rng.normal(size=3) * 0.4) + rng.normal(size=n)
+                  for _ in range(P)])
+    tau0 = np.stack([np.var(Y[p], ddof=1) * np.array([0.5, 0.5])
+                     for p in range(P)])
+    multi = fit_glmm_quant_device_multi(
+        grm, jnp.asarray(Y), jnp.asarray(X), jnp.asarray(tau0),
+        jnp.asarray(U), 0.02, 1e-5)
+    assert multi.tau.shape == (P, 2)
+    for p in range(P):
+        s = fit_glmm_quant_device(
+            grm, jnp.asarray(Y[p]), jnp.asarray(X), jnp.asarray(tau0[p]),
+            jnp.asarray(U), 0.02, 1e-5)
+        assert bool(multi.converged[p]) == bool(s.converged)
+        np.testing.assert_allclose(np.asarray(multi.tau[p]),
+                                   np.asarray(s.tau), atol=1e-10, rtol=0)
+        np.testing.assert_allclose(np.asarray(multi.eta[p]),
+                                   np.asarray(s.eta), atol=1e-10, rtol=0)
+        np.testing.assert_allclose(np.asarray(multi.coefficients[p]),
+                                   np.asarray(s.coefficients),
+                                   atol=1e-10, rtol=0)

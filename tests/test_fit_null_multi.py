@@ -80,10 +80,26 @@ def test_multi_fit_validation():
     with pytest.raises(ValueError, match="pattern|'{}'"):
         fit_null_glmm_multi(["y ~ x1", "y2 ~ x1"], df, GDS,
                             model_savefn="model.npz")
-    with pytest.raises(ValueError, match="binary"):
+    with pytest.raises(ValueError, match="Invalid trait type"):
         fit_null_glmm_multi(
-            ["yy ~ x1"], df, GDS,
-            NullModelConfig(trait_type="quantitative"))
+            ["yy ~ x1"], df, GDS, NullModelConfig(trait_type="poisson"))
+
+
+def test_multi_fit_quantitative():
+    """Quantitative PheWAS fit end-to-end vs the single fit."""
+    df = _pheno()
+    rng = np.random.default_rng(7)
+    df["yy2"] = df["yy"].to_numpy() + rng.normal(0, 0.5, len(df))
+    cfg = NullModelConfig(trait_type="quantitative", maf=0.01)
+    multi = fit_null_glmm_multi(["yy ~ x1 + x2", "yy2 ~ x1 + x2"], df,
+                                GDS, cfg)
+    single = fit_null_glmm("yy ~ x1 + x2", df, GDS, cfg)
+    assert multi[0].converged and multi[1].converged
+    np.testing.assert_allclose(np.asarray(multi[0].tau),
+                               np.asarray(single.tau), rtol=3e-2)
+    np.testing.assert_allclose(np.asarray(multi[0].var_ratio["ratio"]),
+                               np.asarray(single.var_ratio["ratio"]),
+                               rtol=3e-2)
 
 
 def test_multi_fit_save_pattern(tmp_path):
