@@ -27,6 +27,7 @@ from .utils.stats import acat_p, acat_p_maf, glmm_heritability, load_pval  # noq
 from .utils.profiling import device_info, phase_timer, profile_trace  # noqa: E402
 from .models.fit_device import (fit_glmm_binary_device,  # noqa: E402
                                 fit_glmm_binary_device_multi,
-                                fit_glmm_quant_device)
+                                fit_glmm_quant_device,
+                                fit_glmm_quant_device_multi)
 
 __version__ = "0.1.0"
