@@ -152,7 +152,8 @@ def assoc_spa(gdsfile, modobj: Union[NullModel, str],
 def assoc_spa_multi(gdsfile, modobjs, config: ScanConfig = ScanConfig(),
                     res_savefn: str = "", verbose: bool = False,
                     variant_mask: Optional[np.ndarray] = None,
-                    mesh=None, res_compress: str = "LZMA") -> list:
+                    mesh=None, res_compress: str = "LZMA",
+                    model_batch: int = 0) -> list:
     """PheWAS-mode scan: score-test + SPA for SEVERAL null models over ONE
     pass of the genotype stream.
 
@@ -174,6 +175,12 @@ def assoc_spa_multi(gdsfile, modobjs, config: ScanConfig = ScanConfig(),
     ``res_savefn``: optional pattern containing ``{}`` (formatted with the
     model's index, e.g. ``"out_{}.gds"``).
 
+    ``model_batch``: >0 caps how many models stay device-resident per
+    genotype pass — beyond ~32 models at biobank N the per-model scan
+    state (XV/XXVX_inv/mu vectors, ~41 MB each at N=430k) exhausts one
+    chip's HBM, so larger P runs in ceil(P / model_batch) passes (still
+    P/model_batch fewer streams than the reference's one-pass-per-model).
+
     Returns a list of DataFrames, one per model, each shaped exactly like
     :func:`assoc_spa`'s output.
     """
@@ -189,6 +196,18 @@ def assoc_spa_multi(gdsfile, modobjs, config: ScanConfig = ScanConfig(),
                              f"({e!r}): {res_savefn!r}") from None
         if probe == res_savefn:
             raise ValueError("res_savefn must contain '{}' (model index)")
+    if model_batch and len(modobjs) > model_batch:
+        results = []
+        for g0 in range(0, len(modobjs), model_batch):
+            grp = modobjs[g0:g0 + model_batch]
+            dfs = assoc_spa_multi(gdsfile, grp, config, "", verbose,
+                                  variant_mask, mesh, res_compress)
+            if res_savefn:
+                for i, df in enumerate(dfs):
+                    save_assoc(df, res_savefn.format(g0 + i),
+                               res_compress=res_compress)
+            results.extend(dfs)
+        return results
     models = [NullModel.load(m) for m in modobjs]
     seq = gdsfile if isinstance(gdsfile, SeqData) else SeqData(gdsfile)
 

@@ -95,3 +95,18 @@ def test_multi_save_pattern(tmp_path):
     assert len(got) == len(multi[0])
     with pytest.raises(ValueError, match="res_savefn"):
         st.assoc_spa_multi(GDS, [BIN], CFG, res_savefn=str(tmp_path / "x.csv"))
+
+
+def test_model_batch_grouping(tmp_path):
+    """model_batch groups models into multiple passes; results and saved
+    files match the single-pass run exactly."""
+    one = st.assoc_spa_multi(GDS, [BIN, QUANT, BIN], CFG)
+    out = str(tmp_path / "g_{}.csv")
+    grouped = st.assoc_spa_multi(GDS, [BIN, QUANT, BIN], CFG,
+                                 res_savefn=out, model_batch=2)
+    assert len(grouped) == 3
+    for a, b in zip(one, grouped):
+        pd.testing.assert_frame_equal(a, b)
+    for i in range(3):
+        back = pd.read_csv(out.format(i))
+        assert len(back) == len(one[i])
