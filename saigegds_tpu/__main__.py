@@ -53,9 +53,10 @@ def main(argv=None):
                         "(opt-in newer-SAIGEgds feature; default pooled)")
     p.add_argument("--pheno-cols", default="",
                    help="comma-separated response columns for a PheWAS-mode "
-                        "batched fit over ONE resident GRM (binary traits; "
-                        "--formula supplies the shared covariates, its "
-                        "response is replaced; --out then needs '{}')")
+                        "batched fit over ONE resident GRM (binary or "
+                        "quantitative per --trait; --formula supplies the "
+                        "shared covariates, its response is replaced; "
+                        "--out then needs '{}')")
 
     for name, hlp in (("scan", "single-variant score+SPA scan"),
                       ("burden", "burden tests over sliding windows"),
@@ -79,6 +80,10 @@ def main(argv=None):
             q.add_argument("--maf", type=float, default=float("nan"))
             q.add_argument("--shard", default="",
                            help="i/n: scan variant range i of n (0-based)")
+            q.add_argument("--model-batch", type=int, default=0,
+                           help="max models device-resident per genotype "
+                                "pass (multi-model scans beyond ~32 "
+                                "models at biobank N; 0 = all at once)")
             q.add_argument("--chr", default="",
                            help="restrict to chromosome(s), comma-separated")
             q.add_argument("--pos-range", default="",
@@ -197,7 +202,8 @@ def main(argv=None):
             st.assoc_spa_multi(seq, args.model,
                                ScanConfig(mac=args.mac, maf=args.maf),
                                res_savefn=args.out, verbose=True,
-                               res_compress=args.res_compress, **kwargs)
+                               res_compress=args.res_compress,
+                               model_batch=args.model_batch, **kwargs)
         else:
             st.assoc_spa(seq, args.model[0],
                          ScanConfig(mac=args.mac, maf=args.maf),
