@@ -974,10 +974,26 @@ def phase_multi():
                 best = min(best, time.perf_counter() - t0)
         except Exception as e:
             # P models' resident state can exceed one chip's HBM at
-            # biobank N (P=64 x ~41 MB/model + payloads on a 16 GB v5e)
+            # biobank N (P=64 x ~41 MB/model + payloads on a 16 GB v5e);
+            # retry grouped (model_batch) — still P/batch fewer GDS
+            # streams than the reference's pass-per-model
             log(f"PheWAS multi-scan P={P}: {type(e).__name__}: "
-                f"{str(e)[:120]}")
+                f"{str(e)[:120]}; retrying with model_batch=16")
             state_merge(**{f"scan_multi{P}_oom": True})
+            try:
+                seq = SeqData(GDS_PATH)
+                t0 = time.perf_counter()
+                assoc_spa_multi(seq, models[:P],
+                                ScanConfig(block_size=BLOCK),
+                                model_batch=16)
+                dt = time.perf_counter() - t0
+                log(f"PheWAS multi-scan P={P} (model_batch=16): "
+                    f"{dt:.1f}s = {P * N_VARIANTS / dt:.0f} mv/s")
+                state_merge(**{f"scan_multi{P}_grouped_s": round(dt, 2),
+                               f"scan_multi{P}_grouped_mvps":
+                                   round(P * N_VARIANTS / dt, 1)})
+            except Exception as e2:
+                log(f"grouped retry failed too: {str(e2)[:120]}")
             continue
         ref = (N_VARIANTS / single_s) if single_s else None
         log(f"PheWAS multi-scan P={P}: {best:.1f}s = "
@@ -1169,7 +1185,7 @@ def main():
         "scan_vps", "scan_vps_mixed",
         "scan_multi4_mvps", "scan_multi4_s", "scan_multi16_mvps",
         "scan_multi16_s", "scan_multi64_mvps", "scan_multi64_s",
-        "scan_multi64_oom",
+        "scan_multi64_oom", "scan_multi64_grouped_s", "scan_multi64_grouped_mvps",
         "scan_cpu_vps",
         "baseline_threads", "link_mbps", "link_lat_s", "link_after_mbps",
         "link_after_lat_s", "scan_link_mbps",
