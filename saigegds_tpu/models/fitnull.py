@@ -104,28 +104,6 @@ def _pcg_grouped_j(op, Wp, taup, col_map, B, tol, maxiter):
                      B, tol, maxiter)
 
 
-def _pcg_grouped(grm, Wp, taup, col_map, B, tol, maxiter):
-    """Solve Sigma_p x = b for columns belonging to DIFFERENT phenotypes:
-    ``Wp [N, P]`` / ``taup [2, P]`` per-phenotype, ``col_map [R]`` the
-    column->phenotype index.  The per-column weight matrix is expanded ON
-    DEVICE (the host would otherwise ship an [N, R] f64 copy of weights —
-    8 B/sample/column of pure transport overhead on a slow link)."""
-    from ..parallel.mesh import ShardedGrmHandle
-    if isinstance(grm, ShardedGrmHandle):   # handle path: host expansion
-        X, conv = grm.pcg(np.asarray(Wp)[:, col_map],
-                          np.asarray(taup)[:, col_map], B, tol, maxiter)
-        if not bool(np.asarray(conv).all()):
-            print("PCG does not converge (may need to increase 'maxiter').")
-        return np.asarray(X)
-    X, _iters, conv = _pcg_grouped_j(grm, jnp.asarray(Wp),
-                                     jnp.asarray(taup),
-                                     jnp.asarray(col_map, jnp.int32),
-                                     jnp.asarray(B), tol, maxiter)
-    if not bool(conv.all()):
-        print("PCG does not converge (may need to increase 'maxiter').")
-    return np.asarray(X)
-
-
 def _grm_mv(grm, b):
     from ..parallel.mesh import ShardedGrmHandle
     if isinstance(grm, ShardedGrmHandle):
@@ -649,13 +627,25 @@ def calc_var_ratio_multi(grm, codes, fit0s, glmms, noks,
     `fit_null_glmm_multi` contract); returns a list of P row-dicts shaped
     like :func:`calc_var_ratio`'s.
     """
+    from dataclasses import replace as _dc_replace
+
     from ..parallel.mesh import ShardedGrmHandle
     if isinstance(grm, ShardedGrmHandle):
         # handle path: per-phenotype serial (the fused kernel closes over
-        # a single-device operator; the mesh fit is not the PheWAS path)
-        return [calc_var_ratio(grm, codes, fit0s[p], glmms[p], noks[p],
-                               cfg, marker_order, binary, verbose)
-                for p in range(len(glmms))]
+        # a single-device operator; the mesh fit is not the PheWAS path).
+        # Checkpoints get a per-phenotype tag — with the shared cfg,
+        # phenotype 0's completed vr checkpoint would otherwise be
+        # resumed by every later phenotype (same n_rand passes the
+        # mismatch guard) and silently duplicate its rows.
+        cfgs = [_dc_replace(cfg, checkpoint=f"{cfg.checkpoint}.p{p}")
+                if cfg.checkpoint else cfg for p in range(len(glmms))]
+        out = [calc_var_ratio(grm, codes, fit0s[p], glmms[p], noks[p],
+                              cfgs[p], marker_order, binary, verbose)
+               for p in range(len(glmms))]
+        for c in cfgs:          # all lanes done: drop per-lane resume state
+            if c.checkpoint:
+                clear_checkpoint(c)
+        return out
     P = len(glmms)
     family = _Binomial() if binary else _Gaussian()
     Ws, mus = [], []
@@ -719,26 +709,40 @@ def calc_var_ratio_multi(grm, codes, fit0s, glmms, noks,
                 continue
             pending.append((i_snp, af, ac, g))
         if pending:
-            G0 = np.stack([q[3] for q in pending], axis=1)   # [N, B]
-            ac_v = np.asarray([q[2] for q in pending])
-            ia = np.asarray(active, np.int32)
+            # fixed kernel shape: marker chunks pad to num_marker columns
+            # and ALL P lanes stay in the batch (inactive lanes compute
+            # and are discarded) — each distinct (P, B) pair would
+            # otherwise re-trigger a remote-AOT compile, and chunk sizes
+            # vary (first chunk num_marker, escalations 10, drop-outs
+            # shrink P)
+            B0 = max(cfg.num_marker, len(pending))
+            G0 = np.zeros((Wp.shape[0], B0))
+            G0[:, :len(pending)] = np.stack([q[3] for q in pending], axis=1)
+            ac_v = np.ones(B0)
+            ac_v[:len(pending)] = [q[2] for q in pending]
             var1, var2, conv = _vr_chunk_multi_j(
-                grm, jnp.asarray(G0), XXVX_inv_s[ia], XV_s[ia], X1_s[ia],
-                SiX_s[ia], xsx_inv_s[ia], Wp[:, ia], taup[:, ia],
-                mu2_s[ia], jnp.asarray(ac_v), cfg.tol_pcg,
+                grm, jnp.asarray(G0), XXVX_inv_s, XV_s, X1_s,
+                SiX_s, xsx_inv_s, Wp, taup,
+                mu2_s, jnp.asarray(ac_v), cfg.tol_pcg,
                 cfg.maxiter_pcg, binary)
             var1, var2 = np.asarray(var1), np.asarray(var2)
             if not bool(np.asarray(conv).all()):
                 print("PCG does not converge (may need to increase "
                       "'maxiter').")
-            for j, p in enumerate(active):
+            for p in active:
                 for k, (i_snp, af, ac, _) in enumerate(pending):
                     rows[p]["id"].append(i_snp)
                     rows[p]["maf"].append(af)
                     rows[p]["mac"].append(ac)
-                    rows[p]["var1"].append(var1[j, k])
-                    rows[p]["var2"].append(var2[j, k])
-                    rows[p]["ratio"].append(var1[j, k] / var2[j, k])
+                    rows[p]["var1"].append(var1[p, k])
+                    rows[p]["var2"].append(var2[p, k])
+                    rows[p]["ratio"].append(var1[p, k] / var2[p, k])
+                    # telemetry parity with the serial path's per-marker
+                    # event (reference print, src/saige_fitnull.cpp:1335)
+                    telemetry.emit("var_ratio_marker", phenotype=p,
+                                   id=i_snp, maf=af, mac=ac,
+                                   var1=var1[p, k], var2=var2[p, k],
+                                   ratio=var1[p, k] / var2[p, k])
             num_tested += len(pending)
         still = []
         for p in active:

@@ -200,10 +200,11 @@ def _i8_exact_dot(A_bf16, x, n_slices: int, contract_left: bool):
 class Packed2GRM(NamedTuple):
     """GRM operator over 2-bit planar-packed genotypes resident in HBM.
 
-    ``packed`` is a TUPLE of row-block leaves ``[rows_i, N4]`` (variant
-    blocks, concatenated order).  Each leaf's byte ``[m, j]`` bit-pair
-    ``p`` holds the (zeroed-missing) code of sample ``p * N4 + j`` — four
-    contiguous "planes" of the padded sample axis share a byte, so
+    ``packed`` is a TUPLE of row-block leaves, each leaf itself a TUPLE
+    of column tiles ``[rows_i, cols_j]`` (variant blocks x byte-column
+    blocks, concatenated order).  Each tile byte's bit-pair ``p`` holds
+    the (zeroed-missing) code of sample ``p * N4 + (byte column)`` —
+    four contiguous "planes" of the padded sample axis share a byte, so
     on-device decode is four shift-and-mask slices in natural sample
     order (no interleaving reshape).  0.25 B/genotype: 8x less HBM than
     the bf16 code store, matching the reference's 4-genotypes/byte
@@ -211,15 +212,17 @@ class Packed2GRM(NamedTuple):
     algebra and is bit-identical to :func:`packed_grm_matvec` (all
     partial sums are exact integers).
 
-    Why leaves, not one [M, N] array: at biobank scale a monolithic
+    Why tiles, not one [M, N] array: at biobank scale a monolithic
     store breaks the compiler twice — dim-1 slicing made XLA hoist a
     full transposed copy (2 x 6.56 GB at N=430K, M=64Ki: HBM OOM), and
     arrays above 2^31 elements crash the remote TPU compile outright.
-    Leaves are capped at 2^31 elements AND ~16Ki rows; the matvec
-    slices only their leading axis (see memory note in _leaf_rows).
+    Row leaves are capped at ~16Ki rows (see _leaf_rows) and column
+    tiles at _TILE_COLS bytes, so the matvec NEVER slices a device
+    array (all tiling happens on host at build time) and each per-tile
+    decode transient stays bounded (memory note: xla-layout-copy-oom).
     """
 
-    packed: tuple           # tuple of [rows_i, N4] uint8 leaves
+    packed: tuple           # tuple of leaves; leaf = tuple of u8 tiles
     af: jnp.ndarray         # [M] float64
     inv: jnp.ndarray        # [M] float64
     diag: jnp.ndarray       # [N] float64 diag(GRM)
@@ -351,8 +354,10 @@ def build_packed2_grm(codes: np.ndarray,
     af, inv, diag, mv, ms = _variant_moments(codes)
     miss_var, miss_samp, miss_pad = _pad_miss(mv, ms, pad_multiple)
     cap = _leaf_rows((N + 3) // 4)
-    leaves = tuple(jnp.asarray(_pack2_zeroed(codes[m0:m0 + cap]))
-                   for m0 in range(0, M, cap))
+    leaves = tuple(
+        tuple(jnp.asarray(t)
+              for t in _split_tiles(_pack2_zeroed(codes[m0:m0 + cap])))
+        for m0 in range(0, M, cap))
     return Packed2GRM(
         packed=leaves,
         af=jnp.asarray(af), inv=jnp.asarray(inv),
@@ -383,11 +388,19 @@ def build_packed2_grm_streamed(block_iter, n_samples: int,
     cap = _leaf_rows((n_samples + 3) // 4)
     leaves, group, group_rows = [], [], 0
 
+    def _put_tiles(packed_np):
+        return tuple(put(t) for t in _split_tiles(packed_np))
+
     def _seal():
         nonlocal group, group_rows
         if group:
-            leaves.append(group[0] if len(group) == 1
-                          else jnp.concatenate(group, axis=0))
+            if len(group) == 1:
+                leaves.append(group[0])
+            else:           # concat per column tile (leading axis only)
+                n_tiles = len(group[0])
+                leaves.append(tuple(
+                    jnp.concatenate([g[c] for g in group], axis=0)
+                    for c in range(n_tiles)))
             group, group_rows = [], 0
 
     for _idx, codes in block_iter:
@@ -404,9 +417,9 @@ def build_packed2_grm_streamed(block_iter, n_samples: int,
         if b >= cap:   # oversized incoming block: split into cap leaves
             packed_b = _pack2_zeroed(codes)
             for m0 in range(0, b, cap):
-                leaves.append(put(packed_b[m0:m0 + cap]))
+                leaves.append(_put_tiles(packed_b[m0:m0 + cap]))
         else:
-            group.append(put(_pack2_zeroed(codes)))
+            group.append(_put_tiles(_pack2_zeroed(codes)))
             group_rows += b
         row0 += b
     _seal()
@@ -434,17 +447,20 @@ def _decode_plane(pc_i32, p):
     return ((pc_i32 >> (2 * p)) & 3).astype(jnp.float32).astype(jnp.bfloat16)
 
 
-def _chunk_cols(N4: int) -> int:
-    """Byte-column chunk for pass 1: contraction stays <= EXACT_CHUNK and
-    the decoded [chunk_rows, chunk] bf16 transient stays modest."""
-    return min(16384, max(256, N4))
+# Column-tile width (bytes) of the 2-bit store: fixed at BUILD time so the
+# matvec never slices a device array's minor axis (CLAUDE.md invariant 4).
+# 16384 bytes x 16Ki-row leaves bounds every per-tile decode transient
+# ([rows, _TILE_COLS] int32 = 1 GB, bf16 = 512 MB) and keeps each pass-1
+# plane dot's contraction at 16384 <= 131072 terms (products <= 2*64, so
+# f32 partials stay exact integers < 2^24).
+_TILE_COLS = 16384
 
 
-def _chunk_rows(M: int, N4: int) -> int:
-    """Variant chunk: contraction <= EXACT_CHUNK and the decoded
-    [chunk, N4] bf16 transient stays under ~1 GB."""
-    cap = max(1, (512 << 20) // max(2 * N4, 1))
-    return min(EXACT_CHUNK, max(256, cap), M)
+def _split_tiles(packed_np: np.ndarray):
+    """Host-side column split of a packed [rows, N4] block into tiles."""
+    N4 = packed_np.shape[1]
+    return tuple(np.ascontiguousarray(packed_np[:, j0:j0 + _TILE_COLS])
+                 for j0 in range(0, N4, _TILE_COLS))
 
 
 def _leaf_rows(N4: int) -> int:
@@ -460,31 +476,30 @@ def _leaf_rows(N4: int) -> int:
     return max(256, min(16384, ((1 << 31) - 1) // max(N4, 1)))
 
 
-def _p1_block(pc_u8, dmat, N4):
-    """One row block of pass 1: [mc, N4] packed bytes x sliced model
-    columns -> exact f64 [mc, C] (decode in chunks bounded by
-    EXACT_CHUNK samples; every f32 partial sum is an exact integer).
-    The int32 widening happens per column chunk — widening the whole
-    block first would materialize a 4x copy of the leaf."""
-    CJ = _chunk_cols(N4)
+def _p1_tile(tile_u8, dmat, N4, j0):
+    """One (row-leaf, column-tile) of pass 1: [mc, w] packed bytes x the
+    tile's slice of the model columns -> exact f64 [mc, C].  Contraction
+    per plane dot is w <= _TILE_COLS <= 131072 terms of exact integer
+    products <= 128, so every f32 partial sum is an exact integer
+    < 2^24; the dmat slice is leading-axis only."""
+    w = tile_u8.shape[1]
+    pc = tile_u8.astype(jnp.int32)
     acc = None
-    for j0 in range(0, N4, CJ):
-        j1 = min(j0 + CJ, N4)
-        pcj = pc_u8[:, j0:j1].astype(jnp.int32)
-        for p in range(4):
-            g = _decode_plane(pcj, p)
-            part = jnp.dot(g, dmat[p * N4 + j0: p * N4 + j1],
-                           preferred_element_type=jnp.float32)
-            part = part.astype(jnp.float64)
-            acc = part if acc is None else acc + part
+    for p in range(4):
+        g = _decode_plane(pc, p)
+        part = jnp.dot(g, dmat[p * N4 + j0: p * N4 + j0 + w],
+                       preferred_element_type=jnp.float32)
+        part = part.astype(jnp.float64)
+        acc = part if acc is None else acc + part
     return acc
 
 
-def _p2_block(acc4, pc_u8, dm):
-    """One row block of pass 2: accumulate the transpose product
-    [4, N4, C] += decode([mc, N4])' @ dm[mc, C] per plane (contraction
-    over <= EXACT_CHUNK variants: exact f32 integers, f64 combine)."""
-    pc = pc_u8.astype(jnp.int32)
+def _p2_tile(acc4, tile_u8, dm):
+    """One (row-leaf, column-tile) of pass 2: accumulate the transpose
+    product [4, w, C] += decode([mc, w])' @ dm[mc, C] per plane
+    (contraction over <= 16Ki leaf rows: exact f32 integers, f64
+    combine)."""
+    pc = tile_u8.astype(jnp.int32)
     parts = []
     for p in range(4):
         g = _decode_plane(pc, p)
@@ -546,8 +561,13 @@ def _packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
     squeeze = b.ndim == 1
     B = b[:, None] if squeeze else b
     leaves = packed
-    N4 = leaves[0].shape[1]
-    M = sum(lf.shape[0] for lf in leaves)
+    col_offs = []                 # byte-column offset of each tile
+    j = 0
+    for t in leaves[0]:
+        col_offs.append(j)
+        j += t.shape[1]
+    N4 = j
+    M = sum(lf[0].shape[0] for lf in leaves)
     Npad = 4 * N4
     N = B.shape[0]
     R = B.shape[1]
@@ -559,17 +579,25 @@ def _packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
     w = scale[None, :, None] / 64.0 \
         * (1.0 / 128.0) ** jnp.arange(S, dtype=jnp.float64)[None, None, :]
 
-    # pass 1: cv = Cm @ b, decoding per (leaf, byte-column chunk, plane);
-    # leaves are never sliced on dim 1 (see _leaf_rows)
+    # pass 1: cv = Cm @ b, decoding per (row leaf, column tile, plane);
+    # device arrays are never sliced — tiling happened at build time
     if impl.startswith("pallas"):
         from .pallas_grm import plane_dot_fwd
+        full = jnp.concatenate([jnp.concatenate(lf, axis=1)
+                                for lf in leaves], axis=0)
         Cpad = -(-(R * S) // 128) * 128
         d4 = jnp.pad(dmat, ((0, 0), (0, Cpad - R * S))).reshape(4, N4, Cpad)
-        acc = plane_dot_fwd(jnp.concatenate(leaves, axis=0), d4,
+        acc = plane_dot_fwd(full, d4,
                             interpret=(impl == "pallas_interpret"))
         acc = acc[:, :R * S]
     else:
-        parts = [_p1_block(lf, dmat, N4) for lf in leaves]
+        parts = []
+        for lf in leaves:
+            acc_l = None
+            for t, j0 in zip(lf, col_offs):
+                part = _p1_tile(t, dmat, N4, j0)
+                acc_l = part if acc_l is None else acc_l + part
+            parts.append(acc_l)
         acc = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     cv = jnp.sum(acc.reshape(M, R, S) * w, axis=-1)   # [M, R]
 
@@ -588,28 +616,35 @@ def _packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
         * (1.0 / 128.0) ** jnp.arange(S, dtype=jnp.float64)[None, None, :]
     if impl.startswith("pallas"):
         from .pallas_grm import plane_dot_t
+        full = jnp.concatenate([jnp.concatenate(lf, axis=1)
+                                for lf in leaves], axis=0)
         Cpad = -(-(R * S) // 128) * 128
         dm2 = jnp.pad(dmat2, ((0, 0), (0, Cpad - R * S)))
-        acc4 = plane_dot_t(jnp.concatenate(leaves, axis=0), dm2,
+        acc4 = plane_dot_t(full, dm2,
                            interpret=(impl == "pallas_interpret"))
         acc4 = acc4[:, :, :R * S]                     # [4, N4, R*S]
         pl4 = jnp.sum(acc4.reshape(4, N4, R, S) * w2c[None], axis=-1)
         out = pl4.reshape(Npad, R)[:N]                # natural order
     else:
         C2 = dmat2.shape[1]
-        acc4 = jnp.zeros((4, N4, C2), jnp.float64)
-        off = 0
-        for lf in leaves:
-            rows = lf.shape[0]
-            # row sub-chunks keep the decode transient ([cmr, N4] bf16)
-            # under ~512 MB; contraction per dot <= EXACT_CHUNK variants
-            cmr = _chunk_rows(rows, N4)
-            for m0 in range(0, rows, cmr):
-                m1 = min(m0 + cmr, rows)
-                acc4 = _p2_block(acc4, lf[m0:m1],
-                                 dmat2[off + m0: off + m1])
-            off += rows
-        planes = [jnp.sum(a.reshape(N4, R, S) * w2c, axis=-1) for a in acc4]
+        # per column tile: accumulate [4, w, C2] over the row leaves
+        # (contraction per dot <= 16Ki leaf rows: exact f32 integers),
+        # then apply the slice weights; dmat2 slices are leading-axis
+        pl_tiles = []                                 # [n_tiles][4][w, R]
+        for c, _j0 in enumerate(col_offs):
+            w_c = leaves[0][c].shape[1]
+            acc4 = jnp.zeros((4, w_c, C2), jnp.float64)
+            off = 0
+            for lf in leaves:
+                rows = lf[c].shape[0]
+                acc4 = _p2_tile(acc4, lf[c], dmat2[off: off + rows])
+                off += rows
+            pl_tiles.append([jnp.sum(a.reshape(w_c, R, S) * w2c, axis=-1)
+                             for a in acc4])
+        # natural order: plane-major, column tiles in offset order
+        planes = [jnp.concatenate([pt[p] for pt in pl_tiles], axis=0)
+                  if len(pl_tiles) > 1 else pl_tiles[0][p]
+                  for p in range(4)]
         out = jnp.concatenate(planes, axis=0)[:N]     # natural order
 
     corr2 = jax.ops.segment_sum(w2[miss_var] * miss_pad[:, None],

@@ -113,27 +113,29 @@ def test_packed2_matvec_bit_identical(problem):
 
 
 def test_packed2_matvec_1d_and_chunking():
-    """Cross chunk boundaries: N4 > chunk via a tiny chunk monkeypatch."""
+    """Cross tile boundaries: force multiple row leaves AND column tiles
+    via tiny build-time caps; device code never slices (invariant 4)."""
     import saigegds_tpu.ops.packed_grm as m
 
     rng = np.random.default_rng(7)
     codes = rng.integers(0, 3, size=(97, 1031)).astype(np.int8)
     codes[rng.random(codes.shape) < 0.05] = 3
     pg = m.build_packed_grm(codes)
-    p2 = m.build_packed2_grm(codes)
     b = rng.normal(size=1031)
-    orig_cols, orig_rows = m._chunk_cols, m._chunk_rows
+    orig_tile, orig_rows = m._TILE_COLS, m._leaf_rows
     try:
-        m._chunk_cols = lambda N4: 64
-        m._chunk_rows = lambda M, N4: 33
+        m._TILE_COLS = 64                 # 1031 samples -> 258 bytes -> 5 tiles
+        m._leaf_rows = lambda N4: 33      # 97 rows -> 3 leaves
+        p2 = m.build_packed2_grm(codes)
+        assert len(p2.packed) == 3 and len(p2.packed[0]) == 5
         got = np.asarray(m.packed2_grm_matvec(
             p2.packed, p2.af, p2.inv, p2.miss_var, p2.miss_samp,
             p2.miss_pad, p2.samp_mask, jnp.asarray(b)))
     finally:
-        m._chunk_cols, m._chunk_rows = orig_cols, orig_rows
+        m._TILE_COLS, m._leaf_rows = orig_tile, orig_rows
     want = np.asarray(pg.matvec(jnp.asarray(b)))
-    # chunk partials are exact integers; only the final f64 combines can
-    # reassociate, so any chunking agrees to ~1 ULP
+    # tile partials are exact integers; only the final f64 combines can
+    # reassociate, so any tiling agrees to ~1 ULP
     np.testing.assert_allclose(got, want, atol=1e-13 * np.abs(want).max())
 
 

@@ -45,8 +45,8 @@ else:
 # the operator IS (packed, af, inv, diag, missing): checksum its state
 # instead of running a matvec, whose XLA-CPU compile+transients would
 # dominate both children's peaks and drown the build-phase signal
-cs = (int(sum(np.asarray(lf).sum(dtype=np.uint64)
-              for lf in grm.packed)),
+cs = (int(sum(np.asarray(t).sum(dtype=np.uint64)
+              for lf in grm.packed for t in lf)),
       repr(float(np.asarray(grm.af).sum())),
       repr(float(np.asarray(grm.inv).sum())),
       repr(float(np.asarray(grm.diag)[::997].sum())))
