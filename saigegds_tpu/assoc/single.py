@@ -27,21 +27,36 @@ SPA_FLUSH_BYTES = 1 << 30  # flagged-set host budget before an incremental
 #                            phase-2 flush (bounds scan memory at scale)
 
 
-def _prefetch_blocks(block_iter, depth: int = 2):
+def _prefetch_blocks(block_iter, depth: int = 2, name: str = "",
+                     instrument=None):
     """Run the block iterator in a background thread with a bounded queue,
     so host-side GDS decode of block k+1 overlaps the device compute and
     upload of block k (decode is zlib/lzma + native kernels — all release
-    the GIL)."""
+    the GIL).
+
+    With ``instrument`` and ``name``, three per-item wait timers land in
+    lists (the inter-stage attribution VERDICT r4 #7 asked for):
+    ``stall_{name}_s`` — the producer blocked on a full queue (the stage
+    DOWNSTREAM of ``name`` is the laggard); ``idle_{name}_s`` — the
+    consumer blocked on an empty queue (``name`` itself is the laggard);
+    ``queued_{name}_s`` — how long a finished item sat ready-but-
+    unconsumed (downstream occupancy, not handoff overhead).
+    """
+    import time as _time
     import queue
     import threading
 
     q = queue.Queue(maxsize=depth)
     _END = object()
+    rec = (lambda k, v: instrument.setdefault(k, []).append(v)) \
+        if instrument is not None and name else (lambda k, v: None)
 
     def worker():
         try:
             for item in block_iter:
-                q.put(item)
+                t0 = _time.perf_counter()
+                q.put((t0, item))
+                rec(f"stall_{name}_s", _time.perf_counter() - t0)
             q.put(_END)
         except BaseException as e:               # surface in the consumer
             q.put(e)
@@ -49,12 +64,69 @@ def _prefetch_blocks(block_iter, depth: int = 2):
     t = threading.Thread(target=worker, daemon=True)
     t.start()
     while True:
+        t0 = _time.perf_counter()
         item = q.get()
+        t1 = _time.perf_counter()
         if item is _END:
             break
         if isinstance(item, BaseException):
             raise item
+        t_ready, item = item
+        rec(f"idle_{name}_s", t1 - t0)
+        rec(f"queued_{name}_s", max(t1 - t_ready, 0.0))
         yield item
+
+
+class TransportPolicy:
+    """Link-aware engagement of the gap-coded sparse transport tier.
+
+    Under the three-stage pipeline (decode || pack || upload) the upload
+    bytes the sparse tier saves only buy wall-clock when the UPLOAD stage
+    is the binder; when decode binds, the tier's device-side scatter and
+    extra dispatches sit on the critical path for nothing (round-4: rare
+    files ran 55 v/s sparse vs 90 v/s forced-dense on a healthy link;
+    round-3's starved link had sparse WINNING 352 vs 192 — VERDICT r4 #2).
+    The scan therefore starts dense and engages the sparse tier only when
+    the measured link is the bottleneck:
+
+      projected dense upload (dense_bytes / measured link B/s)
+          > hysteresis x measured decode seconds per block.
+
+    Rates are EMAs of the pipeline's own stage timings; the link rate is
+    tier-independent (bytes moved / upload-stage seconds), so engaging
+    the tier does not flip the signal back (no oscillation).  With no
+    measurements yet (first blocks) the decision is ``starved=False`` —
+    i.e. the default tier is 2-bit dense, the round-4 winner.
+    """
+
+    EMA = 0.5           # per-block smoothing
+    HYSTERESIS = 1.2    # engage only when upload clearly exceeds decode
+
+    def __init__(self):
+        self.decode_s = None      # EMA seconds per block
+        self.link_bps = None      # EMA upload bytes/s
+        self._engaged = False
+
+    def note_decode(self, seconds: float):
+        if seconds > 0:
+            self.decode_s = seconds if self.decode_s is None else \
+                (1 - self.EMA) * self.decode_s + self.EMA * seconds
+
+    def note_upload(self, seconds: float, nbytes: int):
+        if seconds > 0 and nbytes > 0:
+            bps = nbytes / seconds
+            self.link_bps = bps if self.link_bps is None else \
+                (1 - self.EMA) * self.link_bps + self.EMA * bps
+
+    def starved(self, dense_bytes: int) -> bool:
+        """True when shipping ``dense_bytes`` dense is projected to bind
+        the pipeline (the sparse tier's byte saving buys wall-clock)."""
+        if self.decode_s is None or self.link_bps is None:
+            return False
+        proj_upload = dense_bytes / self.link_bps
+        thr = self.HYSTERESIS if not self._engaged else 1.0 / self.HYSTERESIS
+        self._engaged = proj_upload > thr * self.decode_s
+        return self._engaged
 
 
 def _shrink_f32(G: np.ndarray) -> np.ndarray:
@@ -320,13 +392,13 @@ def _scan_blocks(scan_model, params, binary: bool, B: int, block_iter,
                  mesh=None, packed: bool = False, packed_2bit: bool = False,
                  packed_sparse: bool = False, spa_mixed: bool = False,
                  spa_compact: bool = True, cols=None,
-                 instrument=None) -> pd.DataFrame:
+                 instrument=None, transport_policy=None) -> pd.DataFrame:
     """Single-model two-phase scan core (see :func:`_scan_blocks_multi`)."""
     return _scan_blocks_multi(
         [(scan_model, binary)], params, B, block_iter, mesh=mesh,
         packed=packed, packed_2bit=packed_2bit, packed_sparse=packed_sparse,
         spa_mixed=spa_mixed, spa_compact=spa_compact, cols=cols,
-        instrument=instrument)[0]
+        instrument=instrument, transport_policy=transport_policy)[0]
 
 
 def _scan_blocks_multi(models, params, B: int, block_iter,
@@ -334,7 +406,7 @@ def _scan_blocks_multi(models, params, B: int, block_iter,
                        packed_2bit: bool = False,
                        packed_sparse: bool = False, spa_mixed: bool = False,
                        spa_compact: bool = True, cols=None,
-                       instrument=None):
+                       instrument=None, transport_policy=None):
     """Shared two-phase scan core: batched score kernel + compact SPA.
 
     ``models`` is a list of ``(scan_model, binary)`` pairs that all scan
@@ -419,6 +491,16 @@ def _scan_blocks_multi(models, params, B: int, block_iter,
     window = deque()
     DEPTH = 3
     _put = jax.device_put if mesh is None else _place
+    # link-aware sparse-tier engagement (VERDICT r4 #2): the pipeline's
+    # own decode/upload timings drive the decision, so the tier engages
+    # only on a measured link-bound scan.  ``transport_policy``:
+    # None -> a fresh TransportPolicy; "static" -> the pre-round-5
+    # nnz-only rule (benches/tests that exercise the tier machinery
+    # regardless of link state); or a caller-provided policy object.
+    if not (packed and packed_sparse) or transport_policy == "static":
+        policy = None
+    else:
+        policy = transport_policy or TransportPolicy()
 
     def _decoded(raw):
         it = iter(raw)
@@ -428,8 +510,11 @@ def _scan_blocks_multi(models, params, B: int, block_iter,
                 idx, G = next(it)            # GDS decode happens here
             except StopIteration:
                 break
+            dt = _time.perf_counter() - t0
+            if policy is not None:
+                policy.note_decode(dt)
             if instrument is not None:
-                instrument["decode_s"].append(_time.perf_counter() - t0)
+                instrument["decode_s"].append(dt)
             yield idx, G
 
     def _packed_stage(it):
@@ -439,7 +524,7 @@ def _scan_blocks_multi(models, params, B: int, block_iter,
             if packed:
                 G = np.asarray(G, np.int8)
                 pl = _packed_parts(G, B, dense_impl, packed_2bit,
-                                   packed_sparse, host)
+                                   packed_sparse, host, policy=policy)
             else:
                 G = np.asarray(G, np.float64)
                 if cols is not None:
@@ -458,15 +543,24 @@ def _scan_blocks_multi(models, params, B: int, block_iter,
             # complete the transfer in THIS thread so the main loop
             # dispatches on fully-resident operands
             jax.block_until_ready([p for _, p, _ in pl])
+            dt = _time.perf_counter() - t0
+            nbytes = sum(
+                sum(a.nbytes for a in jax.tree_util.tree_leaves(p))
+                for _, p, _ in pl_host)
+            if policy is not None:
+                policy.note_upload(dt, nbytes)
             if instrument is not None:
-                instrument["upload_s"].append(_time.perf_counter() - t0)
-                instrument["bytes"].append(sum(
-                    sum(a.nbytes for a in jax.tree_util.tree_leaves(p))
-                    for _, p, _ in pl_host))
+                instrument["upload_s"].append(dt)
+                instrument["bytes"].append(nbytes)
             yield idx, G, pl
 
-    block_iter = _prefetch_blocks(_uploaded(_prefetch_blocks(
-        _packed_stage(_prefetch_blocks(_decoded(block_iter))))))
+    block_iter = _prefetch_blocks(
+        _uploaded(_prefetch_blocks(
+            _packed_stage(_prefetch_blocks(
+                _decoded(block_iter),
+                name="decode", instrument=instrument)),
+            name="pack", instrument=instrument)),
+        name="upload", instrument=instrument)
 
     def _drain_one():
         nonlocal row0
@@ -560,7 +654,9 @@ def _scan_blocks_multi(models, params, B: int, block_iter,
                     # (their lanes are discarded)
                     from ..ops.sparse_codes import sparse_beats_dense
                     if packed_sparse and \
-                            SPA_BATCH * Gi.shape[1] < (1 << 31) and \
+                            (policy is None or
+                             policy.starved(len(Gi) * (Gi.shape[1] // 4))) \
+                            and SPA_BATCH * Gi.shape[1] < (1 << 31) and \
                             sparse_beats_dense(Gi):  # int32 decode bound
                         from ..ops.sparse_codes import (encode_sparse_rows,
                                                         pad_entries)
@@ -656,7 +752,8 @@ SPLIT_SAVE_FRAC = 0.25       # ... and it must be >= this fraction of the
 
 
 def _packed_parts(G: np.ndarray, B: int, dense_impl: str,
-                  packed_2bit: bool, packed_sparse: bool, place):
+                  packed_2bit: bool, packed_sparse: bool, place,
+                  policy=None):
     """Split one packed int8 block into transport parts.
 
     Returns ``[(rows, device_payload, impl), ...]`` where ``rows`` indexes
@@ -668,10 +765,20 @@ def _packed_parts(G: np.ndarray, B: int, dense_impl: str,
     substantial (SPLIT_SAVE_BYTES and SPLIT_SAVE_FRAC); otherwise the
     whole block routes the cheaper way in ONE dispatch — uniformly rare
     files still get the full sparse win without extra dispatches.
+
+    ``policy`` (a :class:`TransportPolicy`) gates the tier on the
+    MEASURED link state: the sparse stream only helps when uploads bind
+    the pipeline, so on a healthy link blocks stay 2-bit dense even for
+    rare files.  ``policy=None`` keeps the static nnz-only rule (tests,
+    single-shot calls with no rate history).
     """
     n, N = G.shape
     sp_rows = de_rows = None
-    if packed_sparse and B * N < (1 << 31):  # int32 decode cursor bound
+    if packed_sparse and policy is not None and \
+            not policy.starved(n * (N // 4)):
+        sp_rows = np.empty(0, np.int64)     # healthy link: stay dense
+        de_rows = np.arange(n)
+    elif packed_sparse and B * N < (1 << 31):  # int32 decode cursor bound
         from ..ops.sparse_codes import SPARSE_NNZ_FRAC
         nnz = (G != 0).sum(axis=1)
         mask = nnz < (N * SPARSE_NNZ_FRAC)

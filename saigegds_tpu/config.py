@@ -71,9 +71,14 @@ class ScanConfig:
     packed_2bit: bool = True      # ship scan blocks 2-bit planar-packed
                                   # (0.25 B/genotype host->device + HBM;
                                   # decode on device; bit-parity with int8)
-    packed_sparse: bool = True    # ship rare rows (nnz < N/8) gap-coded
-                                  # (2 B/nonzero; the reference's sparse
-                                  # store recast as transport, exact)
+    packed_sparse: bool = True    # ALLOW shipping rare rows (nnz < N/8)
+                                  # gap-coded (2 B/nonzero; the reference's
+                                  # sparse store recast as transport,
+                                  # exact).  Engagement is link-aware: the
+                                  # tier only activates when the scan's own
+                                  # measured upload rate makes the dense
+                                  # bytes the pipeline's binder
+                                  # (assoc.single.TransportPolicy)
     spa_compact: bool = True      # gather nonzero lanes before the SPA
                                   # CGF loops (exact; big win for rare vars)
     spa_mixed: bool = False       # f32+polish SPA root-finding (TPU fast

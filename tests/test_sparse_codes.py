@@ -182,7 +182,8 @@ def test_scan_split_parity(setup, packed_2bit, monkeypatch):
     def blocks():
         yield np.arange(B), codes.copy()
 
-    kw = dict(packed=True, packed_2bit=packed_2bit, spa_mixed=False)
+    kw = dict(packed=True, packed_2bit=packed_2bit, spa_mixed=False,
+              transport_policy="static")   # exercise the split machinery
     want = _scan_blocks(sm, params, True, B, blocks(),
                         packed_sparse=False, **kw)
     got = _scan_blocks(sm, params, True, B, blocks(),
