@@ -67,6 +67,11 @@ def _load() -> Optional[ctypes.CDLL]:
                                         u8p]
     except AttributeError:
         pass
+    try:   # round-5 kernel
+        lib.sg_pack2_raw.argtypes = [i8p, ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int64, u8p]
+    except AttributeError:
+        pass
     _lib = lib
     return _lib
 
@@ -106,6 +111,34 @@ def pack2_zeroed(codes: np.ndarray):
     out = np.empty((M, -(-N // 4)), np.uint8)
     lib.sg_pack2_zeroed(codes, M, N, out)
     return out
+
+
+def pack2_raw(codes: np.ndarray, pad_rows: int = 0):
+    """Threaded planar 2-bit pack PRESERVING missing (code 3): the exact
+    native twin of ops/packed_grm.pack_codes_2bit on
+    ``_pad_block(codes, pad_rows, fill=3)``; None when unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sg_pack2_raw"):
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    M, N = codes.shape
+    R = max(M, pad_rows)
+    out = np.empty((R, -(-N // 4)), np.uint8)
+    lib.sg_pack2_raw(codes, M, N, R, out)
+    return out
+
+
+def bit2_dosage_into(src: np.ndarray, geno_offset: int, mn: int,
+                     ploidy: int, out: np.ndarray) -> bool:
+    """Fused 2-bit decode written INTO a caller-provided contiguous int8
+    slice (no allocation, no source copy) — the streamed block iterator's
+    per-chunk fold.  Returns False when the native library is missing."""
+    lib = _load()
+    if lib is None:
+        return False
+    assert out.dtype == np.int8 and out.flags.c_contiguous
+    lib.sg_bit2_dosage_off(src, geno_offset, mn, ploidy, out)
+    return True
 
 
 def sparse_encode(codes: np.ndarray,

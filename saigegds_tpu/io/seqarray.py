@@ -178,6 +178,10 @@ class SeqData:
                 f"streamed genotype decode needs a 3-D dBit2 node, got "
                 f"{node.cls!r} with dims {tuple(node.dims)}")
         M, N, ploidy = node.dims
+        if ploidy == 2 and native.available():
+            yield from self._iter_code_blocks_chunkfold(block_size,
+                                                        variant_mask)
+            return
         bits_per_var = N * ploidy * 2
         buf = bytearray()
         buf_start = 0                 # absolute byte offset of buf[0]
@@ -206,6 +210,66 @@ class SeqData:
                 idx, codes = idx[keep], codes[keep]
             if len(idx):
                 yield idx, codes
+
+    def _iter_code_blocks_chunkfold(self, block_size, variant_mask):
+        """Diploid streamed decode with ZERO intermediate copies: each
+        inflated frame chunk folds DIRECTLY into the destination block
+        array (native sg_bit2_dosage_off writes in place).
+
+        With ploidy 2, one packed byte is exactly two genotypes, so a
+        chunk at stream byte ``p`` covers genotype indices
+        ``[2p, 2p + 2*len)`` regardless of alignment — no contiguous
+        reassembly buffer is needed; a chunk straddling a block boundary
+        folds its two parts into the two block arrays.  The pre-round-5
+        path copied every block three times (bytearray append + span
+        snapshot + prefix memmove, ~330 MB of memcpy per 1024-variant
+        block at N=430K) before the fold even ran."""
+        from . import native
+
+        node = self._geno_node
+        M, N, _ploidy = node.dims
+        total_g = M * N               # genotypes overall
+        out = None                    # current block [b, N] being filled
+        v0 = 0                        # current block's first variant
+        g_next = 0                    # next genotype index to decode
+
+        def _emit(v0, v1, codes):
+            idx = np.arange(v0, v1)
+            if variant_mask is not None:
+                keep = variant_mask[v0:v1]
+                idx, codes = idx[keep], codes[keep]
+            return (idx, codes) if len(idx) else None
+
+        for chunk in self.gds.stream_node_bytes(node):
+            src = np.frombuffer(chunk, dtype=np.uint8)
+            # the chunk holds bytes for genotypes [byte0*2, byte0*2+2*len)
+            # (g_next can sit mid-byte only when N is odd and a block
+            # boundary split a byte; the byte is then decoded twice)
+            chunk_g0 = g_next
+            byte0 = g_next // 2
+            chunk_g1 = min(byte0 * 2 + 2 * len(src), total_g)
+            while chunk_g0 < chunk_g1:
+                if out is None:
+                    v1 = min(v0 + block_size, M)
+                    out = np.empty((v1 - v0, N), np.int8)
+                v1 = v0 + out.shape[0]
+                block_g1 = v1 * N
+                take = min(chunk_g1, block_g1) - chunk_g0
+                dst = out.reshape(-1)[chunk_g0 - v0 * N:
+                                      chunk_g0 - v0 * N + take]
+                # allele offset of genotype chunk_g0 within THIS chunk
+                off = (chunk_g0 - byte0 * 2) * 2
+                native.bit2_dosage_into(src, off, take, 2, dst)
+                chunk_g0 += take
+                if chunk_g0 >= block_g1:
+                    r = _emit(v0, v1, out)
+                    out = None
+                    v0 = v1
+                    if r is not None:
+                        yield r
+            g_next = chunk_g1
+        if g_next < total_g:
+            raise ValueError("genotype stream ended early")
 
     def code_rows(self, variants: np.ndarray) -> np.ndarray:
         """Random-access int8 code rows [len(variants), N] via the LZMA

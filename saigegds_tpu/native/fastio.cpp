@@ -411,4 +411,53 @@ void sg_pack2_zeroed(const int8_t* codes, int64_t M, int64_t N,
     for (auto& th : threads) th.join();
 }
 
+// Planar 2-bit pack PRESERVING missing (code 3) in one threaded pass —
+// the scan-transport twin of sg_pack2_zeroed (the score kernels need the
+// missing code intact, ops/score_packed.py).  Rows [M, pad_rows) fill
+// with 0xFF (all-missing), matching _pad_block(fill=3) + pack; values
+// outside 0..3 clamp to 3 (missing) defensively.
+void sg_pack2_raw(const int8_t* codes, int64_t M, int64_t N,
+                  int64_t pad_rows, uint8_t* out) {
+    const int64_t N4 = (N + 3) / 4;
+    const int64_t R = pad_rows > M ? pad_rows : M;
+    int T = (int)std::thread::hardware_concurrency();
+    if (T < 1) T = 1;
+    if ((int64_t)T > M) T = M > 0 ? (int)M : 1;
+    std::vector<std::thread> threads;
+    int64_t chunk = (M + T - 1) / T;
+    for (int t = 0; t < T; ++t) {
+        threads.emplace_back([&, t]() {
+            int64_t lo = t * chunk, hi = lo + chunk;
+            if (hi > M) hi = M;
+            for (int64_t m = lo; m < hi; ++m) {
+                const int8_t* row = codes + m * N;
+                uint8_t* o = out + m * N4;
+                auto g = [&](int64_t n) -> uint8_t {
+                    if (n >= N) return 0;
+                    int8_t c = row[n];
+                    return (c >= 0 && c < 3) ? (uint8_t)c : 3u;
+                };
+                for (int64_t j = 0; j < N4; ++j)
+                    o[j] = (uint8_t)(g(j) | (g(N4 + j) << 2) |
+                                     (g(2 * N4 + j) << 4) |
+                                     (g(3 * N4 + j) << 6));
+            }
+        });
+    }
+    for (auto& th : threads) th.join();
+    if (R > M) {
+        // pad-row byte pattern: every IN-RANGE sample field is 3, fields
+        // past N are 0 — bit-exact with pack(_pad_block(fill=3))
+        std::vector<uint8_t> pat((size_t)N4);
+        for (int64_t j = 0; j < N4; ++j) {
+            uint8_t b = 0;
+            for (int k = 0; k < 4; ++k)
+                if (k * N4 + j < N) b |= (uint8_t)(3u << (2 * k));
+            pat[(size_t)j] = b;
+        }
+        for (int64_t m = M; m < R; ++m)
+            std::memcpy(out + m * N4, pat.data(), (size_t)N4);
+    }
+}
+
 }  // extern "C"

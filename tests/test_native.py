@@ -114,3 +114,48 @@ def test_random_access_code_rows():
     idx = np.array([0, 1, 777, 5000, 9999])
     got = seq.code_rows(idx)
     np.testing.assert_array_equal(got, want[idx])
+
+
+def test_pack2_raw_matches_numpy_pack():
+    """sg_pack2_raw == pack_codes_2bit(_pad_block(fill=3)) bit-for-bit,
+    including the tail byte's out-of-range fields on N % 4 != 0."""
+    from saigegds_tpu.io import native
+    from saigegds_tpu.ops.packed_grm import pack_codes_2bit
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    for M, N, B in [(7, 13, 16), (200, 1031, 256), (5, 8, 5)]:
+        G = rng.integers(0, 4, size=(M, N)).astype(np.int8)
+        got = native.pack2_raw(G, B)
+        pad = np.full((B - M, N), 3, np.int8) if B > M else \
+            np.empty((0, N), np.int8)
+        want = pack_codes_2bit(np.concatenate([G, pad]))
+        np.testing.assert_array_equal(got, want, err_msg=f"{(M, N, B)}")
+
+
+def test_chunkfold_streamed_decode_odd_width():
+    """The zero-copy chunk-fold decode handles odd N (block boundaries
+    splitting a packed byte) and variant masks."""
+    from saigegds_tpu.io import native
+    from saigegds_tpu.io.gds_write import write_seqarray_gds
+    from saigegds_tpu.io.seqarray import SeqData
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(1)
+    for N in (997, 1000):
+        codes = rng.integers(0, 3, size=(531, N)).astype(np.int8)
+        codes[rng.random(codes.shape) < 0.02] = 3
+        path = "/tmp/test_chunkfold.gds"
+        write_seqarray_gds(path, codes, compress="ZIP_ra")
+        seq = SeqData(path)
+        got = np.concatenate(
+            [b for _, b in seq._iter_code_blocks_chunkfold(97, None)])
+        np.testing.assert_array_equal(got, codes)
+        mask = rng.random(531) < 0.5
+        got = np.concatenate(
+            [b for _, b in seq._iter_code_blocks_chunkfold(97, mask)])
+        np.testing.assert_array_equal(got, codes[mask])
