@@ -86,18 +86,28 @@ def _masked_trace(t_all, nrun, cutoff):
     return mean, cv_fin > cutoff
 
 
-@partial(jax.jit, static_argnames=("maxiter", "maxiter_pcg", "maxiter_coef"))
+@partial(jax.jit, static_argnames=("maxiter", "maxiter_pcg", "maxiter_coef",
+                                   "pcg"))
 def fit_glmm_binary_device(op, y, X, tau_init, eta_init, U,
                            tol, tol_pcg,
                            maxiter: int = 20, maxiter_pcg: int = 500,
                            maxiter_coef: int = 20, nrun=30,
-                           trace_cv_cutoff=0.0025) -> DeviceFit:
+                           trace_cv_cutoff=0.0025,
+                           pcg: str = "exact") -> DeviceFit:
     """Binary-trait null GLMM fit as one device program.
 
     op: GRM operator pytree (.matvec/.diag); y [N]; X [N, K]; U [N, R]
     Rademacher probe pool (R >= nrun; extra columns feed the trace-CV
     escalation); tau_init [2]; eta_init [N].
+
+    ``pcg``: "exact" = the f64 batched solver (default); "mixed" = the
+    opt-in f32-state + f64-refinement tier (ops/pcg.pcg_solve_mixed) —
+    f64-grade solutions without emulated-f64 elementwise work per
+    iteration; fit agreement with "exact" is ~1e-6 on tau/coefficients
+    (the 2%-stopping device-fit semantics, CLAUDE.md invariant 1).
     """
+    from ..ops.pcg import pcg_solve_mixed
+    solve = pcg_solve_op if pcg == "exact" else pcg_solve_mixed
     N, K = X.shape
     tol_inv_2 = 1.0 / (tol * tol)
 
@@ -109,7 +119,7 @@ def fit_glmm_binary_device(op, y, X, tau_init, eta_init, U,
             W = mu * (1.0 - mu)
             Y = eta + (y - mu) / W
             B = jnp.concatenate([Y[:, None], X], axis=1)
-            sol, _, _ = pcg_solve_op(op, W, tau, B, tol_pcg, maxiter_pcg)
+            sol, _, _ = solve(op, W, tau, B, tol_pcg, maxiter_pcg)
             Si_Y, Si_X = sol[:, 0], sol[:, 1:]
             cov = _sym_inv(X.T @ Si_X)
             alpha = cov @ (Si_X.T @ Y)
@@ -158,7 +168,7 @@ def fit_glmm_binary_device(op, y, X, tau_init, eta_init, U,
         APY = op.matvec(PY)
         YPAPY = PY @ APY
         B = jnp.concatenate([APY[:, None], U], axis=1)
-        sol, _, _ = pcg_solve_op(op, W, tau, B, tol_pcg, maxiter_pcg)
+        sol, _, _ = solve(op, W, tau, B, tol_pcg, maxiter_pcg)
         PAPY = proj(sol[:, 0], sol[:, 0])
         AI = APY @ PAPY
         Si_U = sol[:, 1:]

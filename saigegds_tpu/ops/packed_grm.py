@@ -44,6 +44,8 @@ import jax.numpy as jnp
 import numpy as np
 
 N_SLICES = 8   # 7 bits/slice -> ~56-bit effective mantissa (full f64)
+N_SLICES_F32 = 5   # 35 bits > f32's 24-bit mantissa: captures an f32
+#                    operand fully (the mixed-precision PCG's inner solves)
 
 
 class PackedGRM(NamedTuple):
@@ -242,6 +244,17 @@ class Packed2GRM(NamedTuple):
                                   self.miss_var, self.miss_samp,
                                   self.miss_pad, self.samp_mask, b,
                                   impl=_PACKED2_IMPL)
+
+    def matvec32(self, b32):
+        """f32-grade GRM @ b for the mixed-precision PCG's inner solves
+        (ops/pcg.pcg_solve_mixed): 5 integer slices instead of 8 and f32
+        state arithmetic — no emulated-f64 elementwise work.  ~1e-7
+        relative accuracy; the outer refinement recombines residuals with
+        the exact matvec, so solutions stay f64-grade."""
+        return _packed2_grm_matvec(self.packed, self.af, self.inv,
+                                   self.miss_var, self.miss_samp,
+                                   self.miss_pad, self.samp_mask, b32,
+                                   impl=_PACKED2_IMPL, prec="f32")
 
 
 def pack_codes_2bit(codes: np.ndarray) -> np.ndarray:
@@ -476,12 +489,14 @@ def _leaf_rows(N4: int) -> int:
     return max(256, min(16384, ((1 << 31) - 1) // max(N4, 1)))
 
 
-def _p1_tile(tile_u8, dmat, N4, j0):
+def _p1_tile(tile_u8, dmat, N4, j0, acc_dtype=jnp.float64):
     """One (row-leaf, column-tile) of pass 1: [mc, w] packed bytes x the
     tile's slice of the model columns -> exact f64 [mc, C].  Contraction
     per plane dot is w <= _TILE_COLS <= 131072 terms of exact integer
     products <= 128, so every f32 partial sum is an exact integer
-    < 2^24; the dmat slice is leading-axis only."""
+    < 2^24; the dmat slice is leading-axis only.  (acc_dtype=f32: the
+    mixed-precision tier — plane partials are still exact integers, only
+    the cross-plane/tile combine rounds at f32.)"""
     w = tile_u8.shape[1]
     pc = tile_u8.astype(jnp.int32)
     acc = None
@@ -489,12 +504,12 @@ def _p1_tile(tile_u8, dmat, N4, j0):
         g = _decode_plane(pc, p)
         part = jnp.dot(g, dmat[p * N4 + j0: p * N4 + j0 + w],
                        preferred_element_type=jnp.float32)
-        part = part.astype(jnp.float64)
+        part = part.astype(acc_dtype)
         acc = part if acc is None else acc + part
     return acc
 
 
-def _p2_tile(acc4, tile_u8, dm):
+def _p2_tile(acc4, tile_u8, dm, acc_dtype=jnp.float64):
     """One (row-leaf, column-tile) of pass 2: accumulate the transpose
     product [4, w, C] += decode([mc, w])' @ dm[mc, C] per plane
     (contraction over <= 16Ki leaf rows: exact f32 integers, f64
@@ -505,7 +520,7 @@ def _p2_tile(acc4, tile_u8, dm):
         g = _decode_plane(pc, p)
         part = jax.lax.dot_general(g, dm, (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
-        parts.append(part.astype(jnp.float64))
+        parts.append(part.astype(acc_dtype))
     return acc4 + jnp.stack(parts)
 
 
@@ -555,11 +570,19 @@ def packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
                                impl=impl or _PACKED2_IMPL)
 
 
-@partial(jax.jit, static_argnames=("impl",))
+@partial(jax.jit, static_argnames=("impl", "prec"))
 def _packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
-                        samp_mask, b, impl: str):
+                        samp_mask, b, impl: str, prec: str = "f64"):
+    f32 = prec == "f32"
+    acc_dtype = jnp.float32 if f32 else jnp.float64
     squeeze = b.ndim == 1
     B = b[:, None] if squeeze else b
+    B = B.astype(acc_dtype)
+    if f32:
+        af = af.astype(jnp.float32)
+        inv = inv.astype(jnp.float32)
+        miss_pad = miss_pad.astype(jnp.float32)
+        samp_mask = samp_mask.astype(jnp.float32)
     leaves = packed
     col_offs = []                 # byte-column offset of each tile
     j = 0
@@ -571,13 +594,16 @@ def _packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
     Npad = 4 * N4
     N = B.shape[0]
     R = B.shape[1]
-    S = N_SLICES
+    S = N_SLICES_F32 if f32 else N_SLICES
 
     Bp = jnp.pad(B, ((0, Npad - N), (0, 0)))
     d, scale = _slice_i8(Bp, S)                       # [Npad, R, S]
     dmat = d.reshape(Npad, R * S).astype(jnp.bfloat16)
     w = scale[None, :, None] / 64.0 \
-        * (1.0 / 128.0) ** jnp.arange(S, dtype=jnp.float64)[None, None, :]
+        * (1.0 / 128.0) ** jnp.arange(S, dtype=acc_dtype)[None, None, :]
+
+    if f32:
+        impl = "xla"     # the pallas plane kernels are f64-combine only
 
     # pass 1: cv = Cm @ b, decoding per (row leaf, column tile, plane);
     # device arrays are never sliced — tiling happened at build time
@@ -595,7 +621,7 @@ def _packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
         for lf in leaves:
             acc_l = None
             for t, j0 in zip(lf, col_offs):
-                part = _p1_tile(t, dmat, N4, j0)
+                part = _p1_tile(t, dmat, N4, j0, acc_dtype)
                 acc_l = part if acc_l is None else acc_l + part
             parts.append(acc_l)
         acc = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
@@ -613,7 +639,7 @@ def _packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
     d2, scale2 = _slice_i8(w1, S)                     # [M, R, S]
     dmat2 = d2.reshape(M, R * S).astype(jnp.bfloat16)
     w2c = scale2[None, :, None] / 64.0 \
-        * (1.0 / 128.0) ** jnp.arange(S, dtype=jnp.float64)[None, None, :]
+        * (1.0 / 128.0) ** jnp.arange(S, dtype=acc_dtype)[None, None, :]
     if impl.startswith("pallas"):
         from .pallas_grm import plane_dot_t
         full = jnp.concatenate([jnp.concatenate(lf, axis=1)
@@ -633,11 +659,12 @@ def _packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
         pl_tiles = []                                 # [n_tiles][4][w, R]
         for c, _j0 in enumerate(col_offs):
             w_c = leaves[0][c].shape[1]
-            acc4 = jnp.zeros((4, w_c, C2), jnp.float64)
+            acc4 = jnp.zeros((4, w_c, C2), acc_dtype)
             off = 0
             for lf in leaves:
                 rows = lf[c].shape[0]
-                acc4 = _p2_tile(acc4, lf[c], dmat2[off: off + rows])
+                acc4 = _p2_tile(acc4, lf[c], dmat2[off: off + rows],
+                                acc_dtype)
                 off += rows
             pl_tiles.append([jnp.sum(a.reshape(w_c, R, S) * w2c, axis=-1)
                              for a in acc4])

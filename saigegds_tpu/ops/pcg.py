@@ -47,6 +47,88 @@ def pcg_solve(std_geno, diag_grm, w, tau, B, tol, maxiter: int):
     return _pcg_body(grm_mv, diag_grm, w, tau, B, tol, maxiter)
 
 
+@partial(jax.jit, static_argnames=("maxiter", "max_refine"))
+def pcg_solve_mixed(op, w, tau, B, tol, maxiter: int, max_refine: int = 6):
+    """Mixed-precision PCG: f32-state inner solves, exact-f64 refinement.
+
+    The f64 solver's per-iteration cost at biobank N is dominated by
+    EMULATED-f64 elementwise state updates ([N, R] x,r,z,p arrays) and
+    the 8-slice RHS decomposition — not the MXU matmuls (BENCH_NOTES
+    round 4: 449 s of 522 at N=430K).  This solver runs the CG iteration
+    entirely in f32 (native on TPU; 5 integer slices capture an f32
+    operand exactly, ``op.matvec32``), then recombines with iterative
+    refinement: the TRUE f64 residual ``B - Sigma x`` (one exact matvec
+    per refinement pass, not per iteration) restarts the inner solve
+    until the reference's absolute ``sum(r^2) <= tol`` stop holds in
+    f64.  Solutions are f64-grade; iteration counts differ from the
+    exact path (per-column freezing happens on f32 residuals), so this
+    is an OPT-IN tier for the 2%-stopping device fit, never the
+    bit-replay host path (CLAUDE.md invariant 1).
+
+    ``op`` needs ``.matvec`` / ``.diag``; ``.matvec32`` is used when
+    present (Packed2GRM), else the exact matvec serves the inner loop
+    (correct, no speedup).  Returns ``(X, iters, converged)`` like
+    :func:`pcg_solve_op`.
+    """
+    f32 = jnp.float32
+    squeeze = B.ndim == 1
+    if squeeze:
+        B = B[:, None]
+    N, R = B.shape
+    tau0, tau1 = tau[0], tau[1]
+    inv_w = 1.0 / w
+    if inv_w.ndim == 1:
+        inv_w = inv_w[:, None]
+
+    def sig64(P):
+        return tau0 * inv_w * P + tau1 * op.matvec(P)
+
+    mv32 = getattr(op, "matvec32", None)
+    if mv32 is None:
+        mv32 = lambda P: op.matvec(P.astype(jnp.float64)).astype(f32)
+    w32 = w.astype(f32)
+    tau32 = tau.astype(f32)
+    diag32 = op.diag.astype(f32)
+
+    rr0 = jnp.sum(B * B, axis=0)
+
+    def cond(st):
+        x, r, rr, it, k = st
+        return jnp.any(rr > tol) & (k < max_refine) & (it < maxiter)
+
+    def body(st):
+        x, r, rr, it, k = st
+        active = rr > tol
+        # per-column normalization: keeps the f32 inner system O(1) so
+        # neither overflow nor the f32 absolute floor bites
+        s = jnp.max(jnp.abs(r), axis=0)
+        s = jnp.where(active & (s > 0), s, 1.0)
+        b32 = jnp.where(active[None, :], r / s[None, :], 0.0).astype(f32)
+        # scaled absolute target; floored at the f32 solver's resolution
+        # (the f64 refinement covers the rest)
+        tol32 = jnp.maximum(tol / (s * s), 1e-10).astype(f32)
+        dx32, its, _ = _pcg_body(mv32, diag32, w32, tau32, b32, tol32,
+                                 maxiter)
+        x1 = x + dx32.astype(jnp.float64) * s[None, :]
+        r1 = B - sig64(x1)                   # exact residual, once/pass
+        rr1 = jnp.sum(r1 * r1, axis=0)
+        # a pass that cannot improve a column (f32 floor) keeps the old
+        # iterate for it, so refinement never degrades a solution
+        keep = rr1 < rr
+        x1 = jnp.where(keep[None, :], x1, x)
+        rr1 = jnp.where(keep, rr1, rr)
+        r1 = jnp.where(keep[None, :], r1, r)
+        return x1, r1, rr1, it + jnp.max(its), k + 1
+
+    x0 = jnp.zeros_like(B)
+    st = (x0, B, rr0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    x, _r, rr, iters, _k = jax.lax.while_loop(cond, body, st)
+    converged = rr <= tol
+    if squeeze:
+        return x[:, 0], iters, converged[0]
+    return x, jnp.broadcast_to(iters, (R,)), converged
+
+
 def _pcg_body(grm_mv, diag_grm, w, tau, B, tol, maxiter: int):
     """``w`` may be [N] (shared weights) or [N, R] (per-column weights) and
     ``tau`` [2] (shared) or [2, R] (per-column) — the per-column forms let
