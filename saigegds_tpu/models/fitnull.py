@@ -84,9 +84,9 @@ def _pcg(grm, w, tau, B, tol, maxiter):
     """Solve Sigma X = B on device; B [N, R] numpy -> numpy.
 
     ``grm`` is a dense-f64 GRMOperator, a bf16-exact PackedGRM, or a
-    mesh-sharded ShardedGrmHandle — all give f64-grade solutions."""
-    from ..parallel.mesh import ShardedGrmHandle
-    if isinstance(grm, ShardedGrmHandle):
+    handle (mesh-sharded ShardedGrmHandle / bounded-program
+    SplitPacked2) — all give f64-grade solutions."""
+    if getattr(grm, "is_grm_handle", False):
         X, conv = grm.pcg(w, tau, B, tol, maxiter)
     else:
         X, iters, conv = pcg_solve_op(grm, jnp.asarray(w), jnp.asarray(tau),
@@ -105,9 +105,8 @@ def _pcg_grouped_j(op, Wp, taup, col_map, B, tol, maxiter):
 
 
 def _grm_mv(grm, b):
-    from ..parallel.mesh import ShardedGrmHandle
-    if isinstance(grm, ShardedGrmHandle):
-        return grm.mv(b)
+    if getattr(grm, "is_grm_handle", False):
+        return np.asarray(grm.mv(jnp.asarray(b)))
     return np.asarray(grm.matvec(jnp.asarray(b)))
 
 
@@ -629,8 +628,7 @@ def calc_var_ratio_multi(grm, codes, fit0s, glmms, noks,
     """
     from dataclasses import replace as _dc_replace
 
-    from ..parallel.mesh import ShardedGrmHandle
-    if isinstance(grm, ShardedGrmHandle):
+    if getattr(grm, "is_grm_handle", False):
         # handle path: per-phenotype serial (the fused kernel closes over
         # a single-device operator; the mesh fit is not the PheWAS path).
         # Checkpoints get a per-phenotype tag — with the shared cfg,

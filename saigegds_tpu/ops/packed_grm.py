@@ -570,9 +570,10 @@ def packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
                                impl=impl or _PACKED2_IMPL)
 
 
-@partial(jax.jit, static_argnames=("impl", "prec"))
+@partial(jax.jit, static_argnames=("impl", "prec", "no_scale"))
 def _packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
-                        samp_mask, b, impl: str, prec: str = "f64"):
+                        samp_mask, b, impl: str, prec: str = "f64",
+                        no_scale: bool = False):
     f32 = prec == "f32"
     acc_dtype = jnp.float32 if f32 else jnp.float64
     squeeze = b.ndim == 1
@@ -677,8 +678,88 @@ def _packed2_grm_matvec(packed, af, inv, miss_var, miss_samp, miss_pad,
     corr2 = jax.ops.segment_sum(w2[miss_var] * miss_pad[:, None],
                                 miss_samp, num_segments=N)
     out = out - samp_mask[:, None] * (jnp.sum(w2, axis=0)[None, :] - corr2)
-    out = out / M
+    if not no_scale:
+        # no_scale: the SplitPacked2 handle sums group contributions and
+        # divides by the FULL variant count itself (every term above is
+        # linear in the group's variants, so contributions just add)
+        out = out / M
     return out[:, 0] if squeeze else out
+
+
+class SplitPacked2:
+    """Bounded-program GRM handle over a :class:`Packed2GRM`'s leaves.
+
+    The one-dispatch fit program breaks this backend's remote-AOT
+    compiler above ~M=16Ki rows at N=430K (BENCH_NOTES round 4) — the
+    M ceiling VERDICT r4 #3 asks to break.  This handle splits the
+    MATVEC across per-leaf-group device programs instead: each group of
+    row leaves compiles its own (cached, shape-shared) contribution
+    program, and a host loop sums the contributions ON DEVICE — so the
+    largest compiled program is one group, independent of total M, and
+    measured enqueue latency (~5 ms) is negligible next to the group
+    compute.  The outer AI-REML/PCG iterations are then host-driven
+    (models/fit_split.py, ops/pcg.pcg_host*) with all state device-
+    resident; only scalars cross the link.
+
+    Groups share compiled executables when their shapes match (uniform
+    leaves -> one compile).  ``group_leaves`` bounds a group's rows at
+    group_leaves x _leaf_rows (1 leaf = the proven-compile size).
+    """
+
+    is_grm_handle = True
+
+    def __init__(self, grm: Packed2GRM, group_leaves: int = 1):
+        self.n_samples = grm.n_samples
+        self.n_variants = grm.n_variants
+        self.diag = grm.diag
+        self.samp_mask = grm.samp_mask
+        self._impl = _PACKED2_IMPL
+        mv = np.asarray(grm.miss_var)
+        ms = np.asarray(grm.miss_samp)
+        mp = np.asarray(grm.miss_pad)
+        nnz = int(mp.sum())
+        mv, ms = mv[:nnz], ms[:nnz]          # real entries (sorted by row)
+        self.groups = []
+        row0 = 0
+        leaves = grm.packed
+        for g0 in range(0, len(leaves), group_leaves):
+            grp = leaves[g0:g0 + group_leaves]
+            rows = sum(lf[0].shape[0] for lf in grp)
+            lo = np.searchsorted(mv, row0)
+            hi = np.searchsorted(mv, row0 + rows)
+            gmv, gms, gmp = _pad_miss(mv[lo:hi] - row0, ms[lo:hi], 256)
+            self.groups.append((
+                tuple(grp), grm.af[row0:row0 + rows],
+                grm.inv[row0:row0 + rows], jnp.asarray(gmv),
+                jnp.asarray(gms), jnp.asarray(gmp)))
+            row0 += rows
+
+    def mv(self, b, prec: str = "f64"):
+        """GRM @ b as a sum of per-group device programs (device in/out).
+        Identical algebra to ``Packed2GRM.matvec`` — every term is linear
+        in the group's variants, so contributions add exactly."""
+        out = None
+        for grp, af, inv, gmv, gms, gmp in self.groups:
+            c = _packed2_grm_matvec(grp, af, inv, gmv, gms, gmp,
+                                    self.samp_mask, b, impl=self._impl,
+                                    prec=prec, no_scale=True)
+            out = c if out is None else out + c
+        return out / self.n_variants
+
+    def matvec(self, b):                    # op-compatible alias (f64)
+        return self.mv(b)
+
+    def matvec32(self, b32):
+        return self.mv(b32, prec="f32")
+
+    def pcg(self, w, tau, B, tol, maxiter):
+        """Host-driven batched PCG (numpy in/out) — the fitter-facing
+        handle interface (models/fitnull._pcg)."""
+        from .pcg import pcg_host_mixed
+        X, _iters, conv = pcg_host_mixed(self, jnp.asarray(w),
+                                         jnp.asarray(tau), jnp.asarray(B),
+                                         tol, maxiter)
+        return np.asarray(X), np.asarray(conv)
 
 
 @partial(jax.jit, static_argnames=("precision",))

@@ -14,6 +14,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @partial(jax.jit, static_argnames=("maxiter",))
@@ -127,6 +128,141 @@ def pcg_solve_mixed(op, w, tau, B, tol, maxiter: int, max_refine: int = 6):
     if squeeze:
         return x[:, 0], iters, converged[0]
     return x, jnp.broadcast_to(iters, (R,)), converged
+
+
+# ---------------------------------------------------------------------------
+# host-driven PCG over a bounded-program GRM handle (SplitPacked2): the
+# iteration loop runs in python, every step a small cached device program,
+# so the LARGEST compiled program is one leaf group — independent of M.
+# Measured on the tunneled v5e: ~5 ms per enqueue, ~35 ms per forced
+# convergence read, negligible next to the per-iteration GRM compute.
+
+
+@jax.jit
+def _pcg_h_init(w, tau, diag, B):
+    inv_w = 1.0 / w
+    if inv_w.ndim == 1:
+        inv_w = inv_w[:, None]
+    tau0, tau1 = tau[0], tau[1]
+    d = jnp.maximum(tau0 * inv_w + tau1 * diag[:, None], 1e-4)
+    minv = jnp.broadcast_to(1.0 / d, B.shape)
+    rr = jnp.sum(B * B, axis=0)
+    st = dict(x=jnp.zeros_like(B), r=B, z=minv * B, p=minv * B, rr=rr,
+              it=jnp.zeros((), jnp.int32),
+              iters=jnp.zeros(B.shape[1], jnp.int32))
+    return st, minv, inv_w
+
+
+@jax.jit
+def _pcg_h_step(st, gv, inv_w, tau, minv, tol):
+    """One PCG iteration given this step's GRM product ``gv`` — the same
+    arithmetic as ``_pcg_body``'s body (per-column freezing included)."""
+    tau0, tau1 = tau[0], tau[1]
+    act = st["rr"] > tol
+    Ap = tau0 * inv_w * st["p"] + tau1 * gv
+    rz = jnp.sum(st["r"] * st["z"], axis=0)
+    pAp = jnp.sum(st["p"] * Ap, axis=0)
+    a = jnp.where(act, rz / pAp, 0.0)
+    x = st["x"] + a * st["p"]
+    r1 = st["r"] - a * Ap
+    z1 = minv * r1
+    rz1 = jnp.sum(z1 * r1, axis=0)
+    bet = jnp.where(act, rz1 / rz, 0.0)
+    p1 = jnp.where(act, z1 + bet * st["p"], st["p"])
+    rr1 = jnp.sum(r1 * r1, axis=0)
+    it = st["it"] + 1
+    iters = jnp.where(act, it, st["iters"])
+    rr = jnp.where(act, rr1, st["rr"])
+    return dict(x=jnp.where(act, x, st["x"]),
+                r=jnp.where(act, r1, st["r"]),
+                z=jnp.where(act, z1, st["z"]), p=p1, rr=rr, it=it,
+                iters=iters), jnp.any(rr > tol)
+
+
+def pcg_host(handle, w, tau, B, tol, maxiter: int, prec: str = "f64",
+             check_every: int = 16):
+    """Host-driven batched Jacobi-PCG (device-resident state).
+
+    ``handle`` needs ``.mv(P, prec)`` and ``.diag``; ``tol`` may be a
+    scalar or per-column vector; ``prec="f32"`` runs the whole iteration
+    in f32 (cast here) — callers wanting f64-grade answers wrap with
+    :func:`pcg_host_mixed`.  Returns device ``(X, iters, converged)``.
+    """
+    f32 = prec == "f32"
+    if f32:
+        w = w.astype(jnp.float32)
+        tau = tau.astype(jnp.float32)
+        B = B.astype(jnp.float32)
+        diag = handle.diag.astype(jnp.float32)
+    else:
+        diag = handle.diag
+    st, minv, inv_w = _pcg_h_init(w, tau, diag, B)
+    it = 0
+    while it < maxiter:
+        gv = handle.mv(st["p"], prec=prec)
+        st, any_active = _pcg_h_step(st, gv, inv_w, tau, minv, tol)
+        it += 1
+        if it % check_every == 0 or it >= maxiter:
+            if not bool(any_active):      # one scalar roundtrip
+                break
+    return st["x"], st["iters"], st["rr"] <= tol
+
+
+@jax.jit
+def _refine_norm(r, tol):
+    s = jnp.max(jnp.abs(r), axis=0)
+    active = jnp.sum(r * r, axis=0) > tol
+    s = jnp.where(active & (s > 0), s, 1.0)
+    b32 = jnp.where(active[None, :], r / s[None, :], 0.0).astype(jnp.float32)
+    tol32 = jnp.maximum(tol / (s * s), 1e-10).astype(jnp.float32)
+    return s, b32, tol32
+
+
+@jax.jit
+def _refine_combine(x, r, rr, dx32, s, B, gv_new, inv_w, tau):
+    x1 = x + dx32.astype(jnp.float64) * s[None, :]
+    r1 = B - (tau[0] * inv_w * x1 + tau[1] * gv_new)
+    rr1 = jnp.sum(r1 * r1, axis=0)
+    keep = rr1 < rr                      # refinement never degrades
+    return (jnp.where(keep[None, :], x1, x),
+            jnp.where(keep[None, :], r1, r), jnp.where(keep, rr1, rr))
+
+
+def pcg_host_mixed(handle, w, tau, B, tol, maxiter: int,
+                   max_refine: int = 6, check_every: int = 16):
+    """Host-driven mixed-precision PCG: the handle twin of
+    :func:`pcg_solve_mixed` — f32 host-driven inner solves over the
+    bounded per-group programs, exact-f64 residual recombination (one
+    f64 ``handle.mv`` per refinement pass).  Device ``(X, iters,
+    converged)``; absolute ``sum(r^2) <= tol`` holds in f64."""
+    squeeze = B.ndim == 1
+    if squeeze:
+        B = B[:, None]
+    B = jnp.asarray(B, jnp.float64)
+    w = jnp.asarray(w)
+    tau = jnp.asarray(tau, jnp.float64)
+    inv_w = 1.0 / w
+    if inv_w.ndim == 1:
+        inv_w = inv_w[:, None]
+    x = jnp.zeros_like(B)
+    r = B
+    rr = jnp.sum(r * r, axis=0)
+    total_its = jnp.zeros(B.shape[1], jnp.int32)
+    for _k in range(max_refine):
+        rr_h = np.asarray(rr)            # [C] readback (small)
+        if not (rr_h > tol).any():
+            break
+        s, b32, tol32 = _refine_norm(r, tol)
+        dx32, its, _ = pcg_host(handle, w, tau, b32, tol32, maxiter,
+                                prec="f32", check_every=check_every)
+        x1 = x + dx32.astype(jnp.float64) * s[None, :]
+        gv = handle.mv(x1, prec="f64")
+        x, r, rr = _refine_combine(x, r, rr, dx32, s, B, gv, inv_w, tau)
+        total_its = total_its + its
+    conv = rr <= tol
+    if squeeze:
+        return x[:, 0], total_its, conv[0]
+    return x, total_its, conv
 
 
 def _pcg_body(grm_mv, diag_grm, w, tau, B, tol, maxiter: int):

@@ -110,6 +110,8 @@ class ShardedGrmHandle:
     operator the rank-1 centering term is masked via ``samp_mask``).
     """
 
+    is_grm_handle = True    # duck-typed marker (fitnull._pcg/_grm_mv)
+
     def __init__(self, op, mesh: Mesh, axis: str = "data"):
         from ..ops.grm import GRMOperator
         from ..ops.packed_grm import PackedGRM
