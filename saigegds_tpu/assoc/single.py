@@ -101,6 +101,11 @@ class TransportPolicy:
 
     EMA = 0.5           # per-block smoothing
     HYSTERESIS = 1.2    # engage only when upload clearly exceeds decode
+    MIN_DECODE_S = 0.05     # below these floors the signals are fixed-
+    MIN_UPLOAD_BYTES = 4 << 20  # overhead noise (tiny blocks/payloads):
+    #                         stay dense and keep the rate estimates
+    #                         untouched — at real block sizes (~110 MB at
+    #                         biobank N) both floors are far exceeded
 
     def __init__(self):
         self.decode_s = None      # EMA seconds per block
@@ -113,7 +118,9 @@ class TransportPolicy:
                 (1 - self.EMA) * self.decode_s + self.EMA * seconds
 
     def note_upload(self, seconds: float, nbytes: int):
-        if seconds > 0 and nbytes > 0:
+        # small transfers measure per-transfer overhead, not bandwidth —
+        # they would poison the projection for full-size blocks
+        if seconds > 0 and nbytes >= self.MIN_UPLOAD_BYTES:
             bps = nbytes / seconds
             self.link_bps = bps if self.link_bps is None else \
                 (1 - self.EMA) * self.link_bps + self.EMA * bps
@@ -121,7 +128,8 @@ class TransportPolicy:
     def starved(self, dense_bytes: int) -> bool:
         """True when shipping ``dense_bytes`` dense is projected to bind
         the pipeline (the sparse tier's byte saving buys wall-clock)."""
-        if self.decode_s is None or self.link_bps is None:
+        if self.decode_s is None or self.link_bps is None or \
+                self.decode_s < self.MIN_DECODE_S:
             return False
         proj_upload = dense_bytes / self.link_bps
         thr = self.HYSTERESIS if not self._engaged else 1.0 / self.HYSTERESIS
@@ -212,7 +220,10 @@ def assoc_spa(gdsfile, modobj: Union[NullModel, str],
                       packed_sparse=config.packed_sparse,
                       spa_mixed=config.spa_mixed,
                       spa_compact=config.spa_compact, cols=cols,
-                      instrument=instrument)
+                      instrument=instrument,
+                      transport_policy=None
+                      if config.transport_policy == "auto"
+                      else config.transport_policy)
     idx = df.pop("__idx__").to_numpy()
 
     ref, alt = seq.ref_alt
@@ -339,7 +350,9 @@ def assoc_spa_multi(gdsfile, modobjs, config: ScanConfig = ScanConfig(),
         params, config.block_size, blocks, mesh=mesh, packed=packed,
         packed_2bit=config.packed_2bit, packed_sparse=config.packed_sparse,
         spa_mixed=config.spa_mixed, spa_compact=config.spa_compact,
-        cols=cols0)
+        cols=cols0,
+        transport_policy=None if config.transport_policy == "auto"
+        else config.transport_policy)
 
     ref, alt = seq.ref_alt
     results = []

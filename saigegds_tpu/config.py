@@ -79,6 +79,11 @@ class ScanConfig:
                                   # measured upload rate makes the dense
                                   # bytes the pipeline's binder
                                   # (assoc.single.TransportPolicy)
+    transport_policy: str = "auto"  # "auto": the link-aware engagement
+                                  # above; "static": the nnz-only rule
+                                  # (engage sparse purely on rarity,
+                                  # the pre-round-5 behavior — for
+                                  # benches/tests of the tier machinery)
     spa_compact: bool = True      # gather nonzero lanes before the SPA
                                   # CGF loops (exact; big win for rare vars)
     spa_mixed: bool = False       # f32+polish SPA root-finding (TPU fast

@@ -105,9 +105,12 @@ def pcg_solve_mixed(op, w, tau, B, tol, maxiter: int, max_refine: int = 6):
         s = jnp.max(jnp.abs(r), axis=0)
         s = jnp.where(active & (s > 0), s, 1.0)
         b32 = jnp.where(active[None, :], r / s[None, :], 0.0).astype(f32)
-        # scaled absolute target; floored at the f32 solver's resolution
-        # (the f64 refinement covers the rest)
-        tol32 = jnp.maximum(tol / (s * s), 1e-10).astype(f32)
+        # scaled absolute target, floored RELATIVE to the scaled rhs —
+        # an f32 iteration stagnates near rr/rr0 ~ (eps32*cond)^2, so an
+        # absolute floor is unreachable at large N and would burn every
+        # pass to maxiter (the f64 refinement covers the rest)
+        tol32 = jnp.maximum(tol / (s * s),
+                            1e-11 * rr / (s * s)).astype(f32)
         dx32, its, _ = _pcg_body(mv32, diag32, w32, tau32, b32, tol32,
                                  maxiter)
         x1 = x + dx32.astype(jnp.float64) * s[None, :]
@@ -198,6 +201,8 @@ def pcg_host(handle, w, tau, B, tol, maxiter: int, prec: str = "f64",
         diag = handle.diag
     st, minv, inv_w = _pcg_h_init(w, tau, diag, B)
     it = 0
+    tol_h = np.asarray(tol)
+    last_rr = None
     while it < maxiter:
         gv = handle.mv(st["p"], prec=prec)
         st, any_active = _pcg_h_step(st, gv, inv_w, tau, minv, tol)
@@ -205,16 +210,35 @@ def pcg_host(handle, w, tau, B, tol, maxiter: int, prec: str = "f64",
         if it % check_every == 0 or it >= maxiter:
             if not bool(any_active):      # one scalar roundtrip
                 break
+            if f32:
+                # stagnation guard: an f32 iteration near its noise
+                # floor stops making progress; if no still-active column
+                # improved 4x over the whole check window, further
+                # iterations are wasted (the f64 refinement pass around
+                # this solve picks up the remaining decades)
+                rr_now = np.asarray(st["rr"])
+                if last_rr is not None:
+                    act = rr_now > tol_h
+                    if not (rr_now[act] < 0.25 * last_rr[act]).any():
+                        break
+                last_rr = rr_now
     return st["x"], st["iters"], st["rr"] <= tol
 
 
 @jax.jit
 def _refine_norm(r, tol):
     s = jnp.max(jnp.abs(r), axis=0)
-    active = jnp.sum(r * r, axis=0) > tol
+    rr = jnp.sum(r * r, axis=0)
+    active = rr > tol
     s = jnp.where(active & (s > 0), s, 1.0)
     b32 = jnp.where(active[None, :], r / s[None, :], 0.0).astype(jnp.float32)
-    tol32 = jnp.maximum(tol / (s * s), 1e-10).astype(jnp.float32)
+    # the inner target is floored RELATIVE to the scaled rhs: an f32
+    # iteration stagnates near rr/rr0 ~ (eps32 * cond)^2 — an absolute
+    # floor (round-5 first cut: 1e-10) is unreachable at biobank N
+    # (noise floor ~ N * eps32^2 ~ 4e-9 at N=430K), burning every pass
+    # to maxiter; the f64 refinement covers the remaining decades
+    rr0_32 = rr / (s * s)
+    tol32 = jnp.maximum(tol / (s * s), 1e-11 * rr0_32).astype(jnp.float32)
     return s, b32, tol32
 
 
@@ -248,10 +272,16 @@ def pcg_host_mixed(handle, w, tau, B, tol, maxiter: int,
     r = B
     rr = jnp.sum(r * r, axis=0)
     total_its = jnp.zeros(B.shape[1], jnp.int32)
+    prev_rr = None
     for _k in range(max_refine):
         rr_h = np.asarray(rr)            # [C] readback (small)
-        if not (rr_h > tol).any():
+        act = rr_h > tol
+        if not act.any():
             break
+        if prev_rr is not None and \
+                not (rr_h[act] < 0.25 * prev_rr[act]).any():
+            break                        # refinement stalled: warn-only
+        prev_rr = rr_h
         s, b32, tol32 = _refine_norm(r, tol)
         dx32, its, _ = pcg_host(handle, w, tau, b32, tol32, maxiter,
                                 prec="f32", check_every=check_every)

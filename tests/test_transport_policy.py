@@ -76,7 +76,7 @@ def test_packed_parts_policy_gates_tier():
 
     healthy = TransportPolicy()
     healthy.note_decode(4.0)
-    healthy.note_upload(0.5, 200 * 250)
+    healthy.note_upload(0.5, 64 << 20)
     parts = _packed_parts(codes, 256, "xla2", packed_2bit=True,
                           packed_sparse=True, place=lambda x: x,
                           policy=healthy)
@@ -84,7 +84,7 @@ def test_packed_parts_policy_gates_tier():
 
     starved = TransportPolicy()
     starved.note_decode(0.5)
-    starved.note_upload(4.0, 200 * 250)
+    starved.note_upload(1000.0, 64 << 20)  # ~67 KB/s: dense binds
     parts = _packed_parts(codes, 256, "xla2", packed_2bit=True,
                           packed_sparse=True, place=lambda x: x,
                           policy=starved)
