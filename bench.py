@@ -514,19 +514,25 @@ FIT430_16K_GDS = f"/tmp/bench_fit430_{M_FITMIX}x{N_FIT430}.gds"
 
 def phase_fitmix():
     """Mixed-PCG A/B at the claim N (VERDICT r4 #4): the SAME M=16Ki
-    one-dispatch device fit with the f64 solver vs the opt-in
-    f32-state + f64-refinement tier — the recorded before/after for the
-    430K AI-REML cost (round 4: 449 s, attributed to emulated-f64
-    elementwise PCG state updates)."""
+    fit with the f64 solver vs the opt-in f32-state + f64-refinement
+    tier — the recorded before/after for the 430K AI-REML cost (round
+    4: 449 s on the one-dispatch engine, attributed to emulated-f64
+    elementwise PCG state updates).  Both tiers run on the SPLIT engine
+    (host-driven, bounded group programs): the round-5 tile-store
+    refactor invalidated the one-dispatch program's compile cache, and
+    a ~30-min remote recompile per tier would eat the phase for a
+    comparison the split engine makes for pennies; engines are matched
+    so the A/B isolates the solver tier."""
     import jax
     import jax.numpy as jnp
 
     jax_setup()
     from saigegds_tpu.io import native as _native
     from saigegds_tpu.io.seqarray import SeqData
-    from saigegds_tpu.models.fit_device import fit_glmm_binary_device
+    from saigegds_tpu.models.fit_split import fit_glmm_binary_split
     from saigegds_tpu.models.glm import glm_binomial
-    from saigegds_tpu.ops.packed_grm import build_packed2_grm_streamed
+    from saigegds_tpu.ops.packed_grm import (SplitPacked2,
+                                             build_packed2_grm_streamed)
 
     m, n = M_FITMIX, N_FIT430
     build_fit_data(FIT430_16K_GDS, m, n)
@@ -542,17 +548,17 @@ def phase_fitmix():
     jax.block_until_ready(grm.af)
     log(f"fitmix: ingest {time.perf_counter() - t0:.1f}s")
     fit0 = glm_binomial(X, y)
+    handle = SplitPacked2(grm)
     out = {}
     taus = {}
     for tier in ("exact", "mixed"):
         best = float("inf")
         for rep in range(2):      # rep 0 pays the (cached) compile
             t1 = time.perf_counter()
-            fit = fit_glmm_binary_device(
-                grm, jnp.asarray(y), jnp.asarray(X),
-                jnp.asarray([1.0, 0.5]),
-                jnp.asarray(fit0.linear_predictors), jnp.asarray(U),
-                0.02, 1e-5, pcg=tier)
+            fit = fit_glmm_binary_split(
+                handle, y, X, np.array([1.0, 0.5]),
+                fit0.linear_predictors, U, tol=0.02, tol_pcg=1e-5,
+                pcg=tier)
             taus[tier] = np.asarray(fit.tau)
             dt = time.perf_counter() - t1
             if rep:

@@ -219,7 +219,10 @@ def pcg_host(handle, w, tau, B, tol, maxiter: int, prec: str = "f64",
                 rr_now = np.asarray(st["rr"])
                 if last_rr is not None:
                     act = rr_now > tol_h
-                    if not (rr_now[act] < 0.25 * last_rr[act]).any():
+                    # noise-floor churn shows ~no net improvement over a
+                    # whole window; genuinely slow convergence still
+                    # clears 10% — do NOT cut legitimate slow columns
+                    if not (rr_now[act] < 0.9 * last_rr[act]).any():
                         break
                 last_rr = rr_now
     return st["x"], st["iters"], st["rr"] <= tol
@@ -279,7 +282,7 @@ def pcg_host_mixed(handle, w, tau, B, tol, maxiter: int,
         if not act.any():
             break
         if prev_rr is not None and \
-                not (rr_h[act] < 0.25 * prev_rr[act]).any():
+                not (rr_h[act] < 0.9 * prev_rr[act]).any():
             break                        # refinement stalled: warn-only
         prev_rr = rr_h
         s, b32, tol32 = _refine_norm(r, tol)
