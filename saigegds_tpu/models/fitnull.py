@@ -1073,10 +1073,16 @@ def _prepare_fit(seq: SeqData, data, cfg, resp_cols, covs, mesh,
         # 2-bit planar store (0.25 B, the reference's footprint) past
         # ~4 GB.  The mesh path shards the bf16 store across devices
         # (ShardedGrmHandle), so per-device HBM already divides by the
-        # mesh size.
-        impl = "packed2" if (mesh is None and
-                             2 * seq.n_variants * len(data) > (4 << 30)) \
-            else "packed"
+        # mesh size.  Past ~3 GB of 2-bit store the one-dispatch solve
+        # programs exceed the remote-AOT compile ceiling mapped in
+        # BENCH_NOTES (round 4: dies above ~M=32Ki x N=430K): wrap the
+        # store in the bounded-program SplitPacked2 handle so every
+        # compiled program stays one leaf group (round 5).
+        impl = "packed"
+        if mesh is None and 2 * seq.n_variants * len(data) > (4 << 30):
+            impl = "packed2"
+            if seq.n_variants * (len(data) // 4) > (3 << 30):
+                impl = "packed2_split"
     if mesh is not None and impl not in ("dense", "packed"):
         # fail BEFORE the (potentially hours-long) GRM build: the sharded
         # handle only wraps the dense/bf16 operators
@@ -1183,7 +1189,7 @@ def _prepare_fit(seq: SeqData, data, cfg, resp_cols, covs, mesh,
                 local0 += blk.shape[0]
                 yield idx, blk
 
-        if impl == "packed2":
+        if impl in ("packed2", "packed2_split"):
             from ..ops.packed_grm import build_packed2_grm_streamed
             grm = build_packed2_grm_streamed(blocks(), n_samp)
         elif mesh is not None:
@@ -1197,14 +1203,21 @@ def _prepare_fit(seq: SeqData, data, cfg, resp_cols, covs, mesh,
         codes = marker_rows            # row provider for calc_var_ratio
     elif impl == "packed":
         grm = build_packed_grm(codes)
-    elif impl == "packed2":
+    elif impl in ("packed2", "packed2_split"):
         from ..ops.packed_grm import build_packed2_grm
         grm = build_packed2_grm(codes)
     elif impl == "dense":
         grm = build_grm(codes)
     else:
-        raise ValueError(f"grm_impl must be 'auto', 'dense', 'packed' or "
-                         f"'packed2', got {cfg.grm_impl!r}")
+        raise ValueError(f"grm_impl must be 'auto', 'dense', 'packed', "
+                         f"'packed2' or 'packed2_split', got "
+                         f"{cfg.grm_impl!r}")
+    if impl == "packed2_split":
+        # bounded-program handle: host-driven PCG over per-leaf-group
+        # matvec programs (ops/packed_grm.SplitPacked2); the fitter and
+        # the variance ratio dispatch through it duck-typed
+        from ..ops.packed_grm import SplitPacked2
+        grm = SplitPacked2(grm)
     if mesh is not None:
         from ..parallel.mesh import ShardedGrmHandle
         if not isinstance(grm, ShardedGrmHandle):

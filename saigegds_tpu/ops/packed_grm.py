@@ -708,7 +708,13 @@ class SplitPacked2:
 
     is_grm_handle = True
 
-    def __init__(self, grm: Packed2GRM, group_leaves: int = 1):
+    def __init__(self, grm: Packed2GRM, group_leaves: int = 1,
+                 pcg_tier: str = "mixed"):
+        # "mixed": f32 inner solves + exact-f64 refinement (fast, ~1e-8
+        # agreement per the tolPCG contract); "exact": all-f64 host-
+        # driven iteration (slower; for callers wanting the batched
+        # solver's arithmetic)
+        self.pcg_tier = pcg_tier
         self.n_samples = grm.n_samples
         self.n_variants = grm.n_variants
         self.diag = grm.diag
@@ -755,10 +761,15 @@ class SplitPacked2:
     def pcg(self, w, tau, B, tol, maxiter):
         """Host-driven batched PCG (numpy in/out) — the fitter-facing
         handle interface (models/fitnull._pcg)."""
-        from .pcg import pcg_host_mixed
-        X, _iters, conv = pcg_host_mixed(self, jnp.asarray(w),
-                                         jnp.asarray(tau), jnp.asarray(B),
-                                         tol, maxiter)
+        from .pcg import pcg_host, pcg_host_mixed
+        if self.pcg_tier == "mixed":
+            X, _iters, conv = pcg_host_mixed(
+                self, jnp.asarray(w), jnp.asarray(tau), jnp.asarray(B),
+                tol, maxiter)
+        else:
+            X, _iters, conv = pcg_host(
+                self, jnp.asarray(w), jnp.asarray(tau), jnp.asarray(B),
+                tol, maxiter, prec="f64")
         return np.asarray(X), np.asarray(conv)
 
 

@@ -112,3 +112,31 @@ def test_handle_pcg_interface(problem):
         mv, np.asarray(grm.matvec(jnp.asarray(B[:, 0]))), atol=1e-10)
     Xf = _pcg(h, W, tau, B, 1e-5, 500)
     np.testing.assert_allclose(Xf, X, atol=1e-12)
+
+
+def test_fit_null_glmm_packed2_split_golden():
+    """The production driver with grm_impl="packed2_split" reproduces the
+    reference's golden model within the fixture contract (1e-4): the
+    host fitter + variance ratio dispatch through the bounded-program
+    handle duck-typed."""
+    import pandas as pd
+
+    from saigegds_tpu import fit_null_glmm
+    from saigegds_tpu.config import NullModelConfig
+    from saigegds_tpu.models.nullmodel import NullModel
+
+    data = pd.read_csv("/root/reference/inst/extdata/pheno.txt.gz",
+                       sep="\t")
+    gold = NullModel.load(
+        "/root/reference/inst/unitTests/saige_model.rds")
+    m = fit_null_glmm("y ~ x1 + x2", data,
+                      "/root/reference/inst/extdata/grm1k_10k_snp.gds",
+                      NullModelConfig(grm_impl="packed2_split"))
+    np.testing.assert_allclose(np.asarray(m.tau), np.asarray(gold.tau),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m.coefficients),
+                               np.asarray(gold.coefficients),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m.var_ratio["ratio"]),
+                               np.asarray(gold.var_ratio["ratio"]),
+                               rtol=0, atol=1e-4)
