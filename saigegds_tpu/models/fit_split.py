@@ -87,6 +87,129 @@ def _host_trace(t_all: np.ndarray, nrun: int, cutoff: float):
         r += 10
 
 
+@jax.jit
+def _q_coeff_post(y, X, U, tau0, sol):
+    K = X.shape[1]
+    Si_Y, Si_X, Si_U = sol[:, 0], sol[:, 1:1 + K], sol[:, 1 + K:]
+    cov = _sym_inv(X.T @ Si_X)
+    alpha = cov @ (Si_X.T @ y)
+    eta = y - tau0 * (Si_Y - Si_X @ alpha)
+    return alpha, eta, cov, Si_Y, Si_X, Si_U
+
+
+@jax.jit
+def _q_traces(U, AU, Si_X, cov, Si_U):
+    PU = Si_U - Si_X @ (cov @ (Si_X.T @ U))
+    return jnp.sum(AU * PU, axis=0), jnp.sum(U * PU, axis=0)
+
+
+@jax.jit
+def _q_ai_reduce(y, PY, APY, sol2, Si_X, cov):
+    PA0PY = sol2[:, 0] - Si_X @ (cov @ (Si_X.T @ sol2[:, 0]))
+    PAPY = sol2[:, 1] - Si_X @ (cov @ (Si_X.T @ sol2[:, 1]))
+    return (PY @ PY, PY @ APY,
+            PY @ PA0PY, PY @ PAPY, APY @ PA0PY, APY @ PAPY)
+
+
+def fit_glmm_quant_split(handle, y, X, tau_init, U,
+                         tol=0.02, tol_pcg=1e-5,
+                         maxiter: int = 20, maxiter_pcg: int = 500,
+                         nrun: int = 30, trace_cv_cutoff: float = 0.0025,
+                         pcg: str = "mixed",
+                         verbose: bool = False) -> DeviceFit:
+    """Quantitative-trait split fit: the host-driven twin of
+    ``fit_glmm_quant_device`` (both variance components free, 2x2 AI
+    with step-halving and zero_v clamps — src/saige_fitnull.cpp:893-928,
+    1102-1248) over a bounded-program handle."""
+    y = jnp.asarray(y, jnp.float64)
+    X = jnp.asarray(X, jnp.float64)
+    U = jnp.asarray(U, jnp.float64)
+    N, K = X.shape
+    ones = jnp.ones(N, jnp.float64)
+    AU = handle.mv(U, prec="f64")
+
+    def solve(tau_np, B):
+        tau_d = jnp.asarray(tau_np, jnp.float64)
+        if pcg == "mixed":
+            sol, _i, conv = pcg_host_mixed(handle, ones, tau_d, B,
+                                           tol_pcg, maxiter_pcg)
+        else:
+            sol, _i, conv = pcg_host(handle, ones, tau_d, B, tol_pcg,
+                                     maxiter_pcg, prec="f64")
+        return sol, conv
+
+    def _host_trace2(t1, t0, nrun, cutoff):
+        """Shared escalation over BOTH traces (fitnull._get_trace)."""
+        R = len(t1)
+        r = min(nrun, R)
+        while True:
+            m1, m0 = t1[:r].mean(), t0[:r].mean()
+            cv1 = t1[:r].std(ddof=1) / (m1 * r)
+            cv0 = t0[:r].std(ddof=1) / (m0 * r)
+            if max(cv0, cv1) <= cutoff or r + 10 > R:
+                return float(m0), float(m1), bool(max(cv0, cv1) > cutoff)
+            r += 10
+
+    B_coeff = jnp.concatenate([y[:, None], X, U], axis=1)
+
+    def ai_step(tau_np, moment: bool):
+        sol, _c = solve(tau_np, B_coeff)
+        alpha, eta, cov, Si_Y, Si_X, Si_U = _q_coeff_post(
+            y, X, U, tau_np[0], sol)
+        PY = _proj_py(y, Si_Y, Si_X, cov)
+        APY = handle.mv(PY[:, None], prec="f64")[:, 0]
+        t1_all, t0_all = _q_traces(U, AU, Si_X, cov, Si_U)
+        trace0, trace1, capped = _host_trace2(np.asarray(t1_all),
+                                              np.asarray(t0_all),
+                                              nrun, trace_cv_cutoff)
+        B2 = jnp.stack([PY, APY], axis=1)
+        sol2, _c2 = solve(tau_np, B2)
+        YPA0PY, YPAPY, a00, a01, a10, a11 = [
+            float(v) for v in _q_ai_reduce(y, PY, APY, sol2, Si_X, cov)]
+        sc = np.array([YPA0PY - trace0, YPAPY - trace1])
+        if moment:
+            t1n = np.maximum(tau_np + tau_np ** 2 * sc / N, 0.0)
+            return t1n, alpha, eta, cov, capped
+        s01 = (a01 + a10) / 2.0
+        AI = np.array([[a00, s01], [s01, a11]])
+        dtau = np.linalg.solve(AI, sc)
+        zero_v = tau_np < tol
+        t1n = tau_np + dtau
+        t1n[zero_v & (t1n < tol)] = 0.0
+        step = 1.0
+        while (t1n < 0.0).any():
+            step *= 0.5
+            t1n = tau_np + step * dtau
+            t1n[zero_v & (t1n < tol)] = 0.0
+        t1n[t1n < tol] = 0.0
+        return t1n, alpha, eta, cov, capped
+
+    tau = np.asarray(tau_init, np.float64).copy()
+    capped_any = False
+    tau, alpha, eta, cov, cap0 = ai_step(tau, moment=True)
+    capped_any |= cap0
+    converged = False
+    it = 0
+    while it < maxiter and not converged:
+        tau1, alpha, eta, cov, cap1 = ai_step(tau, moment=False)
+        capped_any |= cap1
+        delta = np.max(np.abs(tau1 - tau) /
+                       (np.abs(tau1) + np.abs(tau) + tol))
+        if verbose:
+            print(f"    quant split-fit iter {it + 1}: tau = {tau1} "
+                  f"(delta {delta:.4f})")
+        tau = tau1
+        it += 1
+        converged = delta < tol
+    sol, _c = solve(tau, B_coeff)
+    alpha_f, eta_f, cov_f, *_ = _q_coeff_post(y, X, U, tau[0], sol)
+    return DeviceFit(
+        coefficients=np.asarray(alpha_f), tau=tau, eta=np.asarray(eta_f),
+        mu=np.asarray(eta_f), cov=np.asarray(cov_f),
+        iterations=np.int32(it), converged=bool(converged),
+        trace_capped=bool(capped_any))
+
+
 def fit_glmm_binary_split(handle, y, X, tau_init, eta_init, U,
                           tol=0.02, tol_pcg=1e-5,
                           maxiter: int = 20, maxiter_pcg: int = 500,

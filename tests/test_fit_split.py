@@ -140,3 +140,28 @@ def test_fit_null_glmm_packed2_split_golden():
     np.testing.assert_allclose(np.asarray(m.var_ratio["ratio"]),
                                np.asarray(gold.var_ratio["ratio"]),
                                rtol=0, atol=1e-4)
+
+
+def test_quant_split_fit_matches_device_fit(problem):
+    from saigegds_tpu.models.fit_device import fit_glmm_quant_device
+    from saigegds_tpu.models.fit_split import fit_glmm_quant_split
+
+    _codes, grm, _W, _tau, _B = problem
+    N = grm.n_samples
+    rng = np.random.default_rng(13)
+    X = np.column_stack([np.ones(N), rng.normal(size=(N, 2))])
+    y = X @ np.array([0.4, -0.2, 0.1]) + rng.normal(size=N)
+    U = rng.choice([-1.0, 1.0], size=(N, 40))
+    fd = fit_glmm_quant_device(
+        grm, jnp.asarray(y), jnp.asarray(X),
+        jnp.asarray([0.5, 0.5]), jnp.asarray(U), 0.02, 1e-5)
+    h = SplitPacked2(grm, group_leaves=2)
+    for pcg in ("exact", "mixed"):
+        fs = fit_glmm_quant_split(h, y, X, np.array([0.5, 0.5]), U,
+                                  tol=0.02, tol_pcg=1e-5, pcg=pcg)
+        assert fs.converged and bool(fd.converged)
+        np.testing.assert_allclose(fs.tau, np.asarray(fd.tau),
+                                   rtol=0, atol=1e-6, err_msg=pcg)
+        np.testing.assert_allclose(fs.coefficients,
+                                   np.asarray(fd.coefficients),
+                                   rtol=0, atol=1e-6, err_msg=pcg)
