@@ -1338,7 +1338,41 @@ def fit_null_glmm_multi(formulas, data, gdsfile,
     U = np.stack([rng.rademacher(n).astype(np.float64) for _ in range(R)],
                  axis=1)
 
-    if binary:
+    from ..ops.packed_grm import SplitPacked2
+    if isinstance(prep["grm"], SplitPacked2):
+        # the batched one-dispatch program needs a pytree operator; past
+        # the compile ceiling (grm_impl="packed2_split") run the split
+        # fitters per phenotype over the shared resident store — the GRM
+        # never re-ingests, which is still the PheWAS win the reference
+        # lacks (it re-streams its GRM per phenotype)
+        from .fit_split import fit_glmm_binary_split, fit_glmm_quant_split
+        fits = []
+        for p in range(P):
+            if binary:
+                fits.append(fit_glmm_binary_split(
+                    prep["grm"], ys[p], X_new, tau0s[p], etas[p], U,
+                    tol=cfg.tol, tol_pcg=cfg.tol_pcg,
+                    maxiter=cfg.maxiter, maxiter_pcg=cfg.maxiter_pcg,
+                    nrun=cfg.nrun, trace_cv_cutoff=cfg.trace_cv_cutoff,
+                    verbose=verbose))
+            else:
+                fits.append(fit_glmm_quant_split(
+                    prep["grm"], ys[p], X_new, tau0s[p], U,
+                    tol=cfg.tol, tol_pcg=cfg.tol_pcg,
+                    maxiter=cfg.maxiter, maxiter_pcg=cfg.maxiter_pcg,
+                    nrun=cfg.nrun, trace_cv_cutoff=cfg.trace_cv_cutoff,
+                    verbose=verbose))
+        from .fit_device import DeviceFit
+        fit = DeviceFit(
+            coefficients=np.stack([f.coefficients for f in fits]),
+            tau=np.stack([f.tau for f in fits]),
+            eta=np.stack([f.eta for f in fits]),
+            mu=np.stack([f.mu for f in fits]),
+            cov=np.stack([f.cov for f in fits]),
+            iterations=np.stack([f.iterations for f in fits]),
+            converged=np.asarray([f.converged for f in fits]),
+            trace_capped=np.asarray([f.trace_capped for f in fits]))
+    elif binary:
         fit = fit_glmm_binary_device_multi(
             prep["grm"], jnp.asarray(np.stack(ys)), jnp.asarray(X_new),
             jnp.asarray(np.stack(tau0s)),

@@ -165,3 +165,28 @@ def test_quant_split_fit_matches_device_fit(problem):
         np.testing.assert_allclose(fs.coefficients,
                                    np.asarray(fd.coefficients),
                                    rtol=0, atol=1e-6, err_msg=pcg)
+
+
+def test_fit_null_glmm_multi_split_fallback():
+    """PheWAS multi-fit with grm_impl="packed2_split": the one-dispatch
+    batched program cannot take a handle, so the driver runs the split
+    fitters per phenotype over the shared resident store; lanes must
+    stay within the 2%-stopping semantics of the golden model."""
+    import pandas as pd
+
+    from saigegds_tpu import fit_null_glmm_multi
+    from saigegds_tpu.config import NullModelConfig
+    from saigegds_tpu.models.nullmodel import NullModel
+
+    data = pd.read_csv("/root/reference/inst/extdata/pheno.txt.gz",
+                       sep="\t")
+    data["y2"] = (data["yy"] > data["yy"].median()).astype(float)
+    gold = NullModel.load(
+        "/root/reference/inst/unitTests/saige_model.rds")
+    ms = fit_null_glmm_multi(
+        ["y ~ x1 + x2", "y2 ~ x1 + x2"], data,
+        "/root/reference/inst/extdata/grm1k_10k_snp.gds",
+        NullModelConfig(grm_impl="packed2_split"))
+    assert all(m.converged for m in ms)
+    d = np.max(np.abs(np.asarray(ms[0].tau) - np.asarray(gold.tau)))
+    assert d < 4e-2, d     # device-fit probe-stream semantics
