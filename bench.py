@@ -1142,8 +1142,21 @@ def phase_scan():
     def _scan_fields(vps, inst):
         scan_link_mbps = sum(inst["bytes"]) / \
             max(sum(inst["upload_s"]), 1e-9) / 1e6
+        # slowest-stage steady-state ceiling + what binds: at V=4096 the
+        # pipeline fill (first block pays decode+pack+upload serially)
+        # and the phase-2 SPA tail are a large fraction of wall-clock,
+        # so scan_vps sits below the stage ceiling by design — the
+        # steady-state number and the binder's name carry the
+        # attribution (VERDICT r4 #7)
+        stage_p50 = {k: float(np.percentile(inst[k], 50))
+                     for k in ("decode_s", "pack_s", "upload_s")
+                     if inst.get(k)}
+        bound = max(stage_p50, key=stage_p50.get) if stage_p50 else ""
         f = dict(scan_vps=round(vps, 2),
                  scan_pipeline="3stage",
+                 scan_stage_bound=bound.replace("_s", ""),
+                 scan_steady_vps=round(BLOCK / max(stage_p50.values()), 1)
+                 if stage_p50 else None,
                  link_mbps=round(link_bw / 1e6, 1),
                  link_lat_s=round(link_lat, 3),
                  scan_link_mbps=round(scan_link_mbps, 1),
@@ -1471,6 +1484,7 @@ def main():
         "fitbase430_s", "fitbase430_dnf", "fitbase430_aireml_s",
         "fitbase430_vr_s",
         "scan_vps", "scan_vps_mixed", "scan_pipeline",
+        "scan_stage_bound", "scan_steady_vps",
         "scan_multi4_mvps", "scan_multi4_s", "scan_multi16_mvps",
         "scan_multi16_s", "scan_multi64_mvps", "scan_multi64_s",
         "scan_multi64_oom", "scan_multi64_grouped_s", "scan_multi64_grouped_mvps",
