@@ -1257,26 +1257,14 @@ def phase_multi():
                 best = min(best, time.perf_counter() - t0)
         except Exception as e:
             # P models' resident state can exceed one chip's HBM at
-            # biobank N (P=64 x ~41 MB/model + payloads on a 16 GB v5e);
-            # retry grouped (model_batch) — still P/batch fewer GDS
-            # streams than the reference's pass-per-model
+            # biobank N (P=64 x ~41 MB/model + payloads on a 16 GB v5e).
+            # The grouped (model_batch) retry runs as its OWN phase in a
+            # FRESH process: an in-process retry inherits the exhausted
+            # allocator and fails with the same RESOURCE_EXHAUSTED
+            # (observed in the round-5 capture).
             log(f"PheWAS multi-scan P={P}: {type(e).__name__}: "
-                f"{str(e)[:120]}; retrying with model_batch=16")
+                f"{str(e)[:120]}; grouped retry runs as phase multi64g")
             state_merge(**{f"scan_multi{P}_oom": True})
-            try:
-                seq = SeqData(GDS_PATH)
-                t0 = time.perf_counter()
-                assoc_spa_multi(seq, models[:P],
-                                ScanConfig(block_size=BLOCK),
-                                model_batch=16)
-                dt = time.perf_counter() - t0
-                log(f"PheWAS multi-scan P={P} (model_batch=16): "
-                    f"{dt:.1f}s = {P * N_VARIANTS / dt:.0f} mv/s")
-                state_merge(**{f"scan_multi{P}_grouped_s": round(dt, 2),
-                               f"scan_multi{P}_grouped_mvps":
-                                   round(P * N_VARIANTS / dt, 1)})
-            except Exception as e2:
-                log(f"grouped retry failed too: {str(e2)[:120]}")
             continue
         ref = (N_VARIANTS / single_s) if single_s else None
         log(f"PheWAS multi-scan P={P}: {best:.1f}s = "
@@ -1287,6 +1275,37 @@ def phase_multi():
                        f"scan_multi{P}_mvps":
                            round(P * N_VARIANTS / best, 1)})
     state_merge(multi_done=True)
+
+
+def phase_multi64g():
+    """Grouped P=64 PheWAS capture (VERDICT r4 #3/#6): model_batch caps
+    device-resident models per genotype pass, so P=64 runs in 4 passes
+    of 16 — still 16x fewer GDS streams than the reference's
+    pass-per-model.  A separate phase so it always starts with a fresh
+    TPU allocator (the ungrouped P=64 OOM poisons its process)."""
+    jax_setup()
+    st = state_load()
+    if st.get("scan_multi64_grouped_s") or             (st.get("scan_multi64_s") and not st.get("scan_multi64_oom")):
+        state_merge(multi64g_done=True)
+        return
+    from saigegds_tpu.assoc.single import assoc_spa_multi
+    from saigegds_tpu.config import ScanConfig
+    from saigegds_tpu.io.seqarray import SeqData
+
+    m, _ = scan_setup()
+    models = [make_nullmodel(make_model(N_SAMPLES, N_COV,
+                                        np.random.default_rng(7 + s)))
+              for s in range(64)]
+    seq = SeqData(GDS_PATH)
+    t0 = time.perf_counter()
+    assoc_spa_multi(seq, models, ScanConfig(block_size=BLOCK),
+                    model_batch=16)
+    dt = time.perf_counter() - t0
+    log(f"PheWAS multi-scan P=64 (model_batch=16, fresh process): "
+        f"{dt:.1f}s = {64 * N_VARIANTS / dt:.0f} mv/s")
+    state_merge(scan_multi64_grouped_s=round(dt, 2),
+                scan_multi64_grouped_mvps=round(64 * N_VARIANTS / dt, 1),
+                multi64g_done=True)
 
 
 def phase_rare():
@@ -1386,6 +1405,8 @@ PHASES = [
     ("fitmix", True, int(os.environ.get("BENCH_FITMIX_TIMEOUT", 3600))),
     ("scan", True, int(os.environ.get("BENCH_SCAN_TIMEOUT", 2700))),
     ("multi", True, int(os.environ.get("BENCH_MULTI_TIMEOUT", 2400))),
+    ("multi64g", True,
+     int(os.environ.get("BENCH_MULTI64G_TIMEOUT", 1800))),
     ("rare", True, int(os.environ.get("BENCH_RARE_TIMEOUT", 1800))),
     ("scanbase", False, int(os.environ.get("BENCH_SCANBASE_TIMEOUT", 1500))),
     ("fitbase", False, int(os.environ.get("BENCH_FITBASE_TIMEOUT", 2700))),
