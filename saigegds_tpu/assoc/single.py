@@ -100,7 +100,15 @@ class TransportPolicy:
     """
 
     EMA = 0.5           # per-block smoothing
-    HYSTERESIS = 1.2    # engage only when upload clearly exceeds decode
+    HYSTERESIS = 1.2    # band around the engage threshold
+    # Engage only on a DEEPLY starved link: the sparse tier's own costs
+    # (device-side scatter decode, extra dispatches, sparse SPA payloads)
+    # are of the same order as a block's decode, so a marginally
+    # upload-bound scan still runs faster dense.  Round-5 capture: at
+    # 35 MB/s (dense upload ~3.1 s vs decode ~1 s, ratio ~3) dense won
+    # 255 vs 156 v/s; round-3's sparse wins came at ~5-20 MB/s (ratio
+    # >= 10).  The factor-4 threshold separates every observed regime.
+    STARVE_FACTOR = 4.0
     MIN_DECODE_S = 0.05     # below these floors the signals are fixed-
     MIN_UPLOAD_BYTES = 4 << 20  # overhead noise (tiny blocks/payloads):
     #                         stay dense and keep the rate estimates
@@ -132,7 +140,8 @@ class TransportPolicy:
                 self.decode_s < self.MIN_DECODE_S:
             return False
         proj_upload = dense_bytes / self.link_bps
-        thr = self.HYSTERESIS if not self._engaged else 1.0 / self.HYSTERESIS
+        thr = self.STARVE_FACTOR * (
+            self.HYSTERESIS if not self._engaged else 1.0 / self.HYSTERESIS)
         self._engaged = proj_upload > thr * self.decode_s
         return self._engaged
 

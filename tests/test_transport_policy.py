@@ -26,8 +26,8 @@ def test_policy_engages_when_link_binds():
     p = TransportPolicy()
     for _ in range(4):
         p.note_decode(1.0)                    # 1 s/block decode
-        p.note_upload(5.0, DENSE)             # link would take 5 s/block
-    assert p.starved(DENSE)                   # upload >> decode: engage
+        p.note_upload(10.0, DENSE)            # link would take 10 s/block
+    assert p.starved(DENSE)                   # deeply starved: engage
 
 
 def test_policy_stays_dense_when_decode_binds():
@@ -44,27 +44,28 @@ def test_policy_no_oscillation_once_engaged():
     p = TransportPolicy()
     for _ in range(4):
         p.note_decode(1.0)
-        p.note_upload(5.0, DENSE)             # 5 s for dense bytes
+        p.note_upload(10.0, DENSE)            # 10 s for dense bytes
     assert p.starved(DENSE)
     rate = p.link_bps
     for _ in range(8):
         p.note_decode(1.0)
-        p.note_upload(5.0 * (DENSE // 8) / DENSE, DENSE // 8)  # sparse now
+        p.note_upload(10.0 * (DENSE // 8) / DENSE, DENSE // 8)  # sparse now
         assert p.starved(DENSE)               # same link rate -> stays on
     assert p.link_bps == pytest.approx(rate, rel=0.01)
 
 
 def test_policy_hysteresis_band():
-    """Projections inside the hysteresis band keep the current tier."""
+    """Projections inside the hysteresis band keep the current tier; a
+    merely upload-bound (but not deeply starved) link stays dense."""
     p = TransportPolicy()
     p.note_decode(1.0)
-    p.note_upload(1.1, DENSE)                 # 1.1x decode: inside band
-    assert not p.starved(DENSE)               # not engaged (needs > 1.2x)
+    p.note_upload(3.0, DENSE)                 # 3x decode: upload-bound but
+    assert not p.starved(DENSE)               # below 4x1.2 -> stay dense
     p2 = TransportPolicy()
     p2.note_decode(1.0)
-    p2.note_upload(1.5, DENSE)
-    assert p2.starved(DENSE)                  # engaged
-    p2.note_upload(1.1, DENSE)                # still > 1/1.2 x decode
+    p2.note_upload(6.0, DENSE)
+    assert p2.starved(DENSE)                  # engaged (> 4.8x)
+    p2.note_upload(4.0, DENSE)                # still > 4/1.2 x decode
     assert p2.starved(DENSE)                  # hysteresis keeps it on
 
 
@@ -84,7 +85,7 @@ def test_packed_parts_policy_gates_tier():
 
     starved = TransportPolicy()
     starved.note_decode(0.5)
-    starved.note_upload(1000.0, 64 << 20)  # ~67 KB/s: dense binds
+    starved.note_upload(10000.0, 64 << 20)  # ~6.7 KB/s: deeply starved
     parts = _packed_parts(codes, 256, "xla2", packed_2bit=True,
                           packed_sparse=True, place=lambda x: x,
                           policy=starved)
