@@ -86,9 +86,14 @@ class ScanConfig:
                                   # benches/tests of the tier machinery)
     spa_compact: bool = True      # gather nonzero lanes before the SPA
                                   # CGF loops (exact; big win for rare vars)
-    spa_mixed: bool = False       # f32+polish SPA root-finding (TPU fast
-                                  # mode; ~1e-4 agreement with the reference
-                                  # instead of bit-parity, more accurate root)
+    spa_mixed: bool = False       # DEPRECATED: f32+polish SPA root-finding
+                                  # (~1e-4 agreement instead of bit-parity).
+                                  # Measured SLOWER than exact end-to-end in
+                                  # rounds 4 and 5 (BENCH_r05: 145 vs 175
+                                  # v/s) — phase-2 compute stopped being a
+                                  # binding resource once nnz compaction and
+                                  # stacked readbacks landed.  Kept for
+                                  # compatibility; may be removed.
     block_size: int = 1024        # variants per device batch
 
 
