@@ -318,7 +318,7 @@ def fit_pipeline(gds=FIT_GDS, n=N_FIT, m=M_FIT, marker_cache=False,
         from saigegds_tpu.ops.packed_grm import SplitPacked2
         handle = SplitPacked2(
             grm, group_leaves=int(os.environ.get("BENCH_SPLIT_GROUP", 1)))
-        pcg_tier = os.environ.get("BENCH_FIT_PCG", "mixed")
+        pcg_tier = os.environ.get("BENCH_FIT_PCG", "exact")
 
     def run_once():
         t1 = time.perf_counter()

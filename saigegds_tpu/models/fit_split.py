@@ -10,8 +10,10 @@ AI-REML loop runs in PYTHON, dispatching small cached device programs:
 * every GRM product goes through :class:`ops.packed_grm.SplitPacked2`
   (per-leaf-group contribution programs — the largest compile is one
   group, independent of total M);
-* PCG is the host-driven driver (``ops/pcg.pcg_host_mixed`` by
-  default: f32 iteration state + exact-f64 refinement);
+* PCG is the host-driven driver (``ops/pcg.pcg_host``, all-f64 by
+  default; the opt-in mixed tier trades f32 iteration state against
+  refinement overhead and only pays when the matvec is cheap relative
+  to emulated-f64 elementwise — measured NOT the case here);
 * ALL array state stays device-resident; only scalars (tau, deltas,
   trace probes, convergence flags) cross the link — measured ~5 ms per
   enqueue / ~35 ms per forced scalar read on the tunnel, negligible
@@ -115,7 +117,7 @@ def fit_glmm_quant_split(handle, y, X, tau_init, U,
                          tol=0.02, tol_pcg=1e-5,
                          maxiter: int = 20, maxiter_pcg: int = 500,
                          nrun: int = 30, trace_cv_cutoff: float = 0.0025,
-                         pcg: str = "mixed",
+                         pcg: str = "exact",
                          verbose: bool = False) -> DeviceFit:
     """Quantitative-trait split fit: the host-driven twin of
     ``fit_glmm_quant_device`` (both variance components free, 2x2 AI
@@ -215,14 +217,20 @@ def fit_glmm_binary_split(handle, y, X, tau_init, eta_init, U,
                           maxiter: int = 20, maxiter_pcg: int = 500,
                           maxiter_coef: int = 20, nrun: int = 30,
                           trace_cv_cutoff: float = 0.0025,
-                          pcg: str = "mixed",
+                          pcg: str = "exact",
                           verbose: bool = False) -> DeviceFit:
     """Binary-trait null GLMM fit, host-driven over ``handle``.
 
     ``handle``: a :class:`SplitPacked2` (or anything with ``.mv(P, prec)``
-    and ``.diag``).  ``pcg``: "mixed" (default — f32 inner state, f64
-    refinement) or "exact" (all-f64 host-driven).  Returns a
-    :class:`DeviceFit` of host numpy arrays.
+    and ``.diag``).  ``pcg``: "exact" (default — all-f64 host-driven) or
+    "mixed" (f32 inner state, f64 refinement; opt-in).  Measured on the
+    tunneled v5e at N=430K the exact tier WINS at both M=16Ki (18.5 vs
+    24.0 s) and M=64Ki (61 vs 70 s): in the host-driven engine the
+    matvec dominates and mixed's refinement overhead (extra matvecs +
+    sync reads) costs more than the f32 state saves — the emulated-f64
+    elementwise cost that motivated the tier binds only inside the
+    one-dispatch while_loop program.  Returns a :class:`DeviceFit` of
+    host numpy arrays.
     """
     y = jnp.asarray(y, jnp.float64)
     X = jnp.asarray(X, jnp.float64)

@@ -709,11 +709,12 @@ class SplitPacked2:
     is_grm_handle = True
 
     def __init__(self, grm: Packed2GRM, group_leaves: int = 1,
-                 pcg_tier: str = "mixed"):
-        # "mixed": f32 inner solves + exact-f64 refinement (fast, ~1e-8
-        # agreement per the tolPCG contract); "exact": all-f64 host-
-        # driven iteration (slower; for callers wanting the batched
-        # solver's arithmetic)
+                 pcg_tier: str = "exact"):
+        # "exact" (default): all-f64 host-driven iteration — measured
+        # FASTER than mixed on the tunneled v5e at N=430K (the matvec
+        # dominates; refinement overhead outweighs the f32 state
+        # saving); "mixed": f32 inner solves + exact-f64 refinement
+        # (opt-in, ~1e-8 agreement per the tolPCG contract)
         self.pcg_tier = pcg_tier
         self.n_samples = grm.n_samples
         self.n_variants = grm.n_variants
