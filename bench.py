@@ -1588,7 +1588,7 @@ def main():
         if bases:
             extra["fit_vs_best_baseline"] = round(
                 min(bases) / st["fit_s"], 2)
-    if st.get("fit430_done") and st.get("fitbase430_done"):
+    if st.get("fit430_done") and st.get("fitbase430_s"):
         extra["fit430_vs_baseline"] = round(
             st["fitbase430_s"] / st["fit430_s"], 2)
         if st.get("fitbase430_dnf"):
