@@ -1515,6 +1515,7 @@ def main():
         "fitbase430_vr_s", "fitbase430_oom",
         "scan_vps", "scan_vps_mixed", "scan_pipeline",
         "scan_stage_bound", "scan_steady_vps",
+        "scan_v8k_vps", "scan_v8k_steady_vps",
         "scan_multi4_mvps", "scan_multi4_s", "scan_multi16_mvps",
         "scan_multi16_s", "scan_multi64_mvps", "scan_multi64_s",
         "scan_multi64_oom", "scan_multi64_grouped_s", "scan_multi64_grouped_mvps",
